@@ -1,0 +1,21 @@
+"""dlp_plugins_ray — a Ray-Data-native sensitive-data transform + CDC
+incremental-ingest engine with the capabilities of CDAP dlp-plugins,
+built from scratch on ray.data.Dataset / pyarrow.
+
+Layers:
+- functions/  pure kernels: detectors, the 7 primitive transforms, crypto
+- policy.py   policy model, JSON codec, validation, compilation
+- stages/     Ray Data stages (actor-pool map_batches classes)
+- cdc/        change-event generation + replay -> LWW upsert
+- state/      manifests (exactly-once sink), schema registry, metrics
+- sources/    readers/writers
+- pipelines/  end-to-end wiring
+
+Nothing in this package calls ray.init()/ray.shutdown(); sessions are
+owned by bench.py / tests / the driver.
+"""
+
+from .policy import FieldTransform, Policy, PolicyValidationError
+
+__all__ = ["Policy", "FieldTransform", "PolicyValidationError"]
+__version__ = "0.1.0"

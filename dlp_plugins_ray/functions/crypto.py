@@ -1,0 +1,282 @@
+"""Cryptographic primitives for the reversible / hashing transforms.
+
+Reimplements, natively, the crypto the reference delegated to the Google
+Cloud DLP service:
+
+- ``CRYPTO_HASH``    -> HMAC-SHA-256 hex digest
+  (reference config: CryptoHashTransformationConfig.java:34-50)
+- ``FORMAT_PRESERVING_ENCRYPTION`` -> NIST SP 800-38G FF1 over a chosen
+  alphabet (CryptoReplaceFfxFpeTransformationConfig.java:40-124)
+- ``DETERMINISTIC_ENCRYPTION``     -> AES-SIV (RFC 5297), base64 output
+  (CryptoDeterministicTransformationConfig.java:37-99)
+
+Key material handling mirrors CryptoKeyHelper.createKey
+(CryptoKeyHelper.java:53-84): TRANSIENT (name-derived ephemeral key),
+UNWRAPPED (base64, 16/24/32 bytes), KMS_WRAPPED (not available offline —
+rejected at validation).
+
+FF1 is implemented from the public NIST SP 800-38G specification and is
+verified against the published NIST ACVP sample vectors in tests.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import hmac
+import math
+
+from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
+from cryptography.hazmat.primitives.ciphers.aead import AESSIV
+
+# ---------------------------------------------------------------------------
+# Alphabets (DLP FfxCommonNativeAlphabet)
+# ---------------------------------------------------------------------------
+
+COMMON_ALPHABETS = {
+    "NUMERIC": "0123456789",
+    "HEXADECIMAL": "0123456789ABCDEF",
+    "UPPER_CASE_ALPHA_NUMERIC": "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+    "ALPHA_NUMERIC": (
+        "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+    ),
+}
+
+
+def resolve_alphabet(alphabet: str, custom_alphabet: str | None = None) -> str:
+    """Map a DLP alphabet enum (or CUSTOM) to its character set."""
+    if alphabet == "CUSTOM":
+        if not custom_alphabet or not (2 <= len(custom_alphabet) <= 95):
+            raise ValueError(
+                "Custom alphabet must be between 2 and 95 characters long"
+            )
+        if len(set(custom_alphabet)) != len(custom_alphabet):
+            raise ValueError("Custom alphabet has duplicate characters")
+        return custom_alphabet
+    try:
+        return COMMON_ALPHABETS[alphabet]
+    except KeyError:
+        raise ValueError(f"Unknown alphabet {alphabet!r}") from None
+
+
+# ---------------------------------------------------------------------------
+# Key material (mirrors CryptoKeyHelper semantics)
+# ---------------------------------------------------------------------------
+
+VALID_KEY_LENGTHS = (16, 24, 32)
+
+
+def resolve_key(
+    key_type: str,
+    *,
+    name: str | None = None,
+    key: str | None = None,
+    wrapped_key: str | None = None,
+    crypto_key_name: str | None = None,
+) -> bytes:
+    """Produce raw key bytes for a transform config.
+
+    - ``TRANSIENT``: ephemeral key derived deterministically from ``name``
+      (the reference lets the service create one keyed by name;
+      determinism is required here so replay is reproducible).
+    - ``UNWRAPPED``: base64 key, must decode to 16/24/32 bytes
+      (CryptoKeyHelper.validateKey, CryptoKeyHelper.java:86-134).
+    - ``KMS_WRAPPED``: needs a KMS round-trip; unavailable offline.
+    """
+    if key_type == "TRANSIENT":
+        if not name:
+            raise ValueError("Transient key requires a name")
+        return hashlib.sha256(b"transient-key:" + name.encode()).digest()
+    if key_type == "UNWRAPPED":
+        if not key:
+            raise ValueError("Unwrapped key requires base64 key material")
+        try:
+            raw = base64.b64decode(key, validate=True)
+        except Exception:
+            raise ValueError("Unwrapped key is not valid base64") from None
+        if len(raw) not in VALID_KEY_LENGTHS:
+            raise ValueError(
+                f"Unwrapped key must be 16/24/32 bytes, got {len(raw)}"
+            )
+        return raw
+    if key_type == "KMS_WRAPPED":
+        raise ValueError(
+            "KMS-wrapped keys require a KMS service and are not supported "
+            "in the native engine; use UNWRAPPED or TRANSIENT"
+        )
+    raise ValueError(f"Unknown key type {key_type!r}")
+
+
+# ---------------------------------------------------------------------------
+# HMAC-SHA-256 (CRYPTO_HASH)
+# ---------------------------------------------------------------------------
+
+
+def crypto_hash(value: str, key: bytes) -> str:
+    """HMAC-SHA-256 hex digest of the value — the DLP CryptoHashConfig
+    surrogate format."""
+    return hmac.new(key, value.encode("utf-8"), hashlib.sha256).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# FF1 format-preserving encryption (NIST SP 800-38G)
+# ---------------------------------------------------------------------------
+
+_FF1_MIN_LEN = 2
+_FF1_MAX_LEN = 4096  # practical guard; spec allows up to 2**32
+
+
+def _aes_ecb_encrypt_block(key: bytes, block: bytes) -> bytes:
+    enc = Cipher(algorithms.AES(key), modes.ECB()).encryptor()
+    return enc.update(block) + enc.finalize()
+
+
+def _ff1_prf(key: bytes, data: bytes) -> bytes:
+    """AES-CBC-MAC over 16-byte-aligned data (SP 800-38G PRF)."""
+    assert len(data) % 16 == 0
+    enc = Cipher(algorithms.AES(key), modes.CBC(b"\x00" * 16)).encryptor()
+    out = enc.update(data) + enc.finalize()
+    return out[-16:]
+
+
+def _num_radix(chars: str, alphabet_index: dict[str, int], radix: int) -> int:
+    x = 0
+    for ch in chars:
+        x = x * radix + alphabet_index[ch]
+    return x
+
+
+def _str_radix(x: int, m: int, alphabet: str, radix: int) -> str:
+    out = []
+    for _ in range(m):
+        x, r = divmod(x, radix)
+        out.append(alphabet[r])
+    return "".join(reversed(out))
+
+
+def _ff1_round_data(
+    key: bytes, tweak: bytes, radix: int, n: int, u: int, b: int, d: int
+):
+    """Precompute the fixed P block and padding for FF1 rounds."""
+    t = len(tweak)
+    p = bytes(
+        [1, 2, 1]
+        + list(radix.to_bytes(3, "big"))
+        + [10, u % 256]
+        + list(n.to_bytes(4, "big"))
+        + list(t.to_bytes(4, "big"))
+    )
+    pad_len = (-t - b - 1) % 16
+    return p, bytes(pad_len)
+
+
+def _ff1_feistel(
+    key: bytes,
+    tweak: bytes,
+    alphabet: str,
+    text: str,
+    encrypt: bool,
+) -> str:
+    radix = len(alphabet)
+    idx = {c: i for i, c in enumerate(alphabet)}
+    n = len(text)
+    if n < _FF1_MIN_LEN or n > _FF1_MAX_LEN:
+        raise ValueError(f"FF1 input length {n} out of range")
+    if radix ** n < 100:  # SP 800-38G domain-size requirement
+        raise ValueError("FF1 domain too small (radix**len < 100)")
+    u = n // 2
+    v = n - u
+    a, bpart = text[:u], text[u:]
+    b_bytes = math.ceil(math.ceil(v * math.log2(radix)) / 8)
+    d = 4 * math.ceil(b_bytes / 4) + 4
+    p, qpad = _ff1_round_data(key, tweak, radix, n, u, b_bytes, d)
+
+    rounds = range(10) if encrypt else range(9, -1, -1)
+    for i in rounds:
+        if encrypt:
+            src, m = (bpart, u if i % 2 == 0 else v)
+        else:
+            src, m = (a, u if i % 2 == 0 else v)
+        q = (
+            tweak
+            + qpad
+            + bytes([i])
+            + _num_radix(src, idx, radix).to_bytes(b_bytes, "big")
+        )
+        r = _ff1_prf(key, p + q)
+        s = bytearray(r)
+        j = 1
+        while len(s) < d:
+            block = bytes(x ^ y for x, y in zip(r, j.to_bytes(16, "big")))
+            s.extend(_aes_ecb_encrypt_block(key, block))
+            j += 1
+        y = int.from_bytes(bytes(s[:d]), "big")
+        if encrypt:
+            c = (_num_radix(a, idx, radix) + y) % (radix ** m)
+            a, bpart = bpart, _str_radix(c, m, alphabet, radix)
+        else:
+            c = (_num_radix(bpart, idx, radix) - y) % (radix ** m)
+            a, bpart = _str_radix(c, m, alphabet, radix), a
+    return a + bpart
+
+
+def ff1_encrypt(key: bytes, tweak: bytes, alphabet: str, plaintext: str) -> str:
+    """FF1 encrypt a numeral string over ``alphabet`` (SP 800-38G)."""
+    return _ff1_feistel(key, tweak, alphabet, plaintext, encrypt=True)
+
+
+def ff1_decrypt(key: bytes, tweak: bytes, alphabet: str, ciphertext: str) -> str:
+    """FF1 decrypt (inverse of :func:`ff1_encrypt`)."""
+    return _ff1_feistel(key, tweak, alphabet, ciphertext, encrypt=False)
+
+
+# ---------------------------------------------------------------------------
+# AES-SIV deterministic encryption (RFC 5297)
+# ---------------------------------------------------------------------------
+
+
+def _siv_key(key: bytes) -> bytes:
+    """AESSIV wants a double-length key (32/48/64B). DLP keys are
+    16/24/32B; expand deterministically via SHA-512 of the raw key so a
+    given config key always maps to the same SIV key."""
+    digest = hashlib.sha512(b"aes-siv-key:" + key).digest()
+    return digest[: 2 * len(key)] if 2 * len(key) in (32, 48, 64) else digest[:64]
+
+
+def deterministic_encrypt(value: str, key: bytes, context: str = "") -> str:
+    """AES-SIV encrypt → base64. Same (value, key, context) ⇒ same output
+    (that is the point of deterministic encryption); different context ⇒
+    different ciphertext."""
+    aad = [context.encode("utf-8")] if context else None
+    ct = AESSIV(_siv_key(key)).encrypt(value.encode("utf-8"), aad)
+    return base64.b64encode(ct).decode("ascii")
+
+
+def deterministic_decrypt(token: str, key: bytes, context: str = "") -> str:
+    """Inverse of :func:`deterministic_encrypt`."""
+    aad = [context.encode("utf-8")] if context else None
+    raw = base64.b64decode(token)
+    return AESSIV(_siv_key(key)).decrypt(raw, aad).decode("utf-8")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-key PRF for DATE_SHIFT
+# ---------------------------------------------------------------------------
+
+
+def date_shift_days(
+    key: bytes, context_value: str, lower_bound_days: int, upper_bound_days: int
+) -> int:
+    """Deterministic day shift in [lower, upper], keyed by (key, context).
+
+    The reference's DATE_SHIFT is random per value unless crypto-key
+    bound (DateShiftTransformationConfig.java:33-84 + DLP DateShiftConfig
+    semantics); replay determinism requires the keyed form, so our engine
+    always derives the shift from HMAC(key, context_value)."""
+    if lower_bound_days > upper_bound_days:
+        raise ValueError("lowerBoundDays must be <= upperBoundDays")
+    span = upper_bound_days - lower_bound_days + 1
+    digest = hmac.new(
+        key, b"date-shift:" + context_value.encode("utf-8"), hashlib.sha256
+    ).digest()
+    return lower_bound_days + int.from_bytes(digest[:8], "big") % span

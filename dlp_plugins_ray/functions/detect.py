@@ -1,0 +1,349 @@
+"""Info-type detector bank.
+
+The reference delegates detection to the DLP service; what it defines is
+the *selection* of info-types: composite category -> concrete info-type
+lists (SensitiveDataMapping.java:38-143) and custom inspect templates
+named by id (DLPTransformPluginConfig.java:60-72, probe at
+SensitiveRecordRedaction.java:128-141). Our engine supplies the actual
+detectors: one compiled regex (plus optional validator / keyword list)
+per info-type. Detection runs span-wise so the per-span transform
+semantics of §2.3 (mask/replace/redact only the matched text) hold.
+
+Detectors are heuristic reimplementations from public format specs
+(Luhn, SSN structure, E.164, etc.) — NOT the DLP service's proprietary
+models. Category membership matches the reference exactly.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Callable, Iterable
+
+
+@dataclass(frozen=True)
+class Span:
+    start: int
+    end: int
+    info_type: str
+
+    @property
+    def length(self) -> int:
+        return self.end - self.start
+
+
+def _luhn_ok(digits: str) -> bool:
+    ds = [int(c) for c in re.sub(r"[^0-9]", "", digits)]
+    if len(ds) < 12:
+        return False
+    total = 0
+    for i, d in enumerate(reversed(ds)):
+        if i % 2 == 1:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+@dataclass(frozen=True)
+class Detector:
+    """A single info-type detector: regex + optional post-validation."""
+
+    name: str
+    pattern: re.Pattern
+    validate: Callable[[str], bool] | None = None
+
+    def finditer(self, text: str) -> Iterable[Span]:
+        for m in self.pattern.finditer(text):
+            if self.validate is None or self.validate(m.group(0)):
+                yield Span(m.start(), m.end(), self.name)
+
+
+def _d(name: str, pattern: str, validate=None, flags=0) -> Detector:
+    return Detector(name, re.compile(pattern, flags), validate)
+
+
+# Common word lists for the dictionary-style detectors. Tiny on purpose:
+# these are test-oracle heuristics standing in for the DLP service's
+# NLP models; extend per deployment via custom templates.
+_FIRST_NAMES = (
+    "james|john|robert|michael|william|david|mary|patricia|jennifer|linda|"
+    "elizabeth|susan|margaret|alice|jose|maria|wei|li|ahmed|fatima"
+)
+_ETHNIC_GROUPS = (
+    "hispanic|latino|caucasian|asian|african[ -]american|native[ -]american|"
+    "pacific[ -]islander"
+)
+
+# ---------------------------------------------------------------------------
+# Built-in detector bank, keyed by DLP info-type name.
+# ---------------------------------------------------------------------------
+
+BUILTIN_DETECTORS: dict[str, Detector] = {
+    d.name: d
+    for d in [
+        # --- DEMOGRAPHIC ---
+        _d(
+            "PERSON_NAME",
+            rf"\b(?:{_FIRST_NAMES})\s+[A-Z][a-z]+\b",
+            flags=re.IGNORECASE,
+        ),
+        _d("AGE", r"\b(?:aged?|age:)\s*\d{1,3}\b", flags=re.IGNORECASE),
+        _d(
+            "DATE_OF_BIRTH",
+            r"\b(?:dob|date of birth|born(?: on)?)[:\s]+\d{1,4}[-/]\d{1,2}[-/]\d{1,4}\b",
+            flags=re.IGNORECASE,
+        ),
+        _d(
+            "PHONE_NUMBER",
+            r"(?<![\w.+-])(?:\+?1[-. ]?)?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}(?![\w-])",
+        ),
+        _d("ETHNIC_GROUP", rf"\b(?:{_ETHNIC_GROUPS})\b", flags=re.IGNORECASE),
+        # --- LOCATION ---
+        _d(
+            "LOCATION",
+            r"\b\d{1,5}\s+[A-Z][a-z]+\s+(?:St|Street|Ave|Avenue|Rd|Road|Blvd|Dr|Drive|Ln|Lane|Way)\b\.?",
+        ),
+        _d(
+            "MAC_ADDRESS",
+            r"\b(?:[0-9A-Fa-f]{2}:){5}[0-9A-Fa-f]{2}\b",
+            # universally-administered: bit 0x02 of first octet clear
+            validate=lambda s: not (int(s[:2], 16) & 0x02),
+        ),
+        _d(
+            "MAC_ADDRESS_LOCAL",
+            r"\b(?:[0-9A-Fa-f]{2}:){5}[0-9A-Fa-f]{2}\b",
+            validate=lambda s: bool(int(s[:2], 16) & 0x02),
+        ),
+        # --- TAX ---
+        _d("AUSTRALIA_TAX_FILE_NUMBER", r"\b\d{3} ?\d{3} ?\d{3}\b"),
+        _d("DENMARK_CPR_NUMBER", r"\b\d{6}-\d{4}\b"),
+        _d("NORWAY_NI_NUMBER", r"\b\d{11}\b"),
+        _d("PORTUGAL_CDC_NUMBER", r"\b\d{8}\s?\d\s?[A-Z]{2}\d\b"),
+        _d(
+            "US_ADOPTION_TAXPAYER_IDENTIFICATION_NUMBER",
+            r"\b9\d{2}-93-\d{4}\b",
+        ),
+        _d("US_EMPLOYER_IDENTIFICATION_NUMBER", r"\b\d{2}-\d{7}\b"),
+        _d(
+            "US_PREPARER_TAXPAYER_IDENTIFICATION_NUMBER",
+            r"\bP\d{8}\b",
+        ),
+        # --- CREDIT_CARD ---
+        _d(
+            "CREDIT_CARD_NUMBER",
+            r"\b(?:\d[ -]?){12,18}\d\b",
+            validate=_luhn_ok,
+        ),
+        # --- PASSPORT ---
+        _d("NETHERLANDS_PASSPORT", r"\b[A-NP-Z]{2}[A-NP-Z0-9]{6}\d\b"),
+        # --- HEALTH ---
+        _d("US_HEALTHCARE_NPI", r"\b[12]\d{9}\b"),
+        _d("CANADA_OHIP", r"\b\d{4}[- ]?\d{3}[- ]?\d{3}[- ]?[A-Z]{0,2}\b"),
+        # --- NATIONAL_ID ---
+        _d("CHINA_RESIDENT_ID_NUMBER", r"\b\d{17}[\dXx]\b"),
+        _d("FRANCE_CNI", r"\b\d{12}\b"),
+        _d("FRANCE_NIR", r"\b[12]\d{2}(?:0[1-9]|1[0-2])\d{8}\d{2}\b"),
+        _d(
+            "FINLAND_NATIONAL_ID_NUMBER",
+            r"\b\d{6}[-+A]\d{3}[0-9A-Y]\b",
+        ),
+        _d("JAPAN_INDIVIDUAL_NUMBER", r"\b\d{4} ?\d{4} ?\d{4}\b"),
+        _d("PARAGUAY_CIC_NUMBER", r"\b\d{6,7}\b"),
+        _d("POLAND_PESEL_NUMBER", r"\b\d{11}\b"),
+        _d("POLAND_NATIONAL_ID_NUMBER", r"\b[A-Z]{3}\d{6}\b"),
+        _d("SPAIN_NIE_NUMBER", r"\b[XYZ]\d{7}[A-Z]\b"),
+        _d("SPAIN_NIF_NUMBER", r"\b\d{8}[A-Z]\b"),
+        _d(
+            "SWEDEN_NATIONAL_ID_NUMBER",
+            r"\b(?:\d{2})?\d{6}[-+]?\d{4}\b",
+        ),
+        _d("US_SOCIAL_SECURITY_NUMBER", r"\b(?!000|666|9\d{2})\d{3}-(?!00)\d{2}-(?!0000)\d{4}\b"),
+        _d("URUGUAY_CDI_NUMBER", r"\b\d\.\d{3}\.\d{3}-\d\b"),
+        _d("VENEZUELA_CDI_NUMBER", r"\b[VE]-?\d{7,8}\b"),
+        # --- DRIVER_LICENSE ---
+        _d("SPAIN_DRIVERS_LICENSE_NUMBER", r"\b\d{8}[A-Z]\b"),
+        _d("US_DRIVERS_LICENSE_NUMBER", r"\b[A-Z]\d{7,12}\b"),
+        # --- extras commonly needed by pipelines (custom-template use) ---
+        _d(
+            "EMAIL_ADDRESS",
+            r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b",
+        ),
+        _d(
+            "IP_ADDRESS",
+            r"\b(?:(?:25[0-5]|2[0-4]\d|1?\d?\d)\.){3}(?:25[0-5]|2[0-4]\d|1?\d?\d)\b",
+        ),
+        _d("NUMBER", r"\d+"),
+    ]
+}
+
+
+# Composite category -> info-type names; EXACT mirror of
+# SensitiveDataMapping.java:38-143 (commented-out entries excluded there
+# are excluded here too).
+SENSITIVE_DATA_MAPPING: dict[str, tuple[str, ...]] = {
+    "DEMOGRAPHIC": (
+        "PERSON_NAME",
+        "AGE",
+        "DATE_OF_BIRTH",
+        "PHONE_NUMBER",
+        "ETHNIC_GROUP",
+    ),
+    "LOCATION": ("LOCATION", "MAC_ADDRESS", "MAC_ADDRESS_LOCAL"),
+    "TAX": (
+        "AUSTRALIA_TAX_FILE_NUMBER",
+        "DENMARK_CPR_NUMBER",
+        "NORWAY_NI_NUMBER",
+        "PORTUGAL_CDC_NUMBER",
+        "US_ADOPTION_TAXPAYER_IDENTIFICATION_NUMBER",
+        "US_EMPLOYER_IDENTIFICATION_NUMBER",
+        "US_PREPARER_TAXPAYER_IDENTIFICATION_NUMBER",
+    ),
+    "CREDIT_CARD": ("CREDIT_CARD_NUMBER",),
+    "PASSPORT": ("NETHERLANDS_PASSPORT",),
+    "HEALTH": ("US_HEALTHCARE_NPI", "CANADA_OHIP"),
+    "NATIONAL_ID": (
+        "CHINA_RESIDENT_ID_NUMBER",
+        "DENMARK_CPR_NUMBER",
+        "FRANCE_CNI",
+        "FRANCE_NIR",
+        "FINLAND_NATIONAL_ID_NUMBER",
+        "JAPAN_INDIVIDUAL_NUMBER",
+        "NORWAY_NI_NUMBER",
+        "PARAGUAY_CIC_NUMBER",
+        "POLAND_PESEL_NUMBER",
+        "POLAND_NATIONAL_ID_NUMBER",
+        "PORTUGAL_CDC_NUMBER",
+        "SPAIN_NIE_NUMBER",
+        "SPAIN_NIF_NUMBER",
+        "SWEDEN_NATIONAL_ID_NUMBER",
+        "US_SOCIAL_SECURITY_NUMBER",
+        "URUGUAY_CDI_NUMBER",
+        "VENEZUELA_CDI_NUMBER",
+    ),
+    "DRIVER_LICENSE": (
+        "SPAIN_DRIVERS_LICENSE_NUMBER",
+        "US_DRIVERS_LICENSE_NUMBER",
+    ),
+    "INSURANCE": (),
+}
+
+
+def info_types_for_filters(filters: Iterable[str]) -> list[str]:
+    """Composite categories -> concrete info-type names, preserving
+    category order (SensitiveDataMapping.getSensitiveInfoTypes,
+    SensitiveDataMapping.java:153-166: unknown categories are silently
+    skipped)."""
+    out: list[str] = []
+    for f in filters:
+        out.extend(SENSITIVE_DATA_MAPPING.get(f, ()))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Custom inspect templates (reference: named server-side templates,
+# DLPTransformPluginConfig.getCustomTemplate; ours: a registry of
+# regex/keyword detector lists)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class CustomTemplate:
+    """A named detection config: list of (info_type, regex) plus keyword
+    dictionaries. Equivalent of a DLP inspect template."""
+
+    name: str
+    regexes: dict[str, str] = field(default_factory=dict)
+    keywords: dict[str, tuple[str, ...]] = field(default_factory=dict)
+    case_insensitive: bool = True
+
+    def build_detectors(self) -> list[Detector]:
+        flags = re.IGNORECASE if self.case_insensitive else 0
+        dets = [
+            Detector(name, re.compile(rx, flags))
+            for name, rx in self.regexes.items()
+        ]
+        for name, words in self.keywords.items():
+            rx = r"\b(?:" + "|".join(re.escape(w) for w in words) + r")\b"
+            dets.append(Detector(name, re.compile(rx, flags)))
+        return dets
+
+
+class TemplateRegistry:
+    """Registry of custom templates; lookup at policy-build time is the
+    native analogue of the reference's getInspectTemplate existence probe
+    (SensitiveRecordRedaction.java:128-141)."""
+
+    def __init__(self) -> None:
+        self._templates: dict[str, CustomTemplate] = {}
+
+    def register(self, template: CustomTemplate) -> None:
+        self._templates[template.name] = template
+
+    def get(self, name: str) -> CustomTemplate:
+        if name not in self._templates:
+            raise KeyError(
+                f"Custom template {name!r} not found in registry "
+                "(reference fails prepareRun when getInspectTemplate 404s)"
+            )
+        return self._templates[name]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._templates
+
+
+DEFAULT_TEMPLATES = TemplateRegistry()
+# A template mirroring the examples' "DemoTemplate" role: PII-ish tokens
+# inside free text / source code.
+DEFAULT_TEMPLATES.register(
+    CustomTemplate(
+        name="DemoTemplate",
+        regexes={
+            "EMAIL_ADDRESS": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+            "US_SOCIAL_SECURITY_NUMBER": r"\b\d{3}-\d{2}-\d{4}\b",
+            "PHONE_NUMBER": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+        },
+    )
+)
+
+
+class DetectorBank:
+    """Compiled set of detectors; built once per actor (__init__), run
+    per cell. The scan merges overlapping spans left-to-right,
+    longest-match-first, so downstream span transforms never overlap."""
+
+    def __init__(self, detectors: list[Detector]):
+        self.detectors = detectors
+
+    @classmethod
+    def from_filters(cls, filters: Iterable[str]) -> "DetectorBank":
+        names = info_types_for_filters(filters)
+        return cls([BUILTIN_DETECTORS[n] for n in names if n in BUILTIN_DETECTORS])
+
+    @classmethod
+    def from_template(
+        cls, template_name: str, registry: TemplateRegistry | None = None
+    ) -> "DetectorBank":
+        registry = registry or DEFAULT_TEMPLATES
+        return cls(registry.get(template_name).build_detectors())
+
+    def scan(self, text: str) -> list[Span]:
+        """All non-overlapping spans, earliest-start (ties: longest)."""
+        spans = sorted(
+            (s for d in self.detectors for s in d.finditer(text)),
+            key=lambda s: (s.start, -s.end),
+        )
+        out: list[Span] = []
+        last_end = -1
+        for s in spans:
+            if s.start >= last_end:
+                out.append(s)
+                last_end = s.end
+        return out
+
+    def any_match(self, text: str) -> bool:
+        return any(
+            next(iter(d.finditer(text)), None) is not None
+            for d in self.detectors
+        )

@@ -1,0 +1,503 @@
+"""The seven primitive transforms of the reference, as native functions.
+
+Registry keys match DlpFieldTransformationConfigCodec.java:34-42:
+MASKING, REPLACE_VALUE, REDACT, CRYPTO_HASH, DATE_SHIFT,
+FORMAT_PRESERVING_ENCRYPTION, DETERMINISTIC_ENCRYPTION.
+
+Semantics per docs/SensitiveRecordRedaction-transform.md:26-34 and the
+per-config classes (see each dataclass docstring). Every transform
+supports two application modes, mirroring
+DlpFieldTransformationConfig.toFieldTransformation
+(DlpFieldTransformationConfig.java:61-87):
+
+- whole-cell (unconditional PrimitiveTransformation), and
+- span-wise (InfoTypeTransformations: only detected spans transformed).
+
+Application over a column happens through ``apply_column`` which takes a
+list of Python strings (materialized once per Arrow batch) and returns a
+new list; span detection + re.sub run in the C regex engine, crypto in
+C OpenSSL — no per-character Python loops.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import string
+from dataclasses import dataclass, field as dc_field
+from typing import Iterable, Sequence
+
+from . import crypto
+from .detect import DetectorBank, Span
+
+# DLP CharsToIgnore.CommonCharsToIgnore character classes
+_CHARS_TO_IGNORE = {
+    "COMMON_CHARS_TO_IGNORE_UNSPECIFIED": "",
+    "NUMERIC": string.digits,
+    "ALPHA_UPPER_CASE": string.ascii_uppercase,
+    "ALPHA_LOWER_CASE": string.ascii_lowercase,
+    "PUNCTUATION": string.punctuation,
+    "WHITESPACE": string.whitespace,
+}
+
+SURROGATE_SEP = ":"
+
+
+def format_surrogate(info_type_name: str, payload: str) -> str:
+    """DLP surrogate annotation grammar: ``NAME(len):payload`` — the
+    format CryptoReplaceFfxFpeConfig/CryptoDeterministicConfig emit so
+    the Decrypt plugin can re-identify (SensitiveRecordDecrypt.java:162-191)."""
+    return f"{info_type_name}({len(payload)}){SURROGATE_SEP}{payload}"
+
+
+class TransformError(ValueError):
+    """Raised for unsupported input (analogue of the reference's
+    IllegalStateException on bad types, Utils.java:134-137)."""
+
+
+@dataclass
+class BaseTransformConfig:
+    """Shared shape: every concrete config validates itself and exposes
+    the cell-level callable. ``context`` value (if the transform uses
+    one) is threaded per row."""
+
+    supported_types = ("string",)
+
+    @property
+    def required_fields(self) -> tuple[str, ...]:
+        """Extra input fields the transform needs (context columns) —
+        analogue of DlpTransformConfig.getRequiredFields."""
+        return ()
+
+    def validate(self, errors: list[str]) -> None:  # pragma: no cover
+        raise NotImplementedError
+
+    def transform_cell(self, value: str, context: str = "") -> str:
+        raise NotImplementedError
+
+    def transform_spans(
+        self, value: str, spans: Sequence[Span], context: str = ""
+    ) -> str:
+        """Default span application: transform each matched span text
+        independently, splice results back (right-to-left so offsets
+        stay valid)."""
+        out = value
+        for s in sorted(spans, key=lambda s: -s.start):
+            out = (
+                out[: s.start]
+                + self.transform_cell(value[s.start : s.end], context)
+                + out[s.end :]
+            )
+        return out
+
+
+@dataclass
+class MaskingConfig(BaseTransformConfig):
+    """CharacterMaskConfig semantics (MaskingTransformConfig.java:35-61):
+    replace characters with ``masking_char``, skipping characters in the
+    ignore set; ``number_to_mask`` 0 => all; ``reverse_order`` => mask
+    from the end."""
+
+    masking_char: str = ""
+    reverse_order: bool = False
+    number_to_mask: int = 0
+    chars_to_ignore_enum: str = "COMMON_CHARS_TO_IGNORE_UNSPECIFIED"
+
+    def validate(self, errors: list[str]) -> None:
+        if not self.masking_char:
+            errors.append("Masking Character is a required field for this transform.")
+        elif len(self.masking_char) != 1:
+            errors.append(
+                f"Masking Character must be a single character, string "
+                f"'{self.masking_char}' of length {len(self.masking_char)} is invalid."
+            )
+        if self.number_to_mask < 0:
+            errors.append("Number to mask must be a positive number")
+        if self.chars_to_ignore_enum not in _CHARS_TO_IGNORE:
+            errors.append(
+                f"Unknown charsToIgnoreEnum '{self.chars_to_ignore_enum}'"
+            )
+
+    def transform_cell(self, value: str, context: str = "") -> str:
+        ignore = _CHARS_TO_IGNORE[self.chars_to_ignore_enum]
+        chars = list(value)
+        idxs = range(len(chars) - 1, -1, -1) if self.reverse_order else range(len(chars))
+        masked = 0
+        limit = self.number_to_mask if self.number_to_mask > 0 else len(chars)
+        for i in idxs:
+            if masked >= limit:
+                break
+            if chars[i] in ignore:
+                continue
+            chars[i] = self.masking_char
+            masked += 1
+        return "".join(chars)
+
+
+@dataclass
+class ReplaceValueConfig(BaseTransformConfig):
+    """ReplaceValueConfig (ReplaceValueTransformConfig.java:35-52):
+    substitute matched text with a literal."""
+
+    new_value: str = ""
+
+    def validate(self, errors: list[str]) -> None:
+        if self.new_value is None or self.new_value == "":
+            errors.append("New Value is a required field for this transform.")
+
+    def transform_cell(self, value: str, context: str = "") -> str:
+        return self.new_value
+
+
+@dataclass
+class RedactConfig(BaseTransformConfig):
+    """RedactConfig (RedactTransformConfig.java:34-37): delete matched
+    text."""
+
+    def validate(self, errors: list[str]) -> None:
+        return None
+
+    def transform_cell(self, value: str, context: str = "") -> str:
+        return ""
+
+
+@dataclass
+class CryptoHashConfig(BaseTransformConfig):
+    """CryptoHashConfig (CryptoHashTransformationConfig.java:34-50):
+    HMAC-SHA-256 hex surrogate of the value."""
+
+    key_type: str = "UNWRAPPED"
+    name: str | None = None
+    key: str | None = None
+    crypto_key_name: str | None = None
+    wrapped_key: str | None = None
+    _raw_key: bytes = dc_field(default=b"", repr=False, compare=False)
+
+    def validate(self, errors: list[str]) -> None:
+        try:
+            object.__setattr__(self, "_raw_key", self._resolve())
+        except ValueError as e:
+            errors.append(str(e))
+
+    def _resolve(self) -> bytes:
+        return crypto.resolve_key(
+            self.key_type,
+            name=self.name,
+            key=self.key,
+            wrapped_key=self.wrapped_key,
+            crypto_key_name=self.crypto_key_name,
+        )
+
+    @property
+    def raw_key(self) -> bytes:
+        if not self._raw_key:
+            object.__setattr__(self, "_raw_key", self._resolve())
+        return self._raw_key
+
+    def transform_cell(self, value: str, context: str = "") -> str:
+        return crypto.crypto_hash(value, self.raw_key)
+
+
+@dataclass
+class DateShiftConfig(BaseTransformConfig):
+    """DateShiftConfig (DateShiftTransformationConfig.java:33-84): shift
+    date/timestamp values by a bounded number of days. The shift is a
+    deterministic PRF of (key, context) so replay reproduces the same
+    output (crypto-key-bound date shifting, as DLP's DateShiftConfig
+    does when given a crypto key + context field)."""
+
+    supported_types = ("date32", "timestamp", "int32", "int64")
+
+    lower_bound_days: int | None = None
+    upper_bound_days: int | None = None
+    key_type: str = "TRANSIENT"
+    name: str | None = "date-shift"
+    key: str | None = None
+    context: str | None = None
+    _raw_key: bytes = dc_field(default=b"", repr=False, compare=False)
+
+    @property
+    def required_fields(self) -> tuple[str, ...]:  # type: ignore[override]
+        return (self.context,) if self.context else ()
+
+    def validate(self, errors: list[str]) -> None:
+        if self.upper_bound_days is None:
+            errors.append("Upper Bound is a required field for this transform.")
+        elif abs(self.upper_bound_days) > 365250:
+            errors.append(
+                "Upper Bound cannot be more than 10 years (365250 days) in either direction."
+            )
+        if self.lower_bound_days is None:
+            errors.append("Lower Bound is a required field for this transform.")
+        elif abs(self.lower_bound_days) > 365250:
+            errors.append(
+                "Lower Bound cannot be more than 10 years (365250 days) in either direction."
+            )
+        if (
+            self.lower_bound_days is not None
+            and self.upper_bound_days is not None
+            and self.lower_bound_days > self.upper_bound_days
+        ):
+            errors.append("Lower Bound cannot be greater than Upper Bound.")
+
+    @property
+    def raw_key(self) -> bytes:
+        if not self._raw_key:
+            object.__setattr__(
+                self,
+                "_raw_key",
+                crypto.resolve_key(self.key_type, name=self.name, key=self.key),
+            )
+        return self._raw_key
+
+    def shift_days(self, context: str) -> int:
+        return crypto.date_shift_days(
+            self.raw_key, context, self.lower_bound_days, self.upper_bound_days
+        )
+
+    def transform_cell(self, value, context: str = ""):
+        """Value may be datetime.date / datetime.datetime / int epoch
+        days. String cells are not supported (type gate)."""
+        delta = _dt.timedelta(days=self.shift_days(context))
+        if isinstance(value, _dt.datetime):
+            return value + delta
+        if isinstance(value, _dt.date):
+            return value + delta
+        if isinstance(value, int):  # epoch days (date32 storage)
+            return value + self.shift_days(context)
+        raise TransformError(
+            f"DATE_SHIFT expects date/timestamp/int values, got {type(value).__name__}"
+        )
+
+
+@dataclass
+class CryptoReplaceFfxFpeConfig(BaseTransformConfig):
+    """CryptoReplaceFfxFpeConfig
+    (CryptoReplaceFfxFpeTransformationConfig.java:40-124): FF1
+    format-preserving encryption over the configured alphabet; output is
+    the surrogate ``NAME(len):cipher``. Characters outside the alphabet
+    are passed through (DLP encrypts the in-alphabet subsequence).
+    ``context`` (tweak) makes ciphertexts differ per context value."""
+
+    key_type: str = "UNWRAPPED"
+    name: str | None = None
+    key: str | None = None
+    crypto_key_name: str | None = None
+    wrapped_key: str | None = None
+    surrogate_info_type_name: str = ""
+    alphabet: str = ""
+    custom_alphabet: str | None = None
+    context: str | None = None
+    _raw_key: bytes = dc_field(default=b"", repr=False, compare=False)
+
+    @property
+    def required_fields(self) -> tuple[str, ...]:  # type: ignore[override]
+        return (self.context,) if self.context else ()
+
+    def validate(self, errors: list[str]) -> None:
+        import re as _re
+
+        try:
+            _ = self.raw_key
+        except ValueError as e:
+            errors.append(str(e))
+        if not self.surrogate_info_type_name:
+            errors.append("Surrogate Type Name is a required field.")
+        elif not _re.fullmatch(r"[a-zA-Z0-9_]{1,64}", self.surrogate_info_type_name):
+            errors.append(
+                f"Value of '{self.surrogate_info_type_name}' is not valid for Surrogate Type Name"
+            )
+        if not self.alphabet:
+            errors.append("Alphabet Type is a required field.")
+        else:
+            try:
+                crypto.resolve_alphabet(self.alphabet, self.custom_alphabet)
+            except ValueError as e:
+                errors.append(str(e))
+
+    @property
+    def raw_key(self) -> bytes:
+        if not self._raw_key:
+            object.__setattr__(
+                self,
+                "_raw_key",
+                crypto.resolve_key(
+                    self.key_type,
+                    name=self.name,
+                    key=self.key,
+                    wrapped_key=self.wrapped_key,
+                    crypto_key_name=self.crypto_key_name,
+                ),
+            )
+        return self._raw_key
+
+    def _alpha(self) -> str:
+        return crypto.resolve_alphabet(self.alphabet, self.custom_alphabet)
+
+    @staticmethod
+    def _split(value: str, alpha: set[str]):
+        """Split value into (template, payload): payload = chars in the
+        alphabet (what FF1 encrypts), template marks their positions."""
+        payload = [c for c in value if c in alpha]
+        return payload
+
+    def transform_cell(self, value: str, context: str = "") -> str:
+        alpha = self._alpha()
+        alpha_set = set(alpha)
+        tweak = context.encode("utf-8")
+        in_alpha = [c for c in value if c in alpha_set]
+        if len(in_alpha) < 2:
+            # FF1 needs >= 2 symbols; DLP leaves too-short values
+            # unencrypted-but-surrogate-wrapped is not possible, so
+            # pass the value through unchanged.
+            return value
+        cipher = crypto.ff1_encrypt(self.raw_key, tweak, alpha, "".join(in_alpha))
+        it = iter(cipher)
+        rebuilt = "".join(next(it) if c in alpha_set else c for c in value)
+        return format_surrogate(self.surrogate_info_type_name, rebuilt)
+
+    def detokenize(self, payload: str, context: str = "") -> str:
+        alpha = self._alpha()
+        alpha_set = set(alpha)
+        tweak = context.encode("utf-8")
+        in_alpha = [c for c in payload if c in alpha_set]
+        if len(in_alpha) < 2:
+            return payload
+        plain = crypto.ff1_decrypt(self.raw_key, tweak, alpha, "".join(in_alpha))
+        it = iter(plain)
+        return "".join(next(it) if c in alpha_set else c for c in payload)
+
+
+@dataclass
+class CryptoDeterministicConfig(BaseTransformConfig):
+    """CryptoDeterministicConfig
+    (CryptoDeterministicTransformationConfig.java:37-99): AES-SIV
+    deterministic encryption, base64 surrogate ``NAME(len):b64``."""
+
+    key_type: str = "UNWRAPPED"
+    name: str | None = None
+    key: str | None = None
+    crypto_key_name: str | None = None
+    wrapped_key: str | None = None
+    surrogate_info_type_name: str = ""
+    context: str | None = None
+    _raw_key: bytes = dc_field(default=b"", repr=False, compare=False)
+
+    @property
+    def required_fields(self) -> tuple[str, ...]:  # type: ignore[override]
+        return (self.context,) if self.context else ()
+
+    def validate(self, errors: list[str]) -> None:
+        import re as _re
+
+        try:
+            _ = self.raw_key
+        except ValueError as e:
+            errors.append(str(e))
+        if not self.surrogate_info_type_name:
+            errors.append("Surrogate Type Name is a required field.")
+        elif not _re.fullmatch(r"[a-zA-Z0-9_]{1,64}", self.surrogate_info_type_name):
+            errors.append(
+                f"Value of '{self.surrogate_info_type_name}' is not valid for Surrogate Type Name"
+            )
+
+    @property
+    def raw_key(self) -> bytes:
+        if not self._raw_key:
+            object.__setattr__(
+                self,
+                "_raw_key",
+                crypto.resolve_key(
+                    self.key_type,
+                    name=self.name,
+                    key=self.key,
+                    wrapped_key=self.wrapped_key,
+                    crypto_key_name=self.crypto_key_name,
+                ),
+            )
+        return self._raw_key
+
+    def transform_cell(self, value: str, context: str = "") -> str:
+        token = crypto.deterministic_encrypt(value, self.raw_key, context)
+        return format_surrogate(self.surrogate_info_type_name, token)
+
+    def detokenize(self, payload: str, context: str = "") -> str:
+        return crypto.deterministic_decrypt(payload, self.raw_key, context)
+
+
+# Registry: transform name -> config class
+# (DlpFieldTransformationConfigCodec.java:34-42)
+TRANSFORM_REGISTRY: dict[str, type[BaseTransformConfig]] = {
+    "MASKING": MaskingConfig,
+    "REPLACE_VALUE": ReplaceValueConfig,
+    "REDACT": RedactConfig,
+    "CRYPTO_HASH": CryptoHashConfig,
+    "DATE_SHIFT": DateShiftConfig,
+    "FORMAT_PRESERVING_ENCRYPTION": CryptoReplaceFfxFpeConfig,
+    "DETERMINISTIC_ENCRYPTION": CryptoDeterministicConfig,
+}
+
+REVERSIBLE_TRANSFORMS = ("FORMAT_PRESERVING_ENCRYPTION", "DETERMINISTIC_ENCRYPTION")
+
+# camelCase (reference JSON) -> snake_case (our dataclasses)
+_JSON_FIELD_MAP = {
+    "maskingChar": "masking_char",
+    "reverseOrder": "reverse_order",
+    "numberToMask": "number_to_mask",
+    "charsToIgnoreEnum": "chars_to_ignore_enum",
+    "newValue": "new_value",
+    "keyType": "key_type",
+    "cryptoKeyName": "crypto_key_name",
+    "wrappedKey": "wrapped_key",
+    "lowerBoundDays": "lower_bound_days",
+    "upperBoundDays": "upper_bound_days",
+    "surrogateInfoTypeName": "surrogate_info_type_name",
+    "customAlphabet": "custom_alphabet",
+}
+
+
+def config_from_properties(transform: str, props: dict) -> BaseTransformConfig:
+    """Build a transform config from a reference-shaped
+    ``transformProperties`` JSON object."""
+    if transform not in TRANSFORM_REGISTRY:
+        raise ValueError(
+            f"Transform {transform} does not have an associated transform config"
+        )
+    kwargs = {_JSON_FIELD_MAP.get(k, k): v for k, v in (props or {}).items()}
+    return TRANSFORM_REGISTRY[transform](**kwargs)
+
+
+def apply_whole_column(
+    cfg: BaseTransformConfig,
+    values: Iterable[str | None],
+    contexts: Iterable[str] | None = None,
+) -> list:
+    """Whole-cell application over a column; None cells are skipped —
+    reference behavior: null cells are never sent nor overwritten
+    (Utils.java:77-79, 216-218)."""
+    if contexts is None:
+        return [None if v is None else cfg.transform_cell(v) for v in values]
+    return [
+        None if v is None else cfg.transform_cell(v, c)
+        for v, c in zip(values, contexts)
+    ]
+
+
+def apply_spans_column(
+    cfg: BaseTransformConfig,
+    bank: DetectorBank,
+    values: Iterable[str | None],
+    contexts: Iterable[str] | None = None,
+) -> list:
+    """Span-wise application: detect then transform matched spans only."""
+
+    def one(v: str | None, c: str) -> str | None:
+        if v is None:
+            return None
+        spans = bank.scan(v)
+        if not spans:
+            return v
+        return cfg.transform_spans(v, spans, c)
+
+    if contexts is None:
+        return [one(v, "") for v in values]
+    return [one(v, c) for v, c in zip(values, contexts)]

@@ -1,0 +1,422 @@
+"""Policy model: which transform, on which fields, gated by which
+info-type filters, with what parameters.
+
+Mirrors the reference's config model:
+
+- ``fieldsToTransform`` is a JSON array of *strings*, each an escaped
+  JSON object ``{"transform", "fields", "filters", "transformProperties"}``
+  with comma-separated ``fields``/``filters``
+  (DLPTransformPluginConfig.parseTransformations,
+  DLPTransformPluginConfig.java:85-92; codec
+  DlpFieldTransformationConfigCodec.java:34-70). A plain list of dicts
+  is also accepted for convenience.
+- Validation reproduces DLPTransformPluginConfig.validate /
+  validateFieldConfigs (DLPTransformPluginConfig.java:115-227) and
+  DlpFieldTransformationConfig.validate
+  (DlpFieldTransformationConfig.java:96-134) as a collected error list
+  (the FailureCollector analogue).
+- Compilation produces per-column executable ops: whole-cell transform
+  when the *fields* branch says so (DlpFieldTransformationConfig.java:69-70
+  checks ``fields.length == 0 || fields[0] == "NONE"``), else
+  detect-spans-then-transform, where the detector set comes from the
+  built-in composite categories or — when ``filters == ["NONE"]`` —
+  from the named custom template.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+import pyarrow as pa
+
+from .functions.detect import (
+    DEFAULT_TEMPLATES,
+    DetectorBank,
+    SENSITIVE_DATA_MAPPING,
+    TemplateRegistry,
+)
+from .functions.transforms import (
+    BaseTransformConfig,
+    REVERSIBLE_TRANSFORMS,
+    TRANSFORM_REGISTRY,
+    config_from_properties,
+)
+
+
+class PolicyValidationError(ValueError):
+    """Raised when a policy fails validation; carries all failures
+    (FailureCollector.getOrThrowException analogue)."""
+
+    def __init__(self, failures: list[str]):
+        self.failures = failures
+        super().__init__("; ".join(failures))
+
+
+@dataclass
+class FieldTransform:
+    """One entry of fieldsToTransform
+    (DlpFieldTransformationConfig.java:45-59)."""
+
+    transform: str
+    fields: tuple[str, ...]
+    filters: tuple[str, ...]
+    config: BaseTransformConfig
+
+    @classmethod
+    def from_json(cls, obj: dict | str) -> "FieldTransform":
+        if isinstance(obj, str):
+            obj = json.loads(obj)
+        transform = obj["transform"]
+        fields_raw = obj.get("fields", "")
+        filters_raw = obj.get("filters", "")
+        if isinstance(fields_raw, str):
+            fields = tuple(f for f in fields_raw.split(",") if f) if fields_raw else ()
+        else:
+            fields = tuple(fields_raw)
+        if isinstance(filters_raw, str):
+            filters = (
+                tuple(f for f in filters_raw.split(",") if f) if filters_raw else ()
+            )
+        else:
+            filters = tuple(filters_raw)
+        cfg = config_from_properties(transform, obj.get("transformProperties", {}))
+        return cls(transform, fields, filters, cfg)
+
+    def to_json(self) -> dict:
+        props = {
+            k: v
+            for k, v in self.config.__dict__.items()
+            if not k.startswith("_") and v is not None
+        }
+        return {
+            "transform": self.transform,
+            "fields": ",".join(self.fields),
+            "filters": ",".join(self.filters),
+            "transformProperties": props,
+        }
+
+    @property
+    def uses_custom_template(self) -> bool:
+        return "NONE" in self.filters
+
+    @property
+    def whole_cell(self) -> bool:
+        """The unconditional-primitive branch
+        (DlpFieldTransformationConfig.java:69-70)."""
+        return len(self.fields) == 0 or self.fields[0] == "NONE"
+
+    @property
+    def required_fields(self) -> set[str]:
+        """Target fields + transform context fields
+        (DlpFieldTransformationConfig.getRequiredFields)."""
+        return set(self.fields) | set(self.config.required_fields)
+
+    def filter_display_names(self) -> list[str]:
+        """Title-cased filter names, 'NONE' -> 'Custom Template'
+        (DlpFieldTransformationConfig.getFilterDisplayNames)."""
+        out = []
+        for f in self.filters:
+            if f == "NONE":
+                out.append("Custom Template")
+            else:
+                out.append(" ".join(w.capitalize() for w in f.lower().split(" ")))
+        return out
+
+
+_ARROW_TYPE_NAMES = {
+    pa.string(): "string",
+    pa.large_string(): "string",
+    pa.int32(): "int32",
+    pa.int64(): "int64",
+    pa.bool_(): "boolean",
+    pa.float32(): "float32",
+    pa.float64(): "float64",
+    pa.date32(): "date32",
+}
+
+
+def _arrow_type_name(t: pa.DataType) -> str:
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_time(t):
+        return "time"
+    return _ARROW_TYPE_NAMES.get(t, str(t))
+
+
+@dataclass
+class Policy:
+    """A full redaction/filter policy: the plugin-level config.
+
+    ``custom_template_enabled`` + ``template_id`` mirror
+    DLPTransformPluginConfig.java:60-72.
+    """
+
+    transforms: list[FieldTransform] = field(default_factory=list)
+    custom_template_enabled: bool = False
+    template_id: str | None = None
+    custom_template_path: str | None = None
+    registry: TemplateRegistry = field(default_factory=lambda: DEFAULT_TEMPLATES)
+
+    # ------------------------------------------------------------------
+    # codec
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def from_json(cls, obj: str | dict) -> "Policy":
+        """Accepts the reference plugin-properties shape:
+        ``{"fieldsToTransform": "[\"{...}\", ...]",
+        "customTemplateEnabled": bool, "templateId": str}`` or the
+        direct ``{"transforms": [...], ...}`` shape."""
+        if isinstance(obj, str):
+            obj = json.loads(obj)
+        ftt = obj.get("fieldsToTransform")
+        items: list[Any] = []
+        if ftt is not None:
+            if isinstance(ftt, str):
+                ftt = json.loads(ftt)
+            items = list(ftt)
+        else:
+            items = list(obj.get("transforms", []))
+        transforms = [FieldTransform.from_json(x) for x in items]
+        return cls(
+            transforms=transforms,
+            custom_template_enabled=bool(
+                obj.get("customTemplateEnabled", obj.get("custom_template_enabled", False))
+            ),
+            template_id=obj.get("templateId", obj.get("template_id")),
+            custom_template_path=obj.get(
+                "customTemplatePath", obj.get("custom_template_path")
+            ),
+        )
+
+    def to_json(self) -> dict:
+        return {
+            "fieldsToTransform": [json.dumps(t.to_json()) for t in self.transforms],
+            "customTemplateEnabled": self.custom_template_enabled,
+            "templateId": self.template_id,
+            "customTemplatePath": self.custom_template_path,
+        }
+
+    def fingerprint(self) -> str:
+        """Stable hash of the policy for manifest/lineage identity."""
+        return hashlib.sha256(
+            json.dumps(self.to_json(), sort_keys=True).encode()
+        ).hexdigest()[:16]
+
+    # ------------------------------------------------------------------
+    # validation (FailureCollector analogue)
+    # ------------------------------------------------------------------
+
+    def validate(self, schema: pa.Schema | None = None) -> list[str]:
+        """Collect all failures; mirrors
+        DLPTransformPluginConfig.validate + validateFieldConfigs."""
+        failures: list[str] = []
+
+        if self.custom_template_enabled:
+            if not self.template_id and not self.custom_template_path:
+                failures.append(
+                    "Custom template fields are not specified. "
+                    "Must specify one of template id or template path"
+                )
+            if self.template_id and self.custom_template_path:
+                failures.append(
+                    "Both template id and template path are specified. "
+                    "Must specify only one of template id or template path"
+                )
+            name = self.template_id or self.custom_template_path
+            if name and name not in self.registry:
+                failures.append(f"Custom template '{name}' does not exist")
+
+        seen: dict[str, str] = {}
+        first_used_custom: bool | None = None
+        any_used_custom = False
+        for t in self.transforms:
+            if not self.custom_template_enabled and t.uses_custom_template:
+                failures.append(
+                    "This transform depends on custom template that was not defined."
+                )
+            # per-entry validation (DlpFieldTransformationConfig.validate)
+            if len(t.fields) == 0:
+                failures.append(
+                    f"No fields were selected to apply '{t.transform}' transform."
+                )
+            if schema is not None:
+                for f in t.fields:
+                    if f == "NONE":
+                        continue
+                    idx = schema.get_field_index(f)
+                    if idx < 0:
+                        failures.append(
+                            f"Field '{f}' is not present in the input schema"
+                        )
+                    else:
+                        tname = _arrow_type_name(schema.field(idx).type)
+                        if tname not in t.config.supported_types:
+                            failures.append(
+                                f"Field '{f}' has type '{tname}' which is not "
+                                f"supported by '{t.transform}' transform"
+                            )
+            if len(t.filters) == 0:
+                failures.append("At least one filter must be selected.")
+            for f in t.filters:
+                if f != "NONE" and f not in SENSITIVE_DATA_MAPPING:
+                    failures.append(f"Unknown filter category '{f}'")
+            t.config.validate(failures)
+
+            # custom-template / built-in mixing
+            any_used_custom = any_used_custom or t.uses_custom_template
+            if first_used_custom is None:
+                first_used_custom = t.uses_custom_template
+            elif t.uses_custom_template != first_used_custom:
+                failures.append(
+                    "Cannot use custom templates and built-in filters in the "
+                    "same plugin instance."
+                )
+
+            # unique (field, filter) -> transform
+            for fld in t.fields:
+                for filt in t.filter_display_names():
+                    key = f"{fld}:{filt}"
+                    if key not in seen:
+                        seen[key] = t.transform
+                    elif seen[key].lower() == t.transform.lower():
+                        failures.append(
+                            "Combination of transform, filter and field must be "
+                            f"unique. Found multiple definitions for '{t.transform}' "
+                            f"transform on '{fld}' with filter '{filt}'"
+                        )
+                    else:
+                        failures.append(
+                            "Only one transform can be defined per field and filter "
+                            f"combination. Found conflicting transforms "
+                            f"'{seen[key]}' and '{t.transform}'"
+                        )
+
+        if self.custom_template_enabled and self.transforms and not any_used_custom:
+            failures.append(
+                "Custom template is enabled but no transforms use a custom template."
+            )
+        return failures
+
+    def validate_or_raise(self, schema: pa.Schema | None = None) -> None:
+        failures = self.validate(schema)
+        if failures:
+            raise PolicyValidationError(failures)
+
+    # ------------------------------------------------------------------
+    # compile
+    # ------------------------------------------------------------------
+
+    @property
+    def required_fields(self) -> set[str]:
+        """Union of per-transform required fields — the payload
+        projection (DLPTransformPluginConfig.getRequiredFields,
+        DLPTransformPluginConfig.java:100-105)."""
+        out: set[str] = set()
+        for t in self.transforms:
+            out |= t.required_fields
+        return out
+
+    def template_name(self) -> str | None:
+        return self.template_id or self.custom_template_path
+
+    def compiled_ops(self) -> list["CompiledOp"]:
+        """One executable op per (transform entry): target columns +
+        either whole-cell callable or (detector bank, span callable)."""
+        ops: list[CompiledOp] = []
+        for t in self.transforms:
+            if t.whole_cell:
+                bank = None
+            elif t.uses_custom_template:
+                bank = DetectorBank.from_template(self.template_name(), self.registry)
+            else:
+                bank = DetectorBank.from_filters(t.filters)
+            targets = tuple(f for f in t.fields if f != "NONE")
+            ops.append(
+                CompiledOp(
+                    transform=t.transform,
+                    columns=targets,
+                    config=t.config,
+                    bank=bank,
+                    context_column=next(iter(t.config.required_fields), None),
+                )
+            )
+        return ops
+
+    def reversible_configs(self) -> list[BaseTransformConfig]:
+        """Configs the Decrypt stage can invert — only FPE and
+        deterministic encryption (SensitiveRecordDecrypt.java:168-188)."""
+        return [
+            t.config
+            for t in self.transforms
+            if t.transform in REVERSIBLE_TRANSFORMS
+        ]
+
+    # ------------------------------------------------------------------
+    # lineage (Utils.getFieldOperations analogue, Utils.java:337-396)
+    # ------------------------------------------------------------------
+
+    def field_operations(self, schema: pa.Schema) -> list[dict]:
+        """Per-field (transform, filter) op list; Identity for untouched
+        fields."""
+        ops: list[dict] = []
+        touched: set[str] = set()
+        for t in self.transforms:
+            for fld in t.fields:
+                if fld == "NONE":
+                    continue
+                touched.add(fld)
+                ops.append(
+                    {
+                        "name": f"{t.transform} on {fld}",
+                        "transform": t.transform,
+                        "filters": list(t.filter_display_names()),
+                        "input": fld,
+                        "output": fld,
+                    }
+                )
+        for name in schema.names:
+            if name not in touched:
+                ops.append(
+                    {
+                        "name": f"Identity {name}",
+                        "transform": "Identity",
+                        "filters": [],
+                        "input": name,
+                        "output": name,
+                    }
+                )
+        return ops
+
+
+@dataclass
+class CompiledOp:
+    """Executable per-column op produced by Policy.compiled_ops."""
+
+    transform: str
+    columns: tuple[str, ...]
+    config: BaseTransformConfig
+    bank: DetectorBank | None  # None => whole-cell
+    context_column: str | None = None
+
+    def __post_init__(self):
+        # touch lazy key material now so actors fail fast at __init__
+        if hasattr(self.config, "raw_key"):
+            try:
+                _ = self.config.raw_key
+            except ValueError:
+                pass
+
+
+assert set(TRANSFORM_REGISTRY) == {
+    "MASKING",
+    "REPLACE_VALUE",
+    "REDACT",
+    "CRYPTO_HASH",
+    "DATE_SHIFT",
+    "FORMAT_PRESERVING_ENCRYPTION",
+    "DETERMINISTIC_ENCRYPTION",
+}

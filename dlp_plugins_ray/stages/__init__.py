@@ -1,0 +1,1 @@
+"""Subpackage of dlp_plugins_ray."""

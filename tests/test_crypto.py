@@ -1,0 +1,136 @@
+"""Crypto kernel tests: FF1 vs NIST SP 800-38G sample vectors, AES-SIV
+round-trips, key handling per CryptoKeyHelper rules."""
+
+import base64
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from dlp_plugins_ray.functions import crypto as C
+
+NIST_KEY = bytes.fromhex("2B7E151628AED2A6ABF7158809CF4F3C")
+
+
+class TestFF1:
+    def test_nist_sample_1(self):
+        assert C.ff1_encrypt(NIST_KEY, b"", "0123456789", "0123456789") == "2433477484"
+
+    def test_nist_sample_2(self):
+        tweak = bytes.fromhex("39383736353433323130")
+        assert C.ff1_encrypt(NIST_KEY, tweak, "0123456789", "0123456789") == "6124200773"
+
+    def test_nist_sample_3_radix36(self):
+        alpha = "0123456789abcdefghijklmnopqrstuvwxyz"
+        tweak = bytes.fromhex("3737373770717273373737")
+        assert (
+            C.ff1_encrypt(NIST_KEY, tweak, alpha, "0123456789abcdefghi")
+            == "a9tv40mll9kdu509eum"
+        )
+
+    @given(
+        st.text(alphabet="0123456789", min_size=2, max_size=40),
+        st.binary(min_size=0, max_size=12),
+    )
+    @settings(max_examples=50, deadline=None)
+    def test_roundtrip_numeric(self, pt, tweak):
+        ct = C.ff1_encrypt(NIST_KEY, tweak, "0123456789", pt)
+        assert len(ct) == len(pt)
+        assert all(c in "0123456789" for c in ct)
+        assert C.ff1_decrypt(NIST_KEY, tweak, "0123456789", ct) == pt
+
+    def test_roundtrip_all_common_alphabets(self):
+        for name, alpha in C.COMMON_ALPHABETS.items():
+            pt = alpha[:5] + alpha[-3:]
+            ct = C.ff1_encrypt(NIST_KEY, b"t", alpha, pt)
+            assert C.ff1_decrypt(NIST_KEY, b"t", alpha, ct) == pt, name
+
+    def test_custom_alphabet(self):
+        alpha = C.resolve_alphabet("CUSTOM", "abcXYZ019")
+        ct = C.ff1_encrypt(NIST_KEY, b"", alpha, "abXY01")
+        assert C.ff1_decrypt(NIST_KEY, b"", alpha, ct) == "abXY01"
+
+    def test_tweak_changes_ciphertext(self):
+        a = C.ff1_encrypt(NIST_KEY, b"ctx1", "0123456789", "1234567890")
+        b = C.ff1_encrypt(NIST_KEY, b"ctx2", "0123456789", "1234567890")
+        assert a != b
+
+    def test_too_short_rejected(self):
+        with pytest.raises(ValueError):
+            C.ff1_encrypt(NIST_KEY, b"", "0123456789", "1")
+
+
+class TestAESSIV:
+    def test_roundtrip(self):
+        key = b"0" * 16
+        t = C.deterministic_encrypt("hello world", key, "ctx")
+        assert C.deterministic_decrypt(t, key, "ctx") == "hello world"
+
+    def test_deterministic(self):
+        key = b"k" * 32
+        assert C.deterministic_encrypt("v", key, "c") == C.deterministic_encrypt(
+            "v", key, "c"
+        )
+
+    def test_context_changes_ciphertext(self):
+        key = b"k" * 32
+        assert C.deterministic_encrypt("v", key, "c1") != C.deterministic_encrypt(
+            "v", key, "c2"
+        )
+
+    def test_wrong_context_fails(self):
+        key = b"k" * 16
+        t = C.deterministic_encrypt("v", key, "c1")
+        with pytest.raises(Exception):
+            C.deterministic_decrypt(t, key, "c2")
+
+
+class TestKeys:
+    def test_unwrapped_valid_lengths(self):
+        for n in (16, 24, 32):
+            k = base64.b64encode(b"x" * n).decode()
+            assert len(C.resolve_key("UNWRAPPED", key=k)) == n
+
+    def test_unwrapped_bad_length(self):
+        k = base64.b64encode(b"x" * 10).decode()
+        with pytest.raises(ValueError, match="16/24/32"):
+            C.resolve_key("UNWRAPPED", key=k)
+
+    def test_unwrapped_bad_base64(self):
+        with pytest.raises(ValueError, match="base64"):
+            C.resolve_key("UNWRAPPED", key="!not-base64!")
+
+    def test_transient_deterministic(self):
+        assert C.resolve_key("TRANSIENT", name="a") == C.resolve_key(
+            "TRANSIENT", name="a"
+        )
+        assert C.resolve_key("TRANSIENT", name="a") != C.resolve_key(
+            "TRANSIENT", name="b"
+        )
+
+    def test_kms_rejected(self):
+        with pytest.raises(ValueError, match="KMS"):
+            C.resolve_key("KMS_WRAPPED", crypto_key_name="projects/x")
+
+
+class TestHashAndShift:
+    def test_hmac_known_value(self):
+        import hashlib
+        import hmac as H
+
+        key = b"secret"
+        expect = H.new(key, b"value", hashlib.sha256).hexdigest()
+        assert C.crypto_hash("value", key) == expect
+
+    def test_date_shift_bounds_and_determinism(self):
+        key = b"k" * 16
+        seen = set()
+        for ctx in (f"row{i}" for i in range(200)):
+            d = C.date_shift_days(key, ctx, -30, 30)
+            assert -30 <= d <= 30
+            assert d == C.date_shift_days(key, ctx, -30, 30)
+            seen.add(d)
+        assert len(seen) > 10  # spread across the range
+
+    def test_date_shift_bad_bounds(self):
+        with pytest.raises(ValueError):
+            C.date_shift_days(b"k" * 16, "x", 10, -10)

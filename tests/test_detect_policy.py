@@ -1,0 +1,204 @@
+"""Detector bank + policy model tests (mirrors UtilsTest validation
+fixtures, UtilsTest.java:117-180, and DLPTransformPluginConfig rules)."""
+
+import json
+
+import pyarrow as pa
+import pytest
+
+from dlp_plugins_ray.functions import detect as D
+from dlp_plugins_ray.policy import FieldTransform, Policy, PolicyValidationError
+
+
+class TestDetectors:
+    def test_ssn(self):
+        bank = D.DetectorBank.from_filters(["NATIONAL_ID"])
+        spans = bank.scan("ssn is 123-45-6789 ok")
+        assert any(s.info_type == "US_SOCIAL_SECURITY_NUMBER" for s in spans)
+        text = "ssn is 123-45-6789 ok"
+        s = spans[0]
+        assert text[s.start : s.end] == "123-45-6789"
+
+    def test_credit_card_luhn(self):
+        bank = D.DetectorBank.from_filters(["CREDIT_CARD"])
+        assert bank.any_match("card 4111 1111 1111 1111 here")  # valid Luhn
+        assert not bank.any_match("card 4111 1111 1111 1112 here")  # bad Luhn
+
+    def test_phone_and_email(self):
+        bank = D.DetectorBank.from_filters(["DEMOGRAPHIC"])
+        assert bank.any_match("call 415-555-1234 now")
+        assert not bank.any_match("nothing here")
+
+    def test_mac_local_vs_universal(self):
+        bank = D.DetectorBank.from_filters(["LOCATION"])
+        spans = bank.scan("00:1b:44:11:3a:b7 and 02:00:00:00:00:01")
+        types = {s.info_type for s in spans}
+        assert "MAC_ADDRESS" in types and "MAC_ADDRESS_LOCAL" in types
+
+    def test_category_mapping_exact(self):
+        # category membership mirrors SensitiveDataMapping.java:38-143
+        assert D.SENSITIVE_DATA_MAPPING["CREDIT_CARD"] == ("CREDIT_CARD_NUMBER",)
+        assert len(D.SENSITIVE_DATA_MAPPING["NATIONAL_ID"]) == 17
+        assert D.SENSITIVE_DATA_MAPPING["INSURANCE"] == ()
+        assert D.info_types_for_filters(["UNKNOWN_CAT"]) == []
+
+    def test_overlap_resolution(self):
+        bank = D.DetectorBank(
+            D.CustomTemplate("t", regexes={"A": r"abc", "B": r"abcdef"}).build_detectors()
+        )
+        spans = bank.scan("abcdef")
+        assert len(spans) == 1 and spans[0].info_type == "B"  # longest wins
+
+    def test_template_registry_missing(self):
+        with pytest.raises(KeyError, match="not found"):
+            D.DetectorBank.from_template("NoSuchTemplate")
+
+    def test_demo_template(self):
+        bank = D.DetectorBank.from_template("DemoTemplate")
+        assert bank.any_match("mail me at a@b.com")
+
+
+def _ft(transform="MASKING", fields="notes", filters="CREDIT_CARD", props=None):
+    return {
+        "transform": transform,
+        "fields": fields,
+        "filters": filters,
+        "transformProperties": props if props is not None else {"maskingChar": "#"},
+    }
+
+
+SCHEMA = pa.schema(
+    [("notes", pa.string()), ("zip", pa.string()), ("date", pa.timestamp("us"))]
+)
+
+
+class TestPolicy:
+    def test_reference_json_shape(self):
+        # fieldsToTransform = array of escaped-JSON strings
+        policy = Policy.from_json(
+            {"fieldsToTransform": json.dumps([json.dumps(_ft())])}
+        )
+        assert len(policy.transforms) == 1
+        t = policy.transforms[0]
+        assert t.transform == "MASKING"
+        assert t.fields == ("notes",) and t.filters == ("CREDIT_CARD",)
+        assert policy.validate(SCHEMA) == []
+
+    def test_roundtrip(self):
+        p = Policy.from_json({"fieldsToTransform": [json.dumps(_ft())]})
+        p2 = Policy.from_json(p.to_json())
+        assert p2.transforms[0].fields == ("notes",)
+        assert p.fingerprint() == p2.fingerprint()
+
+    def test_field_not_in_schema(self):
+        p = Policy.from_json({"transforms": [_ft(fields="missing")]})
+        errs = p.validate(SCHEMA)
+        assert any("not present in the input schema" in e for e in errs)
+
+    def test_type_gate(self):
+        p = Policy.from_json({"transforms": [_ft(fields="date")]})
+        errs = p.validate(SCHEMA)
+        assert any("not supported" in e for e in errs)
+
+    def test_unique_field_filter_combo(self):
+        p = Policy.from_json({"transforms": [_ft(), _ft()]})
+        errs = p.validate(SCHEMA)
+        assert any("must be unique" in e for e in errs)
+
+    def test_conflicting_transforms(self):
+        p = Policy.from_json(
+            {"transforms": [_ft(), _ft(transform="REDACT", props={})]}
+        )
+        errs = p.validate(SCHEMA)
+        assert any("Only one transform can be defined" in e for e in errs)
+
+    def test_custom_template_not_enabled(self):
+        p = Policy.from_json({"transforms": [_ft(filters="NONE")]})
+        errs = p.validate(SCHEMA)
+        assert any("custom template that was not defined" in e for e in errs)
+
+    def test_custom_template_empty_fields(self):
+        # UtilsTest.java:117-180: enabled but neither id nor path
+        p = Policy.from_json(
+            {"transforms": [_ft(filters="NONE")], "customTemplateEnabled": True}
+        )
+        errs = p.validate(SCHEMA)
+        assert any("Custom template fields are not specified" in e for e in errs)
+
+    def test_custom_template_both_set(self):
+        p = Policy.from_json(
+            {
+                "transforms": [_ft(filters="NONE")],
+                "customTemplateEnabled": True,
+                "templateId": "DemoTemplate",
+                "customTemplatePath": "projects/x/inspectTemplates/y",
+            }
+        )
+        errs = p.validate(SCHEMA)
+        assert any("Both template id and template path" in e for e in errs)
+
+    def test_mixing_custom_and_builtin(self):
+        p = Policy.from_json(
+            {
+                "transforms": [_ft(filters="NONE"), _ft(fields="zip")],
+                "customTemplateEnabled": True,
+                "templateId": "DemoTemplate",
+            }
+        )
+        errs = p.validate(SCHEMA)
+        assert any("Cannot use custom templates and built-in filters" in e for e in errs)
+
+    def test_enabled_but_unused(self):
+        p = Policy.from_json(
+            {
+                "transforms": [_ft()],
+                "customTemplateEnabled": True,
+                "templateId": "DemoTemplate",
+            }
+        )
+        errs = p.validate(SCHEMA)
+        assert any("no transforms use a custom template" in e for e in errs)
+
+    def test_validate_or_raise(self):
+        p = Policy.from_json({"transforms": [_ft(fields="missing")]})
+        with pytest.raises(PolicyValidationError):
+            p.validate_or_raise(SCHEMA)
+
+    def test_required_fields_projection(self):
+        p = Policy.from_json(
+            {
+                "transforms": [
+                    _ft(),
+                    _ft(
+                        transform="FORMAT_PRESERVING_ENCRYPTION",
+                        fields="zip",
+                        filters="CREDIT_CARD",
+                        props={
+                            "keyType": "TRANSIENT",
+                            "name": "k1",
+                            "surrogateInfoTypeName": "TOK",
+                            "alphabet": "NUMERIC",
+                            "context": "notes",
+                        },
+                    ),
+                ]
+            }
+        )
+        assert p.required_fields == {"notes", "zip"}
+
+    def test_compiled_ops_and_whole_cell(self):
+        p = Policy.from_json(
+            {"transforms": [_ft(fields="NONE", filters="CREDIT_CARD")]}
+        )
+        ops = p.compiled_ops()
+        assert ops[0].bank is None  # fields == NONE -> whole-cell branch
+        p2 = Policy.from_json({"transforms": [_ft()]})
+        assert p2.compiled_ops()[0].bank is not None
+
+    def test_lineage(self):
+        p = Policy.from_json({"transforms": [_ft()]})
+        ops = p.field_operations(SCHEMA)
+        names = {o["input"]: o["transform"] for o in ops}
+        assert names["notes"] == "MASKING"
+        assert names["zip"] == "Identity"
+        assert names["date"] == "Identity"

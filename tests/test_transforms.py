@@ -1,0 +1,235 @@
+"""Golden tests for the 7 primitive transforms (FIXTURES.md
+'Per-transform golden fixtures')."""
+
+import base64
+import datetime as dt
+
+import pytest
+
+from dlp_plugins_ray.functions import transforms as T
+from dlp_plugins_ray.functions.detect import DetectorBank, CustomTemplate
+
+KEY_B64 = base64.b64encode(b"0123456789abcdef").decode()
+
+
+def _errors(cfg):
+    errs = []
+    cfg.validate(errs)
+    return errs
+
+
+class TestMasking:
+    def test_mask_all(self):
+        cfg = T.MaskingConfig(masking_char="#")
+        assert cfg.transform_cell("abc123") == "######"
+
+    def test_number_to_mask(self):
+        cfg = T.MaskingConfig(masking_char="#", number_to_mask=3)
+        assert cfg.transform_cell("abcdef") == "###def"
+
+    def test_reverse_order(self):
+        cfg = T.MaskingConfig(masking_char="#", number_to_mask=3, reverse_order=True)
+        assert cfg.transform_cell("abcdef") == "abc###"
+
+    def test_ignore_numeric(self):
+        cfg = T.MaskingConfig(masking_char="*", chars_to_ignore_enum="NUMERIC")
+        assert cfg.transform_cell("ab12cd") == "**12**"
+
+    def test_ignore_punctuation_with_count(self):
+        cfg = T.MaskingConfig(
+            masking_char="#", number_to_mask=3, chars_to_ignore_enum="PUNCTUATION"
+        )
+        # punctuation is skipped and does not consume the count
+        assert cfg.transform_cell("a-b-cde") == "#-#-#de"
+
+    def test_ignore_whitespace(self):
+        cfg = T.MaskingConfig(masking_char="#", chars_to_ignore_enum="WHITESPACE")
+        assert cfg.transform_cell("ab cd") == "## ##"
+
+    def test_ignore_upper_lower(self):
+        up = T.MaskingConfig(masking_char="#", chars_to_ignore_enum="ALPHA_UPPER_CASE")
+        assert up.transform_cell("aXbY") == "#X#Y"
+        lo = T.MaskingConfig(masking_char="#", chars_to_ignore_enum="ALPHA_LOWER_CASE")
+        assert lo.transform_cell("aXbY") == "a#b#"
+
+    def test_validation(self):
+        assert "required" in _errors(T.MaskingConfig())[0]
+        assert "single character" in _errors(T.MaskingConfig(masking_char="##"))[0]
+        assert "positive" in _errors(
+            T.MaskingConfig(masking_char="#", number_to_mask=-1)
+        )[0]
+
+
+class TestReplaceRedact:
+    def test_replace(self):
+        cfg = T.ReplaceValueConfig(new_value="[GONE]")
+        assert cfg.transform_cell("secret") == "[GONE]"
+        assert "required" in _errors(T.ReplaceValueConfig())[0]
+
+    def test_redact(self):
+        cfg = T.RedactConfig()
+        assert cfg.transform_cell("secret") == ""
+        assert _errors(cfg) == []
+
+
+class TestSpanApplication:
+    def _bank(self):
+        return DetectorBank(
+            CustomTemplate("t", regexes={"NUM": r"\d+"}).build_detectors()
+        )
+
+    def test_redact_spans(self):
+        cfg = T.RedactConfig()
+        out = T.apply_spans_column(cfg, self._bank(), ["a1b22c333", "no digits"])
+        assert out == ["abc", "no digits"]
+
+    def test_replace_spans(self):
+        cfg = T.ReplaceValueConfig(new_value="#")
+        out = T.apply_spans_column(cfg, self._bank(), ["a1b22c"])
+        assert out == ["a#b#c"]
+
+    def test_mask_spans_only(self):
+        cfg = T.MaskingConfig(masking_char="X")
+        out = T.apply_spans_column(cfg, self._bank(), ["ab 123 cd 45"])
+        assert out == ["ab XXX cd XX"]
+
+    def test_null_passthrough(self):
+        cfg = T.RedactConfig()
+        assert T.apply_spans_column(cfg, self._bank(), [None, "1"]) == [None, ""]
+
+
+class TestCryptoHash:
+    def test_stable_hex(self):
+        cfg = T.CryptoHashConfig(key_type="UNWRAPPED", key=KEY_B64)
+        out = cfg.transform_cell("hello")
+        assert out == cfg.transform_cell("hello")
+        assert len(out) == 64
+        int(out, 16)  # valid hex
+
+    def test_validation_collects_key_errors(self):
+        errs = _errors(T.CryptoHashConfig(key_type="UNWRAPPED", key=None))
+        assert errs and "key" in errs[0].lower()
+
+
+class TestDateShift:
+    def test_date(self):
+        cfg = T.DateShiftConfig(lower_bound_days=-10, upper_bound_days=10)
+        d = dt.date(2020, 6, 15)
+        out = cfg.transform_cell(d, context="rowkey")
+        assert isinstance(out, dt.date)
+        assert abs((out - d).days) <= 10
+        assert out == cfg.transform_cell(d, context="rowkey")  # deterministic
+
+    def test_timestamp(self):
+        cfg = T.DateShiftConfig(lower_bound_days=1, upper_bound_days=1)
+        ts = dt.datetime(2020, 6, 15, 12, 30)
+        assert cfg.transform_cell(ts, "k") == ts + dt.timedelta(days=1)
+
+    def test_validation(self):
+        errs = _errors(T.DateShiftConfig())
+        assert any("Upper Bound is a required" in e for e in errs)
+        assert any("Lower Bound is a required" in e for e in errs)
+        errs = _errors(T.DateShiftConfig(lower_bound_days=5, upper_bound_days=1))
+        assert any("cannot be greater" in e for e in errs)
+        errs = _errors(
+            T.DateShiftConfig(lower_bound_days=-400000, upper_bound_days=400000)
+        )
+        assert any("365250" in e for e in errs)
+
+
+class TestFPE:
+    def _cfg(self, **kw):
+        defaults = dict(
+            key_type="UNWRAPPED",
+            key=KEY_B64,
+            surrogate_info_type_name="TOKEN",
+            alphabet="NUMERIC",
+        )
+        defaults.update(kw)
+        return T.CryptoReplaceFfxFpeConfig(**defaults)
+
+    def test_surrogate_grammar(self):
+        out = self._cfg().transform_cell("4111111111111111")
+        assert out.startswith("TOKEN(16):")
+        payload = out.split(":", 1)[1]
+        assert len(payload) == 16 and payload.isdigit()
+
+    def test_roundtrip(self):
+        cfg = self._cfg()
+        out = cfg.transform_cell("1234567890")
+        payload = out.split(":", 1)[1]
+        assert cfg.detokenize(payload) == "1234567890"
+
+    def test_non_alphabet_chars_preserved(self):
+        cfg = self._cfg()
+        out = cfg.transform_cell("123-456-7890")
+        payload = out.split(":", 1)[1]
+        assert payload[3] == "-" and payload[7] == "-"
+        assert cfg.detokenize(payload) == "123-456-7890"
+
+    def test_each_alphabet(self):
+        for alpha in ("NUMERIC", "HEXADECIMAL", "UPPER_CASE_ALPHA_NUMERIC", "ALPHA_NUMERIC"):
+            cfg = self._cfg(alphabet=alpha)
+            from dlp_plugins_ray.functions.crypto import COMMON_ALPHABETS
+
+            pt = COMMON_ALPHABETS[alpha][:8]
+            out = cfg.transform_cell(pt)
+            assert cfg.detokenize(out.split(":", 1)[1]) == pt
+
+    def test_custom_alphabet(self):
+        cfg = self._cfg(alphabet="CUSTOM", custom_alphabet="abc123")
+        out = cfg.transform_cell("abc123ab")
+        assert cfg.detokenize(out.split(":", 1)[1]) == "abc123ab"
+
+    def test_context_changes_ciphertext(self):
+        cfg = self._cfg()
+        a = cfg.transform_cell("1234567890", context="u1")
+        b = cfg.transform_cell("1234567890", context="u2")
+        assert a != b
+        assert cfg.detokenize(a.split(":", 1)[1], context="u1") == "1234567890"
+
+    def test_validation(self):
+        errs = _errors(self._cfg(surrogate_info_type_name=""))
+        assert any("Surrogate" in e for e in errs)
+        errs = _errors(self._cfg(surrogate_info_type_name="bad name!"))
+        assert any("not valid" in e for e in errs)
+        errs = _errors(self._cfg(alphabet=""))
+        assert any("Alphabet" in e for e in errs)
+        errs = _errors(self._cfg(alphabet="CUSTOM", custom_alphabet="x"))
+        assert any("between 2 and 95" in e for e in errs)
+
+
+class TestDeterministic:
+    def _cfg(self):
+        return T.CryptoDeterministicConfig(
+            key_type="UNWRAPPED", key=KEY_B64, surrogate_info_type_name="DET"
+        )
+
+    def test_roundtrip_and_stability(self):
+        cfg = self._cfg()
+        out1 = cfg.transform_cell("sensitive", context="c")
+        out2 = cfg.transform_cell("sensitive", context="c")
+        assert out1 == out2
+        assert out1.startswith("DET(")
+        payload = out1.split(":", 1)[1]
+        assert cfg.detokenize(payload, context="c") == "sensitive"
+
+    def test_surrogate_len_matches(self):
+        out = self._cfg().transform_cell("abc")
+        name_len, payload = out.split(":", 1)
+        n = int(name_len[4:-1])
+        assert n == len(payload)
+
+
+class TestRegistryCodec:
+    def test_codec_roundtrip(self):
+        cfg = T.config_from_properties(
+            "MASKING",
+            {"maskingChar": "#", "numberToMask": 4, "charsToIgnoreEnum": "NUMERIC"},
+        )
+        assert isinstance(cfg, T.MaskingConfig)
+        assert cfg.masking_char == "#" and cfg.number_to_mask == 4
+
+    def test_unknown_transform(self):
+        with pytest.raises(ValueError, match="does not have an associated"):
+            T.config_from_properties("NOPE", {})
