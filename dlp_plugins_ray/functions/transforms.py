@@ -455,14 +455,30 @@ _JSON_FIELD_MAP = {
 }
 
 
+_INT_FIELDS = {"number_to_mask", "lower_bound_days", "upper_bound_days"}
+_BOOL_FIELDS = {"reverse_order"}
+
+
 def config_from_properties(transform: str, props: dict) -> BaseTransformConfig:
     """Build a transform config from a reference-shaped
-    ``transformProperties`` JSON object."""
+    ``transformProperties`` JSON object. The CDAP widget emits every
+    value as a string ("10", "false" — see
+    examples/example-redaction-pipeline.json fieldsToTransform); coerce
+    like Gson does."""
     if transform not in TRANSFORM_REGISTRY:
         raise ValueError(
             f"Transform {transform} does not have an associated transform config"
         )
-    kwargs = {_JSON_FIELD_MAP.get(k, k): v for k, v in (props or {}).items()}
+    kwargs = {}
+    for k, v in (props or {}).items():
+        if k == "expanded":  # widget UI state, not config
+            continue
+        key = _JSON_FIELD_MAP.get(k, k)
+        if key in _INT_FIELDS and isinstance(v, str):
+            v = int(v)
+        elif key in _BOOL_FIELDS and isinstance(v, str):
+            v = v.lower() == "true"
+        kwargs[key] = v
     return TRANSFORM_REGISTRY[transform](**kwargs)
 
 

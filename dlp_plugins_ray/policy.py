@@ -328,7 +328,12 @@ class Policy:
         either whole-cell callable or (detector bank, span callable)."""
         ops: list[CompiledOp] = []
         for t in self.transforms:
-            if t.whole_cell:
+            span_capable = "string" in t.config.supported_types
+            if t.whole_cell or not span_capable:
+                # non-string transforms (DATE_SHIFT) can't be span-driven;
+                # the example pipeline applies DATE_SHIFT with
+                # filters=NONE as a whole-cell transform
+                # (examples/example-redaction-pipeline.json:87)
                 bank = None
             elif t.uses_custom_template:
                 bank = DetectorBank.from_template(self.template_name(), self.registry)

@@ -1,0 +1,150 @@
+"""DecryptStage — the native SensitiveRecordDecrypt (re-identify).
+
+Reference: SensitiveRecordDecrypt.java:148-212 auto-builds an inspect
+config from the *surrogate info-types* of the policy's reversible
+transforms (only FPE and deterministic encryption are reversible,
+lines 168-188) and RPCs reidentifyContent. Natively: for each
+reversible config we compile the surrogate-annotation grammar
+``NAME(len):payload`` into a scanner, find surrogates in the target
+columns, and invert the cipher worker-side.
+
+The surrogate length prefix makes parsing exact: after ``NAME(k):`` we
+take exactly k characters as the payload — no ambiguity when the
+payload itself contains ':' or ')'.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+from ..functions.transforms import (
+    CryptoDeterministicConfig,
+    CryptoReplaceFfxFpeConfig,
+)
+from ..policy import Policy
+from ..state.metrics import LocalMetrics
+
+
+class DecryptStage:
+    """Callable class for ``map_batches``; inverse of RedactionStage's
+    reversible transforms. Pass the SAME policy used to encrypt."""
+
+    def __init__(
+        self,
+        policy: dict | str | Policy,
+        *,
+        fields: tuple[str, ...] | list[str] | None = None,
+        metrics: bool = False,
+    ):
+        self.policy = policy if isinstance(policy, Policy) else Policy.from_json(policy)
+        # (config, target fields, context column) per reversible transform
+        self.entries = []
+        for t in self.policy.transforms:
+            if not isinstance(
+                t.config, (CryptoReplaceFfxFpeConfig, CryptoDeterministicConfig)
+            ):
+                continue
+            name = t.config.surrogate_info_type_name
+            pattern = re.compile(re.escape(name) + r"\((\d+)\):")
+            targets = tuple(fields) if fields else tuple(
+                f for f in t.fields if f != "NONE"
+            )
+            self.entries.append(
+                (pattern, t.config, targets, t.config.context or None)
+            )
+        if not self.entries:
+            raise ValueError(
+                "Policy contains no reversible transforms "
+                "(only FORMAT_PRESERVING_ENCRYPTION and "
+                "DETERMINISTIC_ENCRYPTION can be decrypted — "
+                "SensitiveRecordDecrypt.java:168-188)"
+            )
+        self.metrics = LocalMetrics(enabled=metrics)
+
+    @staticmethod
+    def _detokenize_text(text: str, pattern: re.Pattern, cfg, context: str) -> str:
+        out = []
+        pos = 0
+        for m in pattern.finditer(text):
+            if m.start() < pos:
+                continue  # overlapped a previous surrogate's payload
+            n = int(m.group(1))
+            payload = text[m.end() : m.end() + n]
+            if len(payload) < n:
+                out.append(text[pos : m.end()])
+                pos = m.end()
+                continue
+            try:
+                plain = cfg.detokenize(payload, context)
+            except Exception:
+                # not actually our token (e.g. wrong key/context) — leave as-is,
+                # matching reidentify behavior of skipping unmatchable surrogates
+                out.append(text[pos : m.end() + n])
+                pos = m.end() + n
+                continue
+            out.append(text[pos : m.start()])
+            out.append(plain)
+            pos = m.end() + n
+        out.append(text[pos:])
+        return "".join(out)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        for pattern, cfg, targets, ctx_col in self.entries:
+            contexts = None
+            if ctx_col and ctx_col in batch.column_names:
+                contexts = [
+                    "" if v is None else str(v)
+                    for v in batch.column(ctx_col).to_pylist()
+                ]
+            for colname in targets:
+                idx = batch.schema.get_field_index(colname)
+                if idx < 0:
+                    continue
+                values = batch.column(idx).to_pylist()
+                out = []
+                for i, v in enumerate(values):
+                    if v is None:
+                        out.append(None)
+                        continue
+                    c = contexts[i] if contexts else ""
+                    out.append(
+                        self._detokenize_text(v, pattern, cfg, c)
+                        if pattern.search(v)
+                        else v
+                    )
+                batch = batch.set_column(
+                    idx,
+                    batch.schema.field(idx),
+                    pa.array(out, type=batch.column(idx).type),
+                )
+        self.metrics.incr("records.count", batch.num_rows)
+        self.metrics.batch_done()
+        return batch
+
+
+def decrypt(
+    ds,
+    policy,
+    *,
+    batch_size: int = 4096,
+    concurrency=None,
+    num_cpus: float = 1,
+    **stage_kwargs,
+):
+    policy_json = policy.to_json() if isinstance(policy, Policy) else policy
+    kwargs = dict(
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        num_cpus=num_cpus,
+        # callable classes need an actor pool; (1, N) autoscales with
+        # the streaming executor's demand
+        concurrency=concurrency if concurrency is not None else (1, 16),
+    )
+    return ds.map_batches(
+        DecryptStage,
+        fn_constructor_args=(policy_json,),
+        fn_constructor_kwargs=stage_kwargs,
+        **kwargs,
+    )

@@ -1,0 +1,192 @@
+"""FilterStage — the native SensitiveRecordFilter (splitter).
+
+Reference: SensitiveRecordFilter.java:165-222 inspects either one field
+(config line 170) or the entire record serialized as a comma-delimited
+string (line 172) and routes each record to the ``Sensitive`` /
+``Non-Sensitive`` port (lines 197-202); inspection errors follow
+on-error handling: ``stop-on-error`` rethrow / ``skip-record`` drop /
+``send-to-error`` error port (lines 214-220, enum at 351-358).
+
+Natively the stage ADDS a boolean ``is_sensitive`` column (plus
+``_error`` when send-to-error) in one scored pass; the two ports are
+``ds.filter`` branches over the SAME scored dataset, so detection runs
+once, not per port. The filter can use either composite categories
+(SensitiveDataMapping) or a custom template, mirroring the plugin's
+filter config (SensitiveRecordFilter.java:370-434 validation).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.detect import DEFAULT_TEMPLATES, DetectorBank, TemplateRegistry
+from ..state.metrics import LocalMetrics
+
+SENSITIVE_PORT = "Sensitive"
+NON_SENSITIVE_PORT = "Non-Sensitive"
+
+ON_ERROR_STOP = "stop-on-error"
+ON_ERROR_SKIP = "skip-record"
+ON_ERROR_SEND = "send-to-error"
+_ON_ERROR_VALUES = (ON_ERROR_STOP, ON_ERROR_SKIP, ON_ERROR_SEND)
+
+
+def _serialize_record_columns(batch: pa.Table) -> list[str]:
+    """Entire-record inspection input: all field values joined with
+    commas, the StructuredRecordStringConverter.toDelimitedString
+    analogue (SensitiveRecordFilter.java:172). Vectorized via Arrow
+    cast + binary_join_element_wise; nulls serialize as ''."""
+    cols = []
+    for name in batch.column_names:
+        col = batch.column(name)
+        if not (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)):
+            col = pc.cast(col, pa.string())
+        cols.append(pc.fill_null(col, ""))
+    joined = pc.binary_join_element_wise(*cols, ",")
+    return joined.to_pylist()
+
+
+class FilterStage:
+    """Adds ``is_sensitive: bool`` (and ``_error: string`` under
+    send-to-error) to each batch."""
+
+    def __init__(
+        self,
+        *,
+        field: str | None = None,
+        entire_record: bool = False,
+        filters: tuple[str, ...] | list[str] = (),
+        template: str | None = None,
+        on_error: str = ON_ERROR_STOP,
+        metrics: bool = False,
+        registry: TemplateRegistry | None = None,
+    ):
+        if not entire_record and not field:
+            raise ValueError("Either a field to inspect or entire_record is required")
+        if on_error not in _ON_ERROR_VALUES:
+            raise ValueError(f"on_error must be one of {_ON_ERROR_VALUES}")
+        if template:
+            self.bank = DetectorBank.from_template(
+                template, registry or DEFAULT_TEMPLATES
+            )
+        elif filters:
+            self.bank = DetectorBank.from_filters(filters)
+        else:
+            raise ValueError("Either filters (categories) or a template is required")
+        self.field = field
+        self.entire_record = entire_record
+        self.on_error = on_error
+        self.metrics = LocalMetrics(enabled=metrics)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        errors: list[str | None] = [None] * batch.num_rows
+        if self.entire_record:
+            texts = _serialize_record_columns(batch)
+        else:
+            idx = batch.schema.get_field_index(self.field)
+            if idx < 0:
+                msg = f"Field '{self.field}' is not present in the input schema"
+                if self.on_error == ON_ERROR_STOP:
+                    raise KeyError(msg)
+                if self.on_error == ON_ERROR_SKIP:
+                    self.metrics.incr("records.skipped", batch.num_rows)
+                    return batch.slice(0, 0).append_column(
+                        "is_sensitive", pa.array([], type=pa.bool_())
+                    )
+                texts = [None] * batch.num_rows
+                errors = [msg] * batch.num_rows
+            else:
+                ftype = batch.schema.field(idx).type
+                if pa.types.is_string(ftype) or pa.types.is_large_string(ftype):
+                    texts = batch.column(idx).to_pylist()
+                else:
+                    # reference rejects bytes/complex inspect targets
+                    # (SensitiveRecordFilter.java:402); simple scalars are
+                    # serialized to string
+                    texts = [
+                        None if v is None else str(v)
+                        for v in batch.column(idx).to_pylist()
+                    ]
+        flags = [
+            False if t is None else self.bank.any_match(t) for t in texts
+        ]
+        out = batch.append_column("is_sensitive", pa.array(flags, type=pa.bool_()))
+        if self.on_error == ON_ERROR_SEND:
+            out = out.append_column("_error", pa.array(errors, type=pa.string()))
+        n_sens = sum(flags)
+        self.metrics.incr("records.count", batch.num_rows)
+        self.metrics.incr("records.sensitive", n_sens)
+        self.metrics.incr("records.non_sensitive", batch.num_rows - n_sens)
+        self.metrics.batch_done()
+        return out
+
+
+def score(
+    ds,
+    *,
+    batch_size: int = 4096,
+    concurrency=None,
+    num_cpus: float = 1,
+    **stage_kwargs,
+):
+    """Run the detection pass once, producing the scored dataset."""
+    kwargs = dict(
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        num_cpus=num_cpus,
+        # callable classes need an actor pool; (1, N) autoscales with
+        # the streaming executor's demand
+        concurrency=concurrency if concurrency is not None else (1, 16),
+    )
+    return ds.map_batches(
+        FilterStage, fn_constructor_kwargs=stage_kwargs, **kwargs
+    )
+
+
+def _drop_helper_cols(batch: pa.Table) -> pa.Table:
+    for c in ("is_sensitive", "_error"):
+        if c in batch.column_names:
+            batch = batch.drop_columns([c])
+    return batch
+
+
+def _port_fn(flag: bool | None, keep_score_column: bool):
+    """flag True/False -> that port (error rows excluded); flag None ->
+    the error port (rows with a non-null ``_error``)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        has_err = "_error" in batch.column_names
+        if flag is None:
+            if not has_err:
+                return batch.slice(0, 0)
+            mask = pc.is_valid(batch.column("_error"))
+            return batch.filter(mask)
+        mask = pc.equal(batch.column("is_sensitive"), flag)
+        if has_err:
+            mask = pc.and_kleene(mask, pc.is_null(batch.column("_error")))
+        out = batch.filter(pc.fill_null(mask, False))
+        return out if keep_score_column else _drop_helper_cols(out)
+
+    return f
+
+
+def split(scored_ds, *, keep_score_column: bool = False, with_errors: bool = False):
+    """Materialize the splitter's ports as lazy branches of the ONE
+    scored dataset — detection runs once, the branches are vectorized
+    Arrow filters. Both output ports have the input schema
+    (SensitiveRecordFilter.java:116-119); the error port mirrors
+    Emitter.emitError under ``send-to-error``."""
+    ports = {
+        SENSITIVE_PORT: scored_ds.map_batches(
+            _port_fn(True, keep_score_column), batch_format="pyarrow"
+        ),
+        NON_SENSITIVE_PORT: scored_ds.map_batches(
+            _port_fn(False, keep_score_column), batch_format="pyarrow"
+        ),
+    }
+    if with_errors:
+        ports["error"] = scored_ds.map_batches(
+            _port_fn(None, True), batch_format="pyarrow"
+        )
+    return ports

@@ -1,0 +1,86 @@
+"""Run metrics.
+
+The reference emits per-stage counters through the platform
+(dlp.requests.count/success/fail — SensitiveRecordRedaction.java:178-189,
+docs/SensitiveRecordRedaction-transform.md:53-56). Natively, each actor
+keeps local counters (zero overhead on the hot path) and flushes them to
+a named Ray metrics actor once per N batches / at destruction; the
+driver drains the totals into the run manifest.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Mapping
+
+import ray
+
+METRICS_ACTOR_NAME = "dlp_plugins_ray_metrics"
+
+
+@ray.remote(num_cpus=0)
+class MetricsActor:
+    """Cluster-global counter sink (one per run, named)."""
+
+    def __init__(self) -> None:
+        self._counters: Counter = Counter()
+
+    def incr(self, values: Mapping[str, int]) -> None:
+        self._counters.update(values)
+
+    def snapshot(self) -> dict[str, int]:
+        return dict(self._counters)
+
+    def reset(self) -> None:
+        self._counters.clear()
+
+
+def get_or_create_metrics_actor():
+    """Named-actor lookup; safe to call from any worker."""
+    return MetricsActor.options(
+        name=METRICS_ACTOR_NAME, get_if_exists=True, lifetime="detached"
+    ).remote()
+
+
+class LocalMetrics:
+    """Per-actor counter buffer. ``flush_every`` batches it pushes the
+    delta to the global actor fire-and-forget, so the hot path never
+    blocks on the network."""
+
+    def __init__(self, enabled: bool = True, flush_every: int = 32):
+        self.enabled = enabled
+        self.flush_every = flush_every
+        self._local: Counter = Counter()
+        self._pending: Counter = Counter()
+        self._batches = 0
+        self._sink = None
+
+    def incr(self, name: str, value: int = 1) -> None:
+        self._local[name] += value
+        self._pending[name] += value
+
+    def batch_done(self) -> None:
+        self._batches += 1
+        if self.enabled and self._batches % self.flush_every == 0:
+            self.flush()
+
+    def flush(self) -> None:
+        if not self.enabled or not self._pending:
+            return
+        try:
+            sink = self._sink or get_or_create_metrics_actor()
+            self._sink = sink
+            sink.incr.remote(dict(self._pending))
+            self._pending.clear()
+        except Exception:
+            # metrics must never fail the pipeline
+            pass
+
+    def snapshot(self) -> dict[str, int]:
+        return dict(self._local)
+
+    def __del__(self):  # best-effort final flush
+        try:
+            self.flush()
+        except Exception:
+            pass

@@ -1,0 +1,304 @@
+"""Ray Data stage tests: redaction / filter-split / decrypt actors over
+real Datasets (small, num_cpus=4 session)."""
+
+import base64
+import json
+
+import pyarrow as pa
+import pytest
+
+import dlp_plugins_ray.stages.filter as F
+from dlp_plugins_ray.stages.decrypt import DecryptStage, decrypt
+from dlp_plugins_ray.stages.redact import RedactionStage, redact
+
+KEY_B64 = base64.b64encode(b"0123456789abcdef").decode()
+
+
+def _table():
+    return pa.table(
+        {
+            "id": list(range(6)),
+            "notes": [
+                "call 415-555-1234 now",
+                "ssn 123-45-6789 inside",
+                "nothing sensitive",
+                None,
+                "card 4111 1111 1111 1111 ok",
+                "email x@y.com maybe",
+            ],
+            "zip": ["94105", "10001", "60601", "73301", "02139", "98101"],
+        }
+    )
+
+
+MASK_POLICY = {
+    "transforms": [
+        {
+            "transform": "MASKING",
+            "fields": "notes",
+            "filters": "DEMOGRAPHIC,NATIONAL_ID,CREDIT_CARD",
+            "transformProperties": {"maskingChar": "#"},
+        }
+    ]
+}
+
+
+class TestRedactionStageUnit:
+    def test_masks_only_matched_spans(self):
+        stage = RedactionStage(MASK_POLICY)
+        out = stage(_table())
+        notes = out.column("notes").to_pylist()
+        assert notes[0] == "call ############ now"
+        assert notes[1] == "ssn ########### inside"
+        assert notes[2] == "nothing sensitive"
+        assert notes[3] is None
+        assert "#" in notes[4] and notes[4].startswith("card ")
+
+    def test_schema_identity(self):
+        stage = RedactionStage(MASK_POLICY)
+        t = _table()
+        assert stage(t).schema == t.schema
+
+    def test_untouched_columns_zero_copy(self):
+        stage = RedactionStage(MASK_POLICY)
+        t = _table()
+        out = stage(t)
+        assert out.column("zip").to_pylist() == t.column("zip").to_pylist()
+
+    def test_whole_cell_crypto_hash(self):
+        policy = {
+            "transforms": [
+                {
+                    # fields[0] == "NONE" selects the unconditional
+                    # whole-cell branch (DlpFieldTransformationConfig.java:69);
+                    # remaining entries are the target columns
+                    "transform": "CRYPTO_HASH",
+                    "fields": "NONE,zip",
+                    "filters": "NONE",
+                    "transformProperties": {"keyType": "UNWRAPPED", "key": KEY_B64},
+                }
+            ],
+            "customTemplateEnabled": True,
+            "templateId": "DemoTemplate",
+        }
+        stage = RedactionStage(policy)
+        out = stage(_table())
+        zips = out.column("zip").to_pylist()
+        assert all(len(z) == 64 for z in zips)
+
+    def test_bad_policy_fails_at_init(self):
+        with pytest.raises(Exception):
+            RedactionStage(
+                {"transforms": [{"transform": "MASKING", "fields": "notes",
+                                 "filters": "CREDIT_CARD",
+                                 "transformProperties": {}}]}
+            )
+
+    def test_schema_gate_fails_on_first_batch(self):
+        policy = {
+            "transforms": [
+                {
+                    "transform": "MASKING",
+                    "fields": "id",
+                    "filters": "CREDIT_CARD",
+                    "transformProperties": {"maskingChar": "#"},
+                }
+            ]
+        }
+        stage = RedactionStage(policy)
+        with pytest.raises(Exception, match="not supported"):
+            stage(_table())
+
+
+class TestDateShiftStage:
+    def test_shift_timestamp_column(self):
+        import datetime as dt
+
+        t = pa.table(
+            {
+                "k": ["a", "b"],
+                "date": pa.array(
+                    [dt.datetime(2020, 1, 1), dt.datetime(2021, 6, 1)],
+                    type=pa.timestamp("us"),
+                ),
+            }
+        )
+        policy = {
+            "transforms": [
+                {
+                    "transform": "DATE_SHIFT",
+                    "fields": "date",
+                    "filters": "NONE",
+                    "transformProperties": {
+                        "lowerBoundDays": -5,
+                        "upperBoundDays": 5,
+                        "context": "k",
+                    },
+                }
+            ],
+            "customTemplateEnabled": True,
+            "templateId": "DemoTemplate",
+        }
+        stage = RedactionStage(policy)
+        out1 = stage(t)
+        out2 = RedactionStage(policy)(t)
+        assert out1.column("date").to_pylist() == out2.column("date").to_pylist()
+        orig = t.column("date").to_pylist()
+        for a, b in zip(out1.column("date").to_pylist(), orig):
+            assert abs((a - b).days) <= 5
+
+
+class TestFilterStage:
+    def test_single_field(self):
+        stage = F.FilterStage(field="notes", filters=["NATIONAL_ID"])
+        out = stage(_table())
+        # row 1: SSN; row 4: "4111 1111 1111 ..." also matches
+        # JAPAN_INDIVIDUAL_NUMBER (4-4-4 digit groups)
+        assert out.column("is_sensitive").to_pylist() == [
+            False, True, False, False, True, False,
+        ]
+
+    def test_entire_record(self):
+        stage = F.FilterStage(entire_record=True, filters=["DEMOGRAPHIC"])
+        out = stage(_table())
+        assert out.column("is_sensitive").to_pylist()[0] is True
+
+    def test_template(self):
+        stage = F.FilterStage(field="notes", template="DemoTemplate")
+        flags = stage(_table()).column("is_sensitive").to_pylist()
+        assert flags[5] is True  # email matches DemoTemplate
+
+    def test_missing_field_stop(self):
+        stage = F.FilterStage(field="missing", filters=["CREDIT_CARD"])
+        with pytest.raises(KeyError):
+            stage(_table())
+
+    def test_missing_field_skip(self):
+        stage = F.FilterStage(
+            field="missing", filters=["CREDIT_CARD"], on_error=F.ON_ERROR_SKIP
+        )
+        assert stage(_table()).num_rows == 0
+
+    def test_missing_field_send_to_error(self):
+        stage = F.FilterStage(
+            field="missing", filters=["CREDIT_CARD"], on_error=F.ON_ERROR_SEND
+        )
+        out = stage(_table())
+        assert out.num_rows == 6
+        assert all(e is not None for e in out.column("_error").to_pylist())
+
+    def test_config_validation(self):
+        with pytest.raises(ValueError, match="field to inspect"):
+            F.FilterStage(filters=["CREDIT_CARD"])
+        with pytest.raises(ValueError, match="on_error"):
+            F.FilterStage(field="x", filters=["CREDIT_CARD"], on_error="bogus")
+        with pytest.raises(ValueError, match="filters"):
+            F.FilterStage(field="x")
+
+
+FPE_POLICY = {
+    "transforms": [
+        {
+            "transform": "FORMAT_PRESERVING_ENCRYPTION",
+            "fields": "NONE,zip",
+            "filters": "NONE",
+            "transformProperties": {
+                "keyType": "UNWRAPPED",
+                "key": KEY_B64,
+                "surrogateInfoTypeName": "ZIP_TOKEN",
+                "alphabet": "NUMERIC",
+            },
+        }
+    ],
+    "customTemplateEnabled": True,
+    "templateId": "DemoTemplate",
+}
+
+
+class TestDecryptStage:
+    def test_encrypt_decrypt_identity(self):
+        t = _table()
+        enc = RedactionStage(FPE_POLICY)(t)
+        zips = enc.column("zip").to_pylist()
+        assert all(z.startswith("ZIP_TOKEN(5):") for z in zips)
+        dec = DecryptStage(FPE_POLICY)(enc)
+        assert dec.column("zip").to_pylist() == t.column("zip").to_pylist()
+
+    def test_span_level_roundtrip_inside_text(self):
+        policy = json.loads(json.dumps(FPE_POLICY))
+        policy["transforms"][0] = dict(
+            policy["transforms"][0],
+            fields="notes",
+            filters="DEMOGRAPHIC",
+        )
+        policy["customTemplateEnabled"] = False
+        policy["templateId"] = None
+        t = _table()
+        enc = RedactionStage(policy)(t)
+        notes = enc.column("notes").to_pylist()
+        assert "ZIP_TOKEN(" in notes[0]  # phone number tokenized in place
+        dec = DecryptStage(policy)(enc)
+        assert dec.column("notes").to_pylist() == t.column("notes").to_pylist()
+
+    def test_no_reversible_raises(self):
+        with pytest.raises(ValueError, match="reversible"):
+            DecryptStage(MASK_POLICY)
+
+    def test_deterministic_encryption_roundtrip(self):
+        policy = {
+            "transforms": [
+                {
+                    "transform": "DETERMINISTIC_ENCRYPTION",
+                    "fields": "NONE,zip",
+                    "filters": "NONE",
+                    "transformProperties": {
+                        "keyType": "UNWRAPPED",
+                        "key": KEY_B64,
+                        "surrogateInfoTypeName": "DET_TOK",
+                    },
+                }
+            ],
+            "customTemplateEnabled": True,
+            "templateId": "DemoTemplate",
+        }
+        t = _table()
+        enc = RedactionStage(policy)(t)
+        assert all(
+            z.startswith("DET_TOK(") for z in enc.column("zip").to_pylist()
+        )
+        dec = DecryptStage(policy)(enc)
+        assert dec.column("zip").to_pylist() == t.column("zip").to_pylist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestStagesOnRay:
+    def test_redact_on_dataset(self):
+        import ray.data as rd
+
+        ds = rd.from_arrow(_table())
+        out = redact(ds, MASK_POLICY, batch_size=2, concurrency=2)
+        got = out.take_all()
+        by_id = {r["id"]: r["notes"] for r in got}
+        assert by_id[0] == "call ############ now"
+        assert by_id[2] == "nothing sensitive"
+
+    def test_filter_split_on_dataset(self):
+        import ray.data as rd
+
+        ds = rd.from_arrow(_table())
+        scored = F.score(ds, field="notes", filters=["NATIONAL_ID"], batch_size=3)
+        ports = F.split(scored)
+        assert ports[F.SENSITIVE_PORT].count() == 2  # SSN row + 4-4-4 card row
+        assert ports[F.NON_SENSITIVE_PORT].count() == 4
+        # ports carry the input schema
+        assert set(ports[F.SENSITIVE_PORT].schema().names) == {"id", "notes", "zip"}
+
+    def test_fpe_roundtrip_on_dataset(self):
+        import ray.data as rd
+
+        ds = rd.from_arrow(_table())
+        enc = redact(ds, FPE_POLICY, batch_size=2)
+        dec = decrypt(enc, FPE_POLICY, batch_size=2)
+        got = {r["id"]: r["zip"] for r in dec.take_all()}
+        want = {r["id"]: r["zip"] for r in rd.from_arrow(_table()).take_all()}
+        assert got == want
