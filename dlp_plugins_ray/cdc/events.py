@@ -1,0 +1,236 @@
+"""Deterministic synthetic CDC stream over the source-code table.
+
+BASELINE.json input_hint fixes the base table shape
+``(repo, path, commit, lang, content)``; FIXTURES.md F3/F4 describe the
+generators. Everything is seeded and vectorized (numpy) so any scale
+regenerates identically — tests, the DuckDB-free replay oracle, and the
+bench all use the same parquet.
+
+Stream properties exercised on purpose (FIXTURES.md F4):
+- zipf-skewed repo popularity => hot-key partitions for the salted path
+- out-of-order ``seq`` within and across files => LWW must never rely
+  on block order
+- duplicated event slices => exactly-once / idempotent re-apply
+- ``op`` in {insert, update, delete} with tombstone semantics
+- ``schema_ver`` 1 rows carry their payload in the legacy ``body``
+  column (renamed to ``content`` at v2) => schema-evolution registry
+- embedded PII tokens in content => redaction stage has real work
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+LANGS = np.array(["py", "java", "js", "go", "rs", "md"])
+
+_PII_SNIPPETS = np.array(
+    [
+        "",  # most rows: no PII
+        "",
+        "",
+        "# contact alice@example.com for access\n",
+        "# ssn 523-45-6789 (test fixture)\n",
+        "PHONE = '415-555-2671'\n",
+        "CARD = '4111 1111 1111 1111'\n",
+        "",
+    ]
+)
+
+_CODE_TEMPLATES = np.array(
+    [
+        "def handler_{i}(request):\n    {pii}return process(request, key={i})\n",
+        "class Service{i}:\n    {pii}def run(self):\n        return {i}\n",
+        "func Work{i}() int {{\n    {pii}return {i}\n}}\n",
+        "const value{i} = {i};\n{pii}export default value{i};\n",
+        "fn compute_{i}() -> u64 {{\n    {pii}{i}\n}}\n",
+        "## Module {i}\n\n{pii}Documentation for part {i}.\n",
+    ]
+)
+
+
+def _commit_sha(repo: str, path: str, seq: int) -> str:
+    return hashlib.sha1(f"{repo}:{path}:{seq}".encode()).hexdigest()[:12]
+
+
+def generate_file_keys(
+    n_repos: int, n_files: int, seed: int = 42
+) -> tuple[np.ndarray, np.ndarray]:
+    """(repo, path) string arrays; file->repo assignment zipf-skewed so
+    a few repos own most files (hot keys)."""
+    rng = np.random.RandomState(seed)
+    # zipf-ish rank weights
+    ranks = np.arange(1, n_repos + 1, dtype=np.float64)
+    weights = 1.0 / ranks ** 1.2
+    weights /= weights.sum()
+    repo_idx = rng.choice(n_repos, size=n_files, p=weights)
+    repos = np.array([f"org{i % 17}/repo{i}" for i in range(n_repos)])[repo_idx]
+    dirs = np.array(["src", "lib", "pkg", "internal", "app", "docs"])[
+        rng.randint(0, 6, n_files)
+    ]
+    exts = LANGS[rng.randint(0, len(LANGS), n_files)]
+    paths = np.array(
+        [f"{d}/mod_{i}.{e}" for i, (d, e) in enumerate(zip(dirs, exts))]
+    )
+    return repos, paths
+
+
+def make_content(file_ids: np.ndarray, versions: np.ndarray, seed: int = 42) -> list[str]:
+    """Deterministic code-like content for (file, version) pairs with
+    occasional embedded PII tokens."""
+    tmpl_idx = (file_ids * 31 + 7) % len(_CODE_TEMPLATES)
+    pii_idx = (file_ids * 13 + versions * 57) % len(_PII_SNIPPETS)
+    return [
+        _CODE_TEMPLATES[t].format(i=int(f) * 1000 + int(v), pii=_PII_SNIPPETS[p])
+        for t, f, v, p in zip(tmpl_idx, file_ids, versions, pii_idx)
+    ]
+
+
+EVENTS_SCHEMA = pa.schema(
+    [
+        ("seq", pa.int64()),
+        ("op", pa.string()),
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("commit", pa.string()),
+        ("lang", pa.string()),
+        ("content", pa.string()),  # null for deletes and for v1 rows
+        ("body", pa.string()),  # legacy v1 payload column (pre-rename)
+        ("schema_ver", pa.int32()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+
+def generate_change_events(
+    n_events: int,
+    *,
+    n_repos: int = 20,
+    n_files: int = 500,
+    seed: int = 42,
+    dup_fraction: float = 0.05,
+    delete_fraction: float = 0.07,
+    v1_fraction: float = 0.2,
+) -> pa.Table:
+    """The CDC log as one Arrow table, rows shuffled out of seq order.
+
+    Duplicates are *exact copies* of earlier events (same seq) appended
+    to the stream — replays of an at-least-once source. The first
+    ``v1_fraction`` of seqs are schema version 1 (payload in ``body``);
+    the rest are v2 (payload in ``content``).
+    """
+    rng = np.random.RandomState(seed + 1)
+    repos, paths = generate_file_keys(n_repos, n_files, seed)
+
+    file_ids = rng.randint(0, n_files, n_events)
+    seqs = np.arange(n_events, dtype=np.int64)
+    # version number of a file at its k-th touch = running count
+    order = np.argsort(file_ids, kind="stable")
+    counts = np.zeros(n_events, dtype=np.int64)
+    _, starts = np.unique(file_ids[order], return_index=True)
+    grouped = np.split(order, starts[1:])
+    for g in grouped:
+        counts[g] = np.arange(len(g))
+    ops = np.where(
+        rng.rand(n_events) < delete_fraction,
+        "delete",
+        np.where(counts == 0, "insert", "update"),
+    )
+
+    content = np.array(make_content(file_ids, counts, seed), dtype=object)
+    content[ops == "delete"] = None
+
+    v1_mask = seqs < int(n_events * v1_fraction)
+    body = np.where(v1_mask, content, None)
+    content_col = np.where(v1_mask, None, content)
+
+    commits = np.array(
+        [
+            _commit_sha(r, p, s)
+            for r, p, s in zip(repos[file_ids], paths[file_ids], seqs)
+        ]
+    )
+    langs = np.array([p.rsplit(".", 1)[1] for p in paths[file_ids]])
+    ts = (np.int64(1700000000_000000) + seqs * 1000).astype("datetime64[us]")
+
+    tbl = pa.table(
+        {
+            "seq": seqs,
+            "op": ops,
+            "repo": repos[file_ids],
+            "path": paths[file_ids],
+            "commit": commits,
+            "lang": langs,
+            "content": pa.array(content_col.tolist(), type=pa.string()),
+            "body": pa.array(body.tolist(), type=pa.string()),
+            "schema_ver": pa.array(
+                np.where(v1_mask, 1, 2).astype(np.int32), type=pa.int32()
+            ),
+            "ts": pa.array(ts, type=pa.timestamp("us")),
+        },
+        schema=EVENTS_SCHEMA,
+    )
+
+    # duplicate slices (replayed deliveries)
+    n_dup = int(n_events * dup_fraction)
+    if n_dup:
+        dup_idx = rng.randint(0, n_events, n_dup)
+        tbl = pa.concat_tables([tbl, tbl.take(dup_idx)])
+
+    # global out-of-order shuffle
+    perm = rng.permutation(tbl.num_rows)
+    return tbl.take(perm)
+
+
+def write_events_parquet(
+    out_dir: str, n_events: int, *, n_shards: int = 8, **kwargs
+) -> str:
+    """Shard the stream into multiple parquet files (the multi-file log
+    a real binlog tail would produce). Idempotent: skips if complete."""
+    os.makedirs(out_dir, exist_ok=True)
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return out_dir
+    tbl = generate_change_events(n_events, **kwargs)
+    shard_size = (tbl.num_rows + n_shards - 1) // n_shards
+    for i in range(n_shards):
+        sl = tbl.slice(i * shard_size, shard_size)
+        if sl.num_rows:
+            pq.write_table(
+                sl, os.path.join(out_dir, f"events-{i:04d}.parquet"),
+                compression="zstd",
+            )
+    with open(marker, "w") as f:
+        f.write(str(tbl.num_rows))
+    return out_dir
+
+
+def oracle_replay(events: pa.Table) -> dict[tuple[str, str], tuple[int, str]]:
+    """Single-process reference replay: apply events in (seq, commit)
+    order per key; final state maps (repo, path) -> (seq, content) for
+    keys whose last event is not a delete. This is the correctness
+    oracle the distributed pipeline must match (content sha256
+    equality)."""
+    state: dict[tuple[str, str], tuple[int, str | None]] = {}
+    cols = events.select(
+        ["seq", "op", "repo", "path", "content", "body", "schema_ver"]
+    ).to_pydict()
+    rows = sorted(
+        zip(
+            cols["seq"], cols["op"], cols["repo"], cols["path"],
+            cols["content"], cols["body"], cols["schema_ver"],
+        ),
+        key=lambda r: (r[0], r[1]),
+    )
+    for seq, op, repo, path, content, body, ver in rows:
+        payload = body if ver == 1 else content
+        key = (repo, path)
+        prev = state.get(key)
+        if prev is not None and prev[0] >= seq:
+            continue  # duplicate / stale
+        state[key] = (seq, None if op == "delete" else payload)
+    return {k: (s, c) for k, (s, c) in state.items() if c is not None}

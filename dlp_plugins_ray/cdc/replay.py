@@ -1,0 +1,374 @@
+"""CDC replay -> LWW upsert -> exactly-once lake sink.
+
+The engine the north rule asks for: tail a change-event log over the
+source-code table, apply the redaction policy as a stateful actor-pool
+stage, then upsert by (repo, path) with last-writer-wins on commit
+``seq`` into a hash-partitioned lake table with commit manifests.
+
+Dataflow (all streaming, one all-to-all exchange):
+
+    read_parquet(events, columns=needed)            # prune at the read
+      -> map_batches(normalize)                     # schema evolution
+      -> map_batches(checkpoint filter)             # resume: drop seq <= committed
+      -> map_batches(RedactionStage, actor pool)    # policy transforms
+      -> map_batches(partial LWW combiner)          # per-block pre-reduce:
+                                                    #   <=1 row per key per block
+      -> groupby(_pkey).map_groups(finalize+write)  # ONE shuffle, partition-
+                                                    #   aligned reduce + commit
+      -> small manifest dataset -> driver
+
+Scale notes:
+- The combiner collapses hot keys inside every block before the
+  shuffle, so a repo with 10^7 updates ships at most (#blocks) rows,
+  not 10^7 — the classic combiner answer to skew. For adversarial skew
+  an optional salted two-phase reduce (`salt_buckets`) inserts a
+  (pkey, salt) pre-shuffle reduce before the final per-pkey pass; both
+  phases compare (seq, commit) so LWW is unaffected.
+- LWW never relies on block or row order: the winner is the max
+  (seq, commit) within the key group, broken deterministically.
+- The sink writes one parquet + manifest per pkey inside the reduce
+  task itself: no second shuffle, and a failed run resumes by skipping
+  committed partitions (exactly-once via atomic manifest commit).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..policy import Policy
+from ..stages.redact import RedactionStage
+from ..state import manifest as mf
+from ..state.schema_registry import SchemaRegistry
+
+# The lake-table logical schema after normalization (input_hint shape +
+# CDC bookkeeping columns).
+TARGET_SCHEMA = pa.schema(
+    [
+        ("seq", pa.int64()),
+        ("op", pa.string()),
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("commit", pa.string()),
+        ("lang", pa.string()),
+        ("content", pa.string()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+DEFAULT_REGISTRY = (
+    SchemaRegistry()
+    .add_version(1)
+    .add_version(2, renames={"body": "content"})
+)
+
+PKEY_COL = "_pkey"
+
+
+def key_hash(repos, paths) -> np.ndarray:
+    """Stable 64-bit key hash (crc32 pair) — NOT Python hash() which is
+    per-process salted. Vectorization: content-independent, cheap."""
+    return np.array(
+        [
+            (zlib.crc32(r.encode()) << 32) | zlib.crc32(p.encode())
+            for r, p in zip(repos, paths)
+        ],
+        dtype=np.uint64,
+    )
+
+
+def add_pkey(batch: pa.Table, num_partitions: int) -> pa.Table:
+    repos = batch.column("repo").to_pylist()
+    paths = batch.column("path").to_pylist()
+    pk = (key_hash(repos, paths) % num_partitions).astype(np.int64)
+    return batch.append_column(PKEY_COL, pa.array(pk, type=pa.int64()))
+
+
+def lww_reduce(batch: pa.Table, keys=("repo", "path")) -> pa.Table:
+    """Vectorized within-batch LWW: keep the max-(seq, commit) row per
+    key. Used both as the per-block combiner and the per-partition
+    finalizer. Deterministic tie-break on commit for duplicate seqs."""
+    if batch.num_rows == 0:
+        return batch
+    import polars as pl
+
+    schema = batch.schema
+    df = pl.from_arrow(batch)
+    out = (
+        df.sort(["seq", "commit"])
+        .group_by(list(keys), maintain_order=False)
+        .last()
+    )
+    arrow = out.to_arrow().select(schema.names)
+    return arrow.cast(schema)
+
+
+def drop_tombstones(batch: pa.Table) -> pa.Table:
+    return batch.filter(pc.not_equal(pc.fill_null(batch.column("op"), ""), "delete"))
+
+
+def _row_checksum(batch: pa.Table) -> int:
+    """Order-insensitive content checksum: sum of per-row
+    sha256(repo|path|seq|content) mod 2^64."""
+    total = 0
+    for r, p, s, c in zip(
+        batch.column("repo").to_pylist(),
+        batch.column("path").to_pylist(),
+        batch.column("seq").to_pylist(),
+        batch.column("content").to_pylist(),
+    ):
+        h = hashlib.sha256(f"{r}|{p}|{s}|{c}".encode()).digest()
+        total = (total + int.from_bytes(h[:8], "big")) % (1 << 64)
+    return total
+
+
+class NormalizeStage:
+    """Schema-evolution normalization (map_batches fn)."""
+
+    def __init__(self, registry: SchemaRegistry | None = None, version_col="schema_ver"):
+        self.registry = registry or DEFAULT_REGISTRY
+        self.version_col = version_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.version_col in batch.column_names:
+            return self.registry.normalize_mixed(
+                batch, self.version_col, TARGET_SCHEMA
+            )
+        return self.registry.normalize(
+            batch, self.registry.latest, TARGET_SCHEMA
+        )
+
+
+class CheckpointFilter:
+    """Resume support: drop events already reflected in the committed
+    table (seq <= per-partition committed max_seq). The checkpoint dict
+    is tiny (one int per partition) — broadcast by value."""
+
+    def __init__(self, checkpoint: dict[int, int], num_partitions: int):
+        self.checkpoint = checkpoint
+        self.num_partitions = num_partitions
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.checkpoint or batch.num_rows == 0:
+            return batch
+        repos = batch.column("repo").to_pylist()
+        paths = batch.column("path").to_pylist()
+        pk = key_hash(repos, paths) % self.num_partitions
+        committed = np.array(
+            [self.checkpoint.get(int(p), -1) for p in pk], dtype=np.int64
+        )
+        seqs = batch.column("seq").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(seqs > committed))
+
+
+class FinalizeAndCommit:
+    """Per-partition group finalizer: LWW within the partition, merge
+    with the base table's existing partition data (incremental runs),
+    drop tombstones, write parquet + manifest atomically. Returns the
+    one-row manifest table (the only data that travels back)."""
+
+    def __init__(
+        self,
+        out_dir: str,
+        epoch: str,
+        *,
+        merge_base: bool = False,
+        lineage: dict | None = None,
+        skip_partitions: frozenset[int] = frozenset(),
+    ):
+        self.out_dir = out_dir
+        self.epoch = epoch
+        self.merge_base = merge_base
+        self.lineage = lineage or {}
+        self.skip = skip_partitions
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _manifest_row_table([])
+        pkey = int(group.column(PKEY_COL)[0].as_py())
+        if pkey in self.skip:
+            return _manifest_row_table([])  # already committed this epoch
+        group = group.drop_columns([PKEY_COL])
+
+        if self.merge_base:
+            base_path = mf.partition_data_path(self.out_dir, pkey)
+            if os.path.exists(base_path):
+                import pyarrow.parquet as pq
+
+                base = pq.read_table(base_path)
+                group = pa.concat_tables(
+                    [base.select(group.column_names).cast(group.schema), group]
+                )
+
+        final = lww_reduce(group)
+        final = drop_tombstones(final)
+        max_seq = (
+            int(pc.max(group.column("seq")).as_py()) if group.num_rows else -1
+        )
+        man = mf.PartitionManifest(
+            partition=pkey,
+            epoch=self.epoch,
+            max_seq=max_seq,
+            row_count=final.num_rows,
+            checksum=str(_row_checksum(final)),
+            lineage=self.lineage,
+            metrics={"events_applied": group.num_rows},
+        )
+        mf.commit_partition(self.out_dir, final, man)
+        return _manifest_row_table([man])
+
+
+def _manifest_row_table(mans: list[mf.PartitionManifest]) -> pa.Table:
+    return pa.table(
+        {
+            "partition": pa.array([m.partition for m in mans], type=pa.int64()),
+            "epoch": pa.array([m.epoch for m in mans], type=pa.string()),
+            "max_seq": pa.array([m.max_seq for m in mans], type=pa.int64()),
+            "row_count": pa.array([m.row_count for m in mans], type=pa.int64()),
+            "checksum": pa.array([m.checksum for m in mans], type=pa.string()),
+            "events_applied": pa.array(
+                [m.metrics.get("events_applied", 0) for m in mans], type=pa.int64()
+            ),
+        }
+    )
+
+
+def compute_epoch(events_path: str, policy_fingerprint: str | None) -> str:
+    return hashlib.sha256(
+        f"{events_path}|{policy_fingerprint or 'nopolicy'}".encode()
+    ).hexdigest()[:16]
+
+
+def replay(
+    events_path: str | list[str],
+    out_dir: str,
+    *,
+    policy: Policy | dict | None = None,
+    registry: SchemaRegistry | None = None,
+    num_partitions: int = 32,
+    batch_size: int = 8192,
+    redact_concurrency=None,
+    salt_buckets: int = 0,
+    incremental: bool = False,
+    resume: bool = True,
+    epoch: str | None = None,
+):
+    """Run the full replay; returns (manifest pandas DataFrame, epoch).
+
+    ``incremental=True`` merges with existing partition data (apply a
+    new slice of the log onto a committed table); ``resume=True`` skips
+    partitions already committed under the same epoch and, for
+    incremental runs, filters events at or below the committed
+    checkpoint before the shuffle.
+    """
+    import ray.data as rd
+
+    pol = (
+        policy
+        if isinstance(policy, Policy) or policy is None
+        else Policy.from_json(policy)
+    )
+    epoch = epoch or compute_epoch(
+        str(events_path), pol.fingerprint() if pol else None
+    )
+
+    skip: frozenset[int] = frozenset()
+    checkpoint: dict[int, int] = {}
+    if resume:
+        skip = frozenset(mf.committed_partitions(out_dir, epoch))
+        if incremental:
+            checkpoint = mf.table_checkpoint(out_dir)
+
+    ds = rd.read_parquet(events_path)
+    ds = ds.map_batches(
+        NormalizeStage(registry), batch_format="pyarrow", batch_size=batch_size
+    )
+    if checkpoint:
+        ds = ds.map_batches(
+            CheckpointFilter(checkpoint, num_partitions),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+    if pol is not None:
+        ds = ds.map_batches(
+            RedactionStage,
+            fn_constructor_args=(pol.to_json(),),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=redact_concurrency or (1, 16),
+        )
+    # per-block combiner then partition tag
+    ds = ds.map_batches(lww_reduce, batch_format="pyarrow", batch_size=batch_size)
+    ds = ds.map_batches(
+        lambda b: add_pkey(b, num_partitions), batch_format="pyarrow"
+    )
+    if salt_buckets > 1:
+        # phase 1: reduce per (pkey, salt) to shrink adversarially hot
+        # partitions before the final exchange
+        def _add_salt(b: pa.Table) -> pa.Table:
+            seqs = b.column("seq").to_numpy(zero_copy_only=False)
+            return b.append_column(
+                "_salt", pa.array((seqs % salt_buckets).astype(np.int64))
+            )
+
+        ds = ds.map_batches(_add_salt, batch_format="pyarrow")
+        ds = ds.groupby([PKEY_COL, "_salt"]).map_groups(
+            lambda g: lww_reduce(g), batch_format="pyarrow"
+        )
+        ds = ds.map_batches(
+            lambda b: b.drop_columns(["_salt"]), batch_format="pyarrow"
+        )
+
+    lineage = {
+        "policy": pol.fingerprint() if pol else None,
+        "events": str(events_path),
+        "field_operations": pol.field_operations(TARGET_SCHEMA) if pol else [],
+    }
+    committer = FinalizeAndCommit(
+        out_dir,
+        epoch,
+        merge_base=incremental,
+        lineage=lineage,
+        skip_partitions=skip,
+    )
+
+    def finalize_and_commit(group: pa.Table) -> pa.Table:
+        return committer(group)
+
+    manifests = ds.groupby(PKEY_COL).map_groups(
+        finalize_and_commit, batch_format="pyarrow"
+    )
+    mpdf = manifests.to_pandas()
+    # run-level manifest for observability
+    run_manifest = {
+        "epoch": epoch,
+        "partitions": int(mpdf.shape[0]),
+        "rows": int(mpdf["row_count"].sum()) if len(mpdf) else 0,
+        "events_applied": int(mpdf["events_applied"].sum()) if len(mpdf) else 0,
+        "lineage": lineage,
+    }
+    mf.atomic_write_bytes(
+        os.path.join(out_dir, mf.MANIFEST_DIR, f"run-{epoch}.json"),
+        json.dumps(run_manifest, indent=1).encode(),
+    )
+    return mpdf, epoch
+
+
+def read_lake_table(out_dir: str):
+    """Read the committed table back as a Dataset (one file per
+    partition dir)."""
+    import ray.data as rd
+
+    paths = []
+    for name in sorted(os.listdir(out_dir)):
+        if name.startswith("part-"):
+            p = os.path.join(out_dir, name, "data.parquet")
+            if os.path.exists(p):
+                paths.append(p)
+    return rd.read_parquet(paths)

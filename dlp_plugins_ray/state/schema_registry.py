@@ -1,0 +1,135 @@
+"""Arrow-schema merge registry — column add/rename evolution for the
+CDC stream.
+
+The reference has a fixed deploy-time schema (output ≡ input,
+SensitiveRecordRedaction.java:102-108) and no evolution. The north rule
+adds it: change events arrive stamped with a ``schema_ver``; older
+versions may use old column names or miss newer columns. The registry
+holds one entry per version:
+
+    SchemaRegistry()
+      .add_version(1)                                   # base
+      .add_version(2, renames={"body": "content"})      # rename
+      .add_version(3, added=["lang"])                   # column add
+
+``normalize(batch)`` maps every batch to the LATEST logical schema
+deterministically: renames applied (chained across versions), missing
+columns null-filled, order fixed. This runs inside map_batches, before
+the transform stage, so the rest of the pipeline sees ONE schema.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+
+@dataclass
+class SchemaVersion:
+    version: int
+    renames: dict[str, str] = field(default_factory=dict)  # old -> new
+    added: list[str] = field(default_factory=list)
+
+
+class SchemaRegistry:
+    def __init__(self) -> None:
+        self._versions: dict[int, SchemaVersion] = {}
+
+    def add_version(
+        self,
+        version: int,
+        *,
+        renames: dict[str, str] | None = None,
+        added: list[str] | None = None,
+    ) -> "SchemaRegistry":
+        if version in self._versions:
+            raise ValueError(f"Schema version {version} already registered")
+        if self._versions and version <= max(self._versions):
+            raise ValueError("Schema versions must be registered in increasing order")
+        self._versions[version] = SchemaVersion(
+            version, dict(renames or {}), list(added or [])
+        )
+        return self
+
+    @property
+    def latest(self) -> int:
+        return max(self._versions) if self._versions else 0
+
+    def rename_chain(self, from_version: int) -> dict[str, str]:
+        """Cumulative old->latest column-name map for data written at
+        ``from_version``. Renames in later versions chain (a->b then
+        b->c gives a->c)."""
+        mapping: dict[str, str] = {}
+        for v in sorted(self._versions):
+            if v <= from_version:
+                continue
+            step = self._versions[v].renames
+            # chain existing targets through this step
+            for old, cur in list(mapping.items()):
+                if cur in step:
+                    mapping[old] = step[cur]
+            for old, new in step.items():
+                if old not in mapping.values():
+                    mapping.setdefault(old, new)
+        return mapping
+
+    def normalize(
+        self,
+        batch: pa.Table,
+        version: int,
+        target_schema: pa.Schema,
+    ) -> pa.Table:
+        """Rename + null-fill + reorder ``batch`` (written at schema
+        ``version``) to ``target_schema``. Deterministic: same input ->
+        same output regardless of batch/block order.
+
+        Column sourcing is per target field (``content`` sources from
+        ``body`` for pre-rename versions), so a physical batch that
+        carries BOTH old and new columns (mixed-version parquet)
+        normalizes correctly."""
+        renames = self.rename_chain(version)
+        inverse = {new: old for old, new in renames.items()}
+        cols = []
+        n = batch.num_rows
+        for fld in target_schema:
+            src = inverse.get(fld.name, fld.name)
+            idx = batch.schema.get_field_index(src)
+            if idx < 0 and src != fld.name:
+                idx = batch.schema.get_field_index(fld.name)
+            if idx >= 0:
+                col = batch.column(idx)
+                if col.type != fld.type:
+                    col = col.cast(fld.type)
+                cols.append(col)
+            else:
+                cols.append(pa.nulls(n, type=fld.type))
+        return pa.Table.from_arrays(cols, schema=target_schema)
+
+    def normalize_mixed(
+        self, batch: pa.Table, version_col: str, target_schema: pa.Schema
+    ) -> pa.Table:
+        """Normalize a batch whose rows may span schema versions
+        (version per row in ``version_col``): partition by version,
+        normalize each slice, concat. Order within the batch is
+        preserved only per-version — irrelevant downstream because the
+        upsert orders by ``seq``, never by block/row order."""
+        import pyarrow.compute as pc
+
+        versions = batch.column(version_col)
+        uniq = pc.unique(versions).to_pylist()
+        if len(uniq) == 1:
+            return self.normalize(batch, uniq[0] or self.latest, target_schema)
+        parts = []
+        for v in uniq:
+            mask = pc.equal(versions, v)
+            parts.append(
+                self.normalize(batch.filter(mask), v or self.latest, target_schema)
+            )
+        return pa.concat_tables(parts)
+
+
+def unify_schemas(schemas: list[pa.Schema]) -> pa.Schema:
+    """Merge schemas (superset of columns, first-seen order) —
+    pa.unify_schemas with permissive promotion."""
+    return pa.unify_schemas(schemas, promote_options="permissive")

@@ -1,0 +1,269 @@
+"""CDC engine tests: generator determinism, schema evolution, LWW
+upsert vs the single-process oracle, exactly-once resume, incremental
+apply, tombstones, redaction-in-replay (sha256 invariant)."""
+
+import hashlib
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from dlp_plugins_ray.cdc import events as EV
+from dlp_plugins_ray.cdc import replay as RP
+from dlp_plugins_ray.state import manifest as MF
+from dlp_plugins_ray.state.schema_registry import SchemaRegistry
+
+
+class TestGenerator:
+    def test_deterministic(self):
+        a = EV.generate_change_events(500, seed=7)
+        b = EV.generate_change_events(500, seed=7)
+        assert a.equals(b)
+
+    def test_stream_properties(self):
+        t = EV.generate_change_events(2000)
+        seqs = t.column("seq").to_pylist()
+        assert len(seqs) > 2000  # duplicates appended
+        assert len(set(seqs)) == 2000
+        assert seqs != sorted(seqs)  # out of order
+        ops = set(t.column("op").to_pylist())
+        assert ops == {"insert", "update", "delete"}
+        vers = set(t.column("schema_ver").to_pylist())
+        assert vers == {1, 2}
+        # v1 rows carry payload in body, v2 in content
+        import pyarrow.compute as pc
+
+        v1 = t.filter(pc.equal(t.column("schema_ver"), 1))
+        nondel = v1.filter(pc.not_equal(v1.column("op"), "delete"))
+        assert nondel.column("content").null_count == nondel.num_rows
+        assert nondel.column("body").null_count == 0
+
+
+class TestSchemaRegistry:
+    def test_rename_chain(self):
+        reg = (
+            SchemaRegistry()
+            .add_version(1)
+            .add_version(2, renames={"a": "b"})
+            .add_version(3, renames={"b": "c"})
+        )
+        assert reg.rename_chain(1) == {"a": "c", "b": "c"}
+        assert reg.rename_chain(2) == {"b": "c"}
+        assert reg.rename_chain(3) == {}
+
+    def test_normalize_renames_and_fills(self):
+        reg = SchemaRegistry().add_version(1).add_version(2, renames={"body": "content"})
+        target = pa.schema([("content", pa.string()), ("lang", pa.string())])
+        batch = pa.table({"body": ["x"], "content": pa.array([None], pa.string())})
+        out = reg.normalize(batch, 1, target)
+        assert out.column("content").to_pylist() == ["x"]
+        assert out.column("lang").to_pylist() == [None]
+
+    def test_normalize_mixed_versions(self):
+        reg = RP.DEFAULT_REGISTRY
+        batch = pa.table(
+            {
+                "seq": [1, 2],
+                "op": ["insert", "update"],
+                "repo": ["r", "r"],
+                "path": ["p", "p"],
+                "commit": ["c1", "c2"],
+                "lang": ["py", "py"],
+                "content": pa.array([None, "new"], pa.string()),
+                "body": pa.array(["old", None], pa.string()),
+                "schema_ver": pa.array([1, 2], pa.int32()),
+                "ts": pa.array([None, None], pa.timestamp("us")),
+            }
+        )
+        out = reg.normalize_mixed(batch, "schema_ver", RP.TARGET_SCHEMA)
+        got = dict(zip(out.column("seq").to_pylist(), out.column("content").to_pylist()))
+        assert got == {1: "old", 2: "new"}
+        assert out.schema == RP.TARGET_SCHEMA
+
+    def test_version_order_enforced(self):
+        reg = SchemaRegistry().add_version(2)
+        with pytest.raises(ValueError):
+            reg.add_version(1)
+
+
+class TestLwwReduce:
+    def test_max_seq_wins_any_order(self):
+        t = pa.table(
+            {
+                "seq": [3, 1, 2],
+                "op": ["update"] * 3,
+                "repo": ["r"] * 3,
+                "path": ["p"] * 3,
+                "commit": ["c3", "c1", "c2"],
+                "lang": ["py"] * 3,
+                "content": ["v3", "v1", "v2"],
+                "ts": pa.array([None] * 3, pa.timestamp("us")),
+            }
+        )
+        out = RP.lww_reduce(t)
+        assert out.num_rows == 1
+        assert out.column("content").to_pylist() == ["v3"]
+        assert out.schema == t.schema
+
+    def test_duplicate_seq_deterministic(self):
+        rows = {
+            "seq": [5, 5],
+            "op": ["update"] * 2,
+            "repo": ["r"] * 2,
+            "path": ["p"] * 2,
+            "commit": ["ca", "cb"],
+            "lang": ["py"] * 2,
+            "content": ["va", "vb"],
+            "ts": pa.array([None] * 2, pa.timestamp("us")),
+        }
+        out1 = RP.lww_reduce(pa.table(rows))
+        rev = {k: (list(reversed(v)) if isinstance(v, list) else v) for k, v in rows.items()}
+        rev["ts"] = pa.array([None] * 2, pa.timestamp("us"))
+        out2 = RP.lww_reduce(pa.table(rev))
+        assert out1.column("content").to_pylist() == out2.column("content").to_pylist() == ["vb"]
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events")
+    EV.write_events_parquet(str(d), 3000, n_shards=4, seed=11)
+    return str(d)
+
+
+def _read_all_events(events_dir):
+    import glob
+
+    return pa.concat_tables(
+        [pq.read_table(p) for p in sorted(glob.glob(os.path.join(events_dir, "*.parquet")))]
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReplay:
+    def test_matches_oracle(self, events_dir, tmp_path):
+        out = str(tmp_path / "lake")
+        mpdf, epoch = RP.replay(events_dir, out, num_partitions=8)
+        oracle = EV.oracle_replay(_read_all_events(events_dir))
+
+        got = RP.read_lake_table(out).to_pandas()
+        assert len(got) == len(oracle)
+        for _, row in got.iterrows():
+            oseq, ocontent = oracle[(row["repo"], row["path"])]
+            assert row["seq"] == oseq
+            assert (
+                hashlib.sha256(row["content"].encode()).hexdigest()
+                == hashlib.sha256(ocontent.encode()).hexdigest()
+            )
+
+    def test_salted_two_phase_same_result(self, events_dir, tmp_path):
+        out1 = str(tmp_path / "lake1")
+        out2 = str(tmp_path / "lake2")
+        RP.replay(events_dir, out1, num_partitions=8)
+        RP.replay(events_dir, out2, num_partitions=8, salt_buckets=4)
+        t1 = RP.read_lake_table(out1).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+        t2 = RP.read_lake_table(out2).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+        assert t1[["repo", "path", "seq", "content"]].equals(
+            t2[["repo", "path", "seq", "content"]]
+        )
+
+    def test_resume_skips_committed(self, events_dir, tmp_path):
+        out = str(tmp_path / "lake")
+        mpdf1, epoch = RP.replay(events_dir, out, num_partitions=8)
+        n_manifests = len(os.listdir(os.path.join(out, MF.MANIFEST_DIR)))
+        # second run, same epoch: all partitions skipped, nothing rewritten
+        mpdf2, epoch2 = RP.replay(events_dir, out, num_partitions=8)
+        assert epoch2 == epoch
+        assert len(mpdf2) == 0
+        # same epoch overwrites only its run manifest; partition commits untouched
+        assert len(os.listdir(os.path.join(out, MF.MANIFEST_DIR))) == n_manifests
+
+    def test_rerun_is_idempotent(self, events_dir, tmp_path):
+        out = str(tmp_path / "lake")
+        RP.replay(events_dir, out, num_partitions=8)
+        before = RP.read_lake_table(out).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+        # force full re-execution (resume off) — atomic overwrite, same state
+        RP.replay(events_dir, out, num_partitions=8, resume=False)
+        after = RP.read_lake_table(out).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+        assert before.equals(after)
+
+    def test_incremental_apply(self, tmp_path):
+        full = EV.generate_change_events(2000, seed=23)
+        # split the log at seq 1000 into two deliveries
+        import pyarrow.compute as pc
+
+        first = full.filter(pc.less(full.column("seq"), 1000))
+        second = full.filter(pc.greater_equal(full.column("seq"), 1000))
+        d1, d2 = str(tmp_path / "ev1"), str(tmp_path / "ev2")
+        os.makedirs(d1), os.makedirs(d2)
+        pq.write_table(first, os.path.join(d1, "events.parquet"))
+        pq.write_table(second, os.path.join(d2, "events.parquet"))
+
+        out_inc = str(tmp_path / "lake_inc")
+        RP.replay(d1, out_inc, num_partitions=8)
+        RP.replay(d2, out_inc, num_partitions=8, incremental=True)
+
+        out_full = str(tmp_path / "lake_full")
+        dall = str(tmp_path / "evall")
+        os.makedirs(dall)
+        pq.write_table(full, os.path.join(dall, "events.parquet"))
+        RP.replay(dall, out_full, num_partitions=8)
+
+        a = RP.read_lake_table(out_inc).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+        b = RP.read_lake_table(out_full).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+        assert a[["repo", "path", "seq", "content"]].equals(
+            b[["repo", "path", "seq", "content"]]
+        )
+
+    def test_replay_with_redaction_policy(self, events_dir, tmp_path):
+        out = str(tmp_path / "lake_redacted")
+        policy = {
+            "transforms": [
+                {
+                    "transform": "REPLACE_VALUE",
+                    "fields": "content",
+                    "filters": "NONE",
+                    "transformProperties": {"newValue": "[PII]"},
+                }
+            ],
+            "customTemplateEnabled": True,
+            "templateId": "DemoTemplate",
+        }
+        RP.replay(events_dir, out, policy=policy, num_partitions=8)
+        got = RP.read_lake_table(out).to_pandas()
+        # the oracle: redact the oracle-final contents the same way
+        from dlp_plugins_ray.stages.redact import RedactionStage
+
+        oracle = EV.oracle_replay(_read_all_events(events_dir))
+        stage = RedactionStage(policy)
+        keys = list(oracle)
+        otbl = pa.table(
+            {
+                "repo": [k[0] for k in keys],
+                "path": [k[1] for k in keys],
+                "content": [oracle[k][1] for k in keys],
+            }
+        )
+        redacted = stage(otbl)
+        want = {
+            (r, p): hashlib.sha256(c.encode()).hexdigest()
+            for r, p, c in zip(
+                redacted.column("repo").to_pylist(),
+                redacted.column("path").to_pylist(),
+                redacted.column("content").to_pylist(),
+            )
+        }
+        for _, row in got.iterrows():
+            assert (
+                hashlib.sha256(row["content"].encode()).hexdigest()
+                == want[(row["repo"], row["path"])]
+            )
+        assert any("[PII]" in c for c in got["content"])
+
+    def test_manifest_checkpoint(self, events_dir, tmp_path):
+        out = str(tmp_path / "lake")
+        RP.replay(events_dir, out, num_partitions=8)
+        ckpt = MF.table_checkpoint(out)
+        assert len(ckpt) > 0
+        assert all(isinstance(v, int) and v >= 0 for v in ckpt.values())
