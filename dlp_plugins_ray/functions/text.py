@@ -1,0 +1,158 @@
+"""Text-analysis kernels for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All vectorized (numpy / pandas string methods / C regex); designed to
+run inside ``map_batches`` with thousands of documents per call.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+# --- language ID: tiny stopword-profile heuristic -------------------------
+# Public-knowledge frequent-word profiles; a stand-in for fasttext-style
+# models (not available offline). Deterministic and fast.
+_LANG_PROFILES: dict[str, frozenset[str]] = {
+    "en": frozenset(
+        "the of and to in a is that it for on with as are was be this have from or".split()
+    ),
+    "es": frozenset(
+        "el la de que y en un ser se no por con para su al lo como mas pero sus le".split()
+    ),
+    "fr": frozenset(
+        "le de un etre et a il avoir ne je son que se qui ce dans en du elle au pour".split()
+    ),
+    "de": frozenset(
+        "der die das und sein in ein zu haben ich werden sie von nicht mit es sich auf".split()
+    ),
+    "pt": frozenset(
+        "o a de que e do da em um para com nao uma os no se na por mais as dos como".split()
+    ),
+}
+
+_WORD_RE = re.compile(r"[a-zA-ZÀ-ÿ]+")
+_TOKEN_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+_STOPWORDS_EN = _LANG_PROFILES["en"]
+
+
+def detect_language(text: str) -> str:
+    """Best-scoring stopword profile; 'und' (undetermined) when nothing
+    matches."""
+    words = [w.lower() for w in _WORD_RE.findall(text)]
+    if not words:
+        return "und"
+    best, best_score = "und", 0
+    for lang, profile in _LANG_PROFILES.items():
+        score = sum(1 for w in words if w in profile)
+        if score > best_score:
+            best, best_score = lang, score
+    return best
+
+
+def token_count(text: str) -> int:
+    """BPE-ish token estimate: words + standalone punctuation."""
+    return len(_TOKEN_RE.findall(text))
+
+
+def whitespace_token_count(text: str) -> int:
+    return len(text.split())
+
+
+def quality_features(text: str) -> dict:
+    """Length / punctuation / stopword-ratio features used for corpus
+    quality filtering (C4/Gopher-style heuristics from public papers)."""
+    n_chars = len(text)
+    words = text.split()
+    n_words = len(words)
+    mean_word_len = (sum(len(w) for w in words) / n_words) if n_words else 0.0
+    n_alpha = sum(c.isalpha() for c in text)
+    n_digit = sum(c.isdigit() for c in text)
+    n_punct = sum(not c.isalnum() and not c.isspace() for c in text)
+    lower = [w.lower().strip(".,;:!?") for w in words]
+    n_stop = sum(1 for w in lower if w in _STOPWORDS_EN)
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "alpha_ratio": (n_alpha / n_chars) if n_chars else 0.0,
+        "digit_ratio": (n_digit / n_chars) if n_chars else 0.0,
+        "punct_ratio": (n_punct / n_chars) if n_chars else 0.0,
+        "stopword_ratio": (n_stop / n_words) if n_words else 0.0,
+    }
+
+
+def quality_score(text: str) -> float:
+    """Scalar [0,1] quality: penalize too-short, low-alpha,
+    stopword-free (non-prose) documents."""
+    f = quality_features(text)
+    score = 1.0
+    if f["n_words"] < 5:
+        score *= 0.2
+    if f["alpha_ratio"] < 0.5:
+        score *= 0.5
+    if f["stopword_ratio"] < 0.05:
+        score *= 0.7
+    if f["mean_word_len"] > 15 or (0 < f["mean_word_len"] < 2):
+        score *= 0.5
+    return score
+
+
+# --- fingerprinting --------------------------------------------------------
+
+_MOD = (1 << 61) - 1
+_BASE = 257
+
+
+def rolling_hashes(text: str, window: int = 16) -> np.ndarray:
+    """Rabin-Karp rolling hashes of every ``window``-gram (used for
+    winnowing fingerprints). O(n), numpy-free loop in C via bytes."""
+    data = text.encode("utf-8", "ignore")
+    n = len(data)
+    if n < window:
+        return np.array([_hash_bytes(data)], dtype=np.uint64) if n else np.array([], dtype=np.uint64)
+    out = np.empty(n - window + 1, dtype=np.uint64)
+    power = pow(_BASE, window - 1, _MOD)
+    h = 0
+    for i in range(window):
+        h = (h * _BASE + data[i]) % _MOD
+    out[0] = h
+    for i in range(window, n):
+        h = ((h - data[i - window] * power) * _BASE + data[i]) % _MOD
+        out[i - window + 1] = h
+    return out
+
+
+def _hash_bytes(data: bytes) -> int:
+    h = 0
+    for b in data:
+        h = (h * _BASE + b) % _MOD
+    return h
+
+
+def winnow_fingerprint(text: str, window: int = 16, select: int = 8) -> list[int]:
+    """Winnowing (Schleimer et al., SIGMOD 2003): min hash per sliding
+    window of ``select`` consecutive k-gram hashes — a compact document
+    fingerprint robust to local edits."""
+    hs = rolling_hashes(text, window)
+    if hs.size == 0:
+        return []
+    if hs.size <= select:
+        return [int(hs.min())]
+    # sliding minimum via stride trick
+    sw = np.lib.stride_tricks.sliding_window_view(hs, select)
+    mins = sw.min(axis=1)
+    return sorted(set(int(x) for x in np.unique(mins)))
+
+
+def content_fingerprint(text: str) -> str:
+    """Stable short fingerprint of winnowed hashes (document identity
+    under whitespace-level noise)."""
+    import hashlib
+
+    fp = winnow_fingerprint(text)
+    m = hashlib.sha256()
+    for h in fp:
+        m.update(h.to_bytes(8, "big"))
+    return m.hexdigest()[:16]

@@ -1,0 +1,179 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast once
+(``ray.put``), every batch does ONE numpy matmul, keeps its local top-k,
+and a final tiny sort+limit merges the partials. No shuffle of the
+corpus; the only data movement is (batch-local top-k) rows.
+
+Scale path: IVF — k-means-ish coarse centroids (sampled, trained on the
+driver over a small sample), each vector assigned to its nearest
+centroid inside map_batches; queries probe only ``nprobe`` closest
+centroid partitions. Same broadcast pattern, corpus never shuffled.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+
+def _as_matrix(col) -> np.ndarray:
+    return np.asarray(col.to_pylist(), dtype=np.float32)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class BruteForceTopK:
+    """map_batches actor: per-batch cosine scores against the broadcast
+    query matrix; emits the batch-local top-k (id, query_idx, score)."""
+
+    def __init__(self, queries_ref, id_col: str, emb_col: str, k: int):
+        q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
+        self.q = _normalize(np.asarray(q, dtype=np.float32))  # (nq, dim)
+        self.id_col = id_col
+        self.emb_col = emb_col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = _normalize(_as_matrix(batch.column(self.emb_col)))  # (n, dim)
+        ids = np.asarray(batch.column(self.id_col).to_pylist())
+        scores = emb @ self.q.T  # (n, nq)
+        n, nq = scores.shape
+        k = min(self.k, n)
+        out_ids, out_q, out_s = [], [], []
+        for qi in range(nq):
+            part = np.argpartition(-scores[:, qi], k - 1)[:k]
+            out_ids.append(ids[part])
+            out_q.append(np.full(k, qi, dtype=np.int64))
+            out_s.append(scores[part, qi])
+        return pa.table(
+            {
+                self.id_col: pa.array(np.concatenate(out_ids)),
+                "query_idx": pa.array(np.concatenate(out_q)),
+                "score": pa.array(
+                    np.concatenate(out_s).astype(np.float64)
+                ),
+            }
+        )
+
+
+def brute_force_topk(
+    ds,
+    queries: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 10,
+    concurrency=(1, 16),
+):
+    """Global top-k per query by cosine similarity. Returns a Dataset of
+    (id, query_idx, score), exactly k rows per query, ordered by score
+    desc (ties broken by id asc for determinism)."""
+    queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+    qref = ray.put(queries)
+    partials = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_args=(qref, id_col, emb_col, k),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(group)
+            .sort(["score", id_col], descending=[True, False])
+            .head(k)
+            .to_arrow()
+            .select(group.column_names)
+            .cast(group.schema)
+        )
+
+    return partials.groupby("query_idx").map_groups(
+        final_topk, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) variant — the 100 TB path
+# ---------------------------------------------------------------------------
+
+
+def train_centroids(sample: np.ndarray, n_centroids: int, iters: int = 10, seed: int = 5) -> np.ndarray:
+    """Mini k-means on a driver-side sample (the standard IVF coarse
+    quantizer). Sample size ~100k rows is plenty; the corpus itself is
+    never materialized."""
+    rng = np.random.RandomState(seed)
+    sample = _normalize(np.asarray(sample, dtype=np.float32))
+    idx = rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)
+    cent = sample[idx].copy()
+    for _ in range(iters):
+        sims = sample @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+class IvfAssignStage:
+    """map_batches actor: adds ``centroid`` (nearest coarse centroid) —
+    the partition key for an IVF-bucketed corpus layout."""
+
+    def __init__(self, centroids_ref, emb_col: str):
+        c = ray.get(centroids_ref) if not isinstance(centroids_ref, np.ndarray) else centroids_ref
+        self.cent = np.asarray(c, dtype=np.float32)
+        self.emb_col = emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = _normalize(_as_matrix(batch.column(self.emb_col)))
+        assign = (emb @ self.cent.T).argmax(axis=1).astype(np.int64)
+        return batch.append_column("centroid", pa.array(assign))
+
+
+def ivf_topk(
+    ds,
+    queries: np.ndarray,
+    centroids: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+):
+    """IVF search: assign corpus to centroids, prune batches to the
+    ``nprobe`` centroids closest to any query, brute-force the
+    survivors. On a partitioned-by-centroid lake layout the prune
+    happens at the READ (partition filter); here it's a vectorized
+    in-batch filter."""
+    queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+    cent = np.asarray(centroids, dtype=np.float32)
+    q_cent = _normalize(queries) @ cent.T  # (nq, ncent)
+    probe = set()
+    for qi in range(q_cent.shape[0]):
+        probe.update(np.argsort(-q_cent[qi])[:nprobe].tolist())
+    probe_arr = pa.array(sorted(probe), type=pa.int64())
+
+    cref = ray.put(cent)
+    assigned = ds.map_batches(
+        IvfAssignStage,
+        fn_constructor_args=(cref, emb_col),
+        batch_format="pyarrow",
+        concurrency=(1, 16),
+    )
+    pruned = assigned.map_batches(
+        lambda b: b.filter(pa.compute.is_in(b.column("centroid"), value_set=probe_arr)),
+        batch_format="pyarrow",
+    )
+    return brute_force_topk(pruned, queries, id_col=id_col, emb_col=emb_col, k=k)

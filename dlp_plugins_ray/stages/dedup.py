@@ -1,0 +1,315 @@
+"""Deduplication operators for 100 TB-scale corpora.
+
+Five flavors, each a composition of vectorized ``map_batches`` + ONE
+``groupby`` shuffle (the minimum possible for a global dedup):
+
+- exact:          sha256(content) -> hash-partition -> first per group
+- minhash_lsh:    shingle -> minhash signature -> band -> bucket groupby
+- simhash:        64-bit simhash -> band on 16-bit chunks -> buckets
+- ngram_jaccard:  candidate buckets verified by exact n-gram Jaccard
+- embedding:      cosine near-dup via LSH random-hyperplane buckets
+
+Scale design: signatures are computed per batch (numpy-vectorized
+across the whole batch); the shuffle moves only (bucket, id[, sig])
+rows — never the documents; the final keep/drop decision is a
+per-bucket reduce. The 'winner' of a duplicate group is always the min
+id, so results are deterministic under any block order.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def add_content_hash(batch: pa.Table, text_col: str, out_col: str = "content_sha") -> pa.Table:
+    vals = batch.column(text_col).to_pylist()
+    hashes = [
+        None if v is None else hashlib.sha256(v.encode("utf-8")).hexdigest()
+        for v in vals
+    ]
+    return batch.append_column(out_col, pa.array(hashes, type=pa.string()))
+
+
+def _keep_min_per_key(batch: pa.Table, key_col: str, order_col: str) -> pa.Table:
+    """Vectorized 'first writer wins': min order_col per key within the
+    batch (polars)."""
+    if batch.num_rows == 0:
+        return batch
+    import polars as pl
+
+    schema = batch.schema
+    out = (
+        pl.from_arrow(batch)
+        .sort(order_col, descending=True)
+        .group_by(key_col, maintain_order=False)
+        .last()  # after descending sort, last == min(order_col)
+    )
+    return out.to_arrow().select(schema.names).cast(schema)
+
+
+def exact_dedup(ds, *, text_col: str, id_col: str, precomputed_hash: str | None = None):
+    """Keep the min-``id_col`` row per distinct ``text_col`` value.
+    Combiner (per-block min) before the single hash groupby, so
+    mega-duplicated documents don't skew the shuffle."""
+    hash_col = precomputed_hash or "content_sha"
+    if precomputed_hash is None:
+        ds = ds.map_batches(
+            lambda b: add_content_hash(b, text_col, hash_col), batch_format="pyarrow"
+        )
+    ds = ds.map_batches(
+        lambda b: _keep_min_per_key(b, hash_col, id_col), batch_format="pyarrow"
+    )
+
+    def first_in_group(group: pa.Table) -> pa.Table:
+        return _keep_min_per_key(group, hash_col, id_col)
+
+    out = ds.groupby(hash_col).map_groups(first_in_group, batch_format="pyarrow")
+    if precomputed_hash is None:
+        out = out.map_batches(
+            lambda b: b.drop_columns([hash_col]), batch_format="pyarrow"
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# minhash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Distinct k-char shingle hashes (64-bit)."""
+    if len(text) < k:
+        return np.array(
+            [int.from_bytes(hashlib.blake2b(text.encode(), digest_size=8).digest(), "big")],
+            dtype=np.uint64,
+        )
+    shingles = {text[i : i + k] for i in range(len(text) - k + 1)}
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+            for s in shingles
+        ),
+        dtype=np.uint64,
+        count=len(shingles),
+    )
+
+
+class MinHasher:
+    """num_perm universal-hash minhash signatures; affine transforms of
+    one base hash (Broder's scheme)."""
+
+    def __init__(self, num_perm: int = 64, seed: int = 1337, shingle_k: int = 5):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, (1 << 61) - 1, num_perm).astype(np.uint64)
+        self.b = rng.randint(0, (1 << 61) - 1, num_perm).astype(np.uint64)
+        self.num_perm = num_perm
+        self.shingle_k = shingle_k
+
+    def signature(self, text: str) -> np.ndarray:
+        h = _shingle_hashes(text, self.shingle_k) % _MERSENNE
+        # (num_perm, n_shingles) affine, min over shingles
+        vals = (np.outer(self.a, h) + self.b[:, None]) % _MERSENNE
+        return vals.min(axis=1)
+
+    def signatures(self, texts: list[str | None]) -> np.ndarray:
+        out = np.zeros((len(texts), self.num_perm), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            if t:
+                out[i] = self.signature(t)
+        return out
+
+
+def band_hashes(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """(n_docs, bands) int64 band-bucket hashes."""
+    n, num_perm = sigs.shape
+    rows = num_perm // bands
+    out = np.empty((n, bands), dtype=np.int64)
+    for b in range(bands):
+        chunk = sigs[:, b * rows : (b + 1) * rows]
+        h = np.zeros(n, dtype=np.uint64)
+        for c in range(rows):
+            h = (h * np.uint64(1099511628211)) ^ chunk[:, c]
+        out[:, b] = (h >> np.uint64(1)).astype(np.int64)  # keep positive
+    return out
+
+
+class MinHashLshStage:
+    """map_batches actor: text -> exploded (band, band_hash, id) rows.
+    The heavy hashing happens here, vectorized per batch; only the
+    tiny band rows reach the shuffle."""
+
+    def __init__(
+        self,
+        text_col: str,
+        id_col: str,
+        *,
+        num_perm: int = 64,
+        bands: int = 16,
+        shingle_k: int = 5,
+        seed: int = 1337,
+    ):
+        self.hasher = MinHasher(num_perm, seed, shingle_k)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.bands = bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        ids = batch.column(self.id_col).to_pylist()
+        sigs = self.hasher.signatures(texts)
+        bh = band_hashes(sigs, self.bands)
+        n = len(texts)
+        return pa.table(
+            {
+                "band": pa.array(
+                    np.tile(np.arange(self.bands, dtype=np.int64), n)
+                ),
+                "band_hash": pa.array(bh.reshape(-1)),
+                self.id_col: pa.array(np.repeat(ids, self.bands)),
+            }
+        )
+
+
+def minhash_duplicate_pairs(
+    ds,
+    *,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+):
+    """Candidate duplicate pairs (id_a < id_b) from shared LSH buckets,
+    deduplicated across bands. Downstream can verify with exact Jaccard
+    (``verify_jaccard_pairs``)."""
+    banded = ds.map_batches(
+        MinHashLshStage,
+        fn_constructor_args=(text_col, id_col),
+        fn_constructor_kwargs=dict(
+            num_perm=num_perm, bands=bands, shingle_k=shingle_k
+        ),
+        batch_format="pyarrow",
+        concurrency=(1, 16),
+    )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(set(group.column(id_col).to_pylist()))
+        if len(ids) < 2:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+            )
+        # pair every member with the bucket minimum — enough to link the
+        # duplicate cluster without O(n^2) pairs on huge buckets
+        head = ids[0]
+        return pa.table(
+            {
+                "id_a": pa.array([head] * (len(ids) - 1), pa.int64()),
+                "id_b": pa.array(ids[1:], pa.int64()),
+            }
+        )
+
+    pairs = banded.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    )
+
+    def dedup_pairs(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(batch).unique(subset=["id_a", "id_b"]).to_arrow()
+            .cast(batch.schema)
+        )
+
+    # global pair dedup: one more tiny groupby on the pair key
+    pairs = pairs.map_batches(dedup_pairs, batch_format="pyarrow")
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+def jaccard(a: str, b: str, k: int = 5) -> float:
+    sa = {a[i : i + k] for i in range(max(1, len(a) - k + 1))}
+    sb = {b[i : i + k] for i in range(max(1, len(b) - k + 1))}
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    """Charikar simhash over word tokens (64-bit)."""
+    acc = np.zeros(64, dtype=np.int64)
+    for tok in text.split():
+        h = int.from_bytes(
+            hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "big"
+        )
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits.astype(bool), 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+class SimHashStage:
+    """map_batches fn: adds ``simhash`` plus 4x16-bit band columns for
+    bucketing (docs within hamming distance 3 share >=1 band)."""
+
+    def __init__(self, text_col: str):
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        hs = np.array(
+            [0 if t is None else simhash64(t) for t in texts], dtype=np.uint64
+        )
+        batch = batch.append_column(
+            "simhash", pa.array(hs.astype(np.int64).view(np.int64))
+        )
+        for b in range(4):
+            band = ((hs >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+            batch = batch.append_column(f"simhash_band{b}", pa.array(band))
+        return batch
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup (random hyperplane LSH)
+# ---------------------------------------------------------------------------
+
+
+class CosineLshStage:
+    """map_batches actor: embedding -> sign-bucket of ``n_planes``
+    random hyperplanes. Near-identical vectors share buckets; verify
+    exact cosine within the bucket group."""
+
+    def __init__(self, emb_col: str, id_col: str, dim: int, n_planes: int = 16, seed: int = 7):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.randn(dim, n_planes).astype(np.float32)
+        self.emb_col = emb_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = np.asarray(batch.column(self.emb_col).to_pylist(), dtype=np.float32)
+        signs = (emb @ self.planes) > 0
+        bucket = signs @ (1 << np.arange(signs.shape[1], dtype=np.int64))
+        return batch.append_column("lsh_bucket", pa.array(bucket.astype(np.int64)))

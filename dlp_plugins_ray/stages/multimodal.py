@@ -1,0 +1,167 @@
+"""Multimodal column stages — image/audio/video as opaque binary
+columns with typed metadata.
+
+The decode kernels themselves are STUBBED (no PIL/ffmpeg in this
+environment): each stage accepts a ``decoder`` callable; the default
+``deterministic_fake_decoder`` produces seeded, shape-correct output so
+the Ray-side plumbing — schema, batch sizing, actor signature, output
+layout — is real and tested. Swap in a real decoder
+(``PIL.Image.open`` / ``soundfile.read``) in production; everything
+else is unchanged.
+
+Scale notes: binary payloads are big — these stages should run with
+SMALL batch_size (e.g. 64) and ``batch_format='pyarrow'`` (binary
+columns do not survive pandas round-trips cheaply). Feature outputs are
+fixed-size list<float> columns, friendly to downstream ANN.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),  # image | audio | video
+        ("payload", pa.binary()),
+        ("mime", pa.string()),
+        ("width", pa.int32()),  # image/video
+        ("height", pa.int32()),
+        ("duration_ms", pa.int32()),  # audio/video
+    ]
+)
+
+
+def real_decoder_unavailable(payload: bytes, kind: str):
+    raise NotImplementedError(
+        "Real image/audio decoding needs PIL/ffmpeg which are not in this "
+        "container; pass decoder=... or use deterministic_fake_decoder"
+    )
+
+
+def deterministic_fake_decoder(payload: bytes, kind: str) -> np.ndarray:
+    """Seeded stand-in decoder: bytes -> small deterministic ndarray
+    (8x8 'pixels' / 64 'samples') derived from the payload digest."""
+    digest = hashlib.blake2b(payload, digest_size=32).digest()
+    arr = np.frombuffer(digest, dtype=np.uint8).astype(np.float32)
+    return np.tile(arr, 2)[:64] / 255.0
+
+
+def generate_media_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic synthetic media rows (binary payloads) for tests."""
+    rng = np.random.RandomState(seed)
+    kinds = np.array(["image", "audio", "video"])[rng.randint(0, 3, n)]
+    payloads = [rng.bytes(rng.randint(64, 512)) for _ in range(n)]
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "kind": pa.array(kinds.tolist(), pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(
+                [f"{k}/x-fake" for k in kinds], pa.string()
+            ),
+            "width": pa.array(rng.randint(16, 1024, n).astype(np.int32)),
+            "height": pa.array(rng.randint(16, 1024, n).astype(np.int32)),
+            "duration_ms": pa.array(rng.randint(0, 60000, n).astype(np.int32)),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+class MediaFeatureStage:
+    """Actor-pool stage: decode + fixed-size feature vector per row.
+    Decoder state (model weights, codec contexts) belongs in __init__ —
+    once per actor, never per batch."""
+
+    FEATURE_DIM = 64
+
+    def __init__(self, decoder=None, feature_dim: int = 64):
+        self.decoder = decoder or deterministic_fake_decoder
+        self.feature_dim = feature_dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        kinds = batch.column("kind").to_pylist()
+        feats = np.zeros((len(payloads), self.feature_dim), dtype=np.float32)
+        for i, (p, k) in enumerate(zip(payloads, kinds)):
+            if p is None:
+                continue
+            decoded = self.decoder(p, k)
+            v = np.resize(np.asarray(decoded, dtype=np.float32), self.feature_dim)
+            feats[i] = v
+        return batch.append_column(
+            "features",
+            pa.array(list(feats), type=pa.list_(pa.float32(), self.feature_dim)),
+        )
+
+
+class ImageResizeStage:
+    """Actor-pool stage shape for resize: validates metadata, computes
+    target dims, delegates pixel work to the decoder/encoder pair
+    (stubbed). Output schema adds resized_width/height and keeps the
+    payload column layout."""
+
+    def __init__(self, max_side: int = 256, resizer=None):
+        self.max_side = max_side
+        self.resizer = resizer  # None => metadata-only (stub)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w = batch.column("width").to_numpy(zero_copy_only=False).astype(np.float64)
+        h = batch.column("height").to_numpy(zero_copy_only=False).astype(np.float64)
+        scale = np.minimum(1.0, self.max_side / np.maximum(w, h))
+        rw = np.maximum(1, np.round(w * scale)).astype(np.int32)
+        rh = np.maximum(1, np.round(h * scale)).astype(np.int32)
+        batch = batch.append_column("resized_width", pa.array(rw))
+        batch = batch.append_column("resized_height", pa.array(rh))
+        if self.resizer is not None:
+            payloads = batch.column("payload").to_pylist()
+            resized = [
+                None if p is None else self.resizer(p, int(a), int(b))
+                for p, a, b in zip(payloads, rw, rh)
+            ]
+            idx = batch.schema.get_field_index("payload")
+            batch = batch.set_column(
+                idx, batch.schema.field(idx), pa.array(resized, pa.binary())
+            )
+        return batch
+
+
+class FrameSampleStage:
+    """Video frame sampling plumbing: emits one row per sampled frame
+    (flat_map shape done batch-wise), frame timestamps deterministic
+    from duration + fps."""
+
+    def __init__(self, every_ms: int = 1000, max_frames: int = 16, extractor=None):
+        self.every_ms = every_ms
+        self.max_frames = max_frames
+        self.extractor = extractor or (
+            lambda payload, ts_ms: hashlib.blake2b(
+                payload + ts_ms.to_bytes(8, "big"), digest_size=16
+            ).digest()
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ts_out, frames = [], [], []
+        mids = batch.column("media_id").to_pylist()
+        durs = batch.column("duration_ms").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        kinds = batch.column("kind").to_pylist()
+        for mid, dur, payload, kind in zip(mids, durs, payloads, kinds):
+            if kind != "video" or payload is None or not dur:
+                continue
+            n = min(self.max_frames, max(1, dur // self.every_ms))
+            for j in range(int(n)):
+                ts = j * self.every_ms
+                ids.append(mid)
+                ts_out.append(ts)
+                frames.append(self.extractor(payload, ts))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_ts_ms": pa.array(ts_out, pa.int32()),
+                "frame": pa.array(frames, pa.binary()),
+            }
+        )

@@ -1,0 +1,188 @@
+"""Tests for the training-data-pipeline operators: text analysis,
+dedup family, ANN, multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from dlp_plugins_ray.functions import text as TX
+from dlp_plugins_ray.stages import ann as ANN
+from dlp_plugins_ray.stages import dedup as DD
+from dlp_plugins_ray.stages import multimodal as MM
+
+
+class TestTextKernels:
+    def test_langid(self):
+        assert TX.detect_language("the cat is on the mat and it is happy") == "en"
+        assert TX.detect_language("el perro que corre en la casa no es mio") == "es"
+        assert TX.detect_language("12345 !!!") == "und"
+
+    def test_token_count(self):
+        assert TX.token_count("hello, world!") == 4  # hello , world !
+        assert TX.whitespace_token_count("a b  c") == 3
+
+    def test_quality(self):
+        good = TX.quality_score(
+            "The quick brown fox jumps over the lazy dog near the river bank."
+        )
+        bad = TX.quality_score("x")
+        assert good > bad
+        f = TX.quality_features("ab 12 !")
+        assert f["n_chars"] == 7 and f["n_words"] == 3
+        assert 0 < f["digit_ratio"] < 1
+
+    def test_fingerprint_stability_and_locality(self):
+        base = "def f():\n    return compute(1, 2, 3)\n" * 5
+        fp1 = TX.winnow_fingerprint(base)
+        fp2 = TX.winnow_fingerprint(base)
+        assert fp1 == fp2 and len(fp1) > 0
+        # local edit changes few fingerprint hashes
+        edited = base.replace("compute(1", "compute(9", 1)
+        fp3 = set(TX.winnow_fingerprint(edited))
+        overlap = len(set(fp1) & fp3) / len(set(fp1) | fp3)
+        assert overlap > 0.5
+        assert TX.content_fingerprint(base) != TX.content_fingerprint(edited)
+
+
+class TestMinHash:
+    def test_similar_docs_share_buckets(self):
+        h = DD.MinHasher(num_perm=64)
+        a = "the quick brown fox jumps over the lazy dog " * 10
+        b = a.replace("lazy", "sleepy")
+        c = "completely different content about databases and queries " * 10
+        sa, sb, sc = h.signature(a), h.signature(b), h.signature(c)
+        sim_ab = (sa == sb).mean()
+        sim_ac = (sa == sc).mean()
+        assert sim_ab > 0.6 > sim_ac
+        ba = DD.band_hashes(np.vstack([sa, sb, sc]), bands=16)
+        shared_ab = (ba[0] == ba[1]).sum()
+        shared_ac = (ba[0] == ba[2]).sum()
+        assert shared_ab >= 1 and shared_ac == 0
+
+    def test_jaccard(self):
+        assert DD.jaccard("abcdef", "abcdef") == 1.0
+        assert DD.jaccard("abcdefgh", "zzzzzzzz") == 0.0
+
+
+class TestSimHash:
+    def test_near_dup_small_hamming(self):
+        a = "the quick brown fox jumps over the lazy dog " * 5
+        b = a + "extra"
+        c = "select sum from table where group order limit " * 5
+        ha, hb, hc = DD.simhash64(a), DD.simhash64(b), DD.simhash64(c)
+        assert DD.hamming64(ha, hb) < DD.hamming64(ha, hc)
+        assert DD.hamming64(ha, ha) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDedupOnRay:
+    def _docs(self):
+        texts = ["doc one text", "doc two text", "doc one text", "doc three", "doc two text"]
+        return pa.table({"doc_id": [10, 11, 12, 13, 14], "text": texts})
+
+    def test_exact_dedup(self):
+        import ray.data as rd
+
+        out = DD.exact_dedup(
+            rd.from_arrow(self._docs()), text_col="text", id_col="doc_id"
+        )
+        rows = sorted(r["doc_id"] for r in out.take_all())
+        assert rows == [10, 11, 13]  # min id kept per distinct text
+
+    def test_minhash_pairs(self):
+        import ray.data as rd
+
+        base = "the quick brown fox jumps over the lazy dog and runs far away " * 8
+        docs = pa.table(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [base, base.replace("far", "near"), "unrelated database query " * 20],
+            }
+        )
+        pairs = DD.minhash_duplicate_pairs(
+            rd.from_arrow(docs), text_col="text", id_col="doc_id"
+        ).take_all()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (1, 2) in got
+        assert not any(3 in p for p in got)
+
+    def test_simhash_stage(self):
+        stage = DD.SimHashStage("text")
+        out = stage(self._docs())
+        hs = out.column("simhash").to_pylist()
+        assert hs[0] == hs[2]  # identical docs -> identical simhash
+        assert "simhash_band0" in out.column_names
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAnn:
+    def _emb_table(self, n=100, dim=16, seed=3):
+        rng = np.random.RandomState(seed)
+        emb = rng.randn(n, dim).astype(np.float32)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(list(emb), pa.list_(pa.float32(), dim)),
+            }
+        ), emb
+
+    def test_brute_force_matches_numpy(self):
+        import ray.data as rd
+
+        tbl, emb = self._emb_table()
+        q = emb[0]
+        out = ANN.brute_force_topk(
+            rd.from_arrow(tbl), q, k=5
+        ).take_all()
+        got = [r["vec_id"] for r in sorted(out, key=lambda r: -r["score"])]
+        # numpy oracle
+        def norm(m):
+            return m / np.linalg.norm(m, axis=-1, keepdims=True)
+
+        scores = norm(emb) @ norm(q[None, :]).T
+        want = np.argsort(-scores[:, 0])[:5].tolist()
+        assert got == want
+        assert got[0] == 0  # the query vector itself
+
+    def test_ivf_recall(self):
+        import ray.data as rd
+
+        tbl, emb = self._emb_table(n=300)
+        cent = ANN.train_centroids(emb, n_centroids=8)
+        q = emb[42]
+        out = ANN.ivf_topk(
+            rd.from_arrow(tbl), q, cent, k=5, nprobe=4
+        ).take_all()
+        ids = [r["vec_id"] for r in out]
+        assert 42 in ids  # exact self-match must survive probing
+
+
+class TestMultimodal:
+    def test_feature_stage_plumbing(self):
+        t = MM.generate_media_table(20)
+        out = MM.MediaFeatureStage()(t)
+        assert out.column("features").type == pa.list_(pa.float32(), 64)
+        # deterministic
+        out2 = MM.MediaFeatureStage()(t)
+        assert out.column("features").to_pylist() == out2.column("features").to_pylist()
+
+    def test_real_decoder_stub_raises(self):
+        with pytest.raises(NotImplementedError):
+            MM.real_decoder_unavailable(b"x", "image")
+
+    def test_resize_metadata(self):
+        t = MM.generate_media_table(10)
+        out = MM.ImageResizeStage(max_side=128)(t)
+        rw = out.column("resized_width").to_pylist()
+        rh = out.column("resized_height").to_pylist()
+        assert all(max(a, b) <= 128 for a, b in zip(rw, rh))
+
+    def test_frame_sampling(self):
+        t = MM.generate_media_table(30)
+        out = MM.FrameSampleStage(every_ms=5000, max_frames=4)(t)
+        assert set(out.column_names) == {"media_id", "frame_ts_ms", "frame"}
+        kinds = dict(
+            zip(t.column("media_id").to_pylist(), t.column("kind").to_pylist())
+        )
+        assert all(kinds[m] == "video" for m in out.column("media_id").to_pylist())
+        assert out.num_rows > 0
