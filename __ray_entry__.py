@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship CDC replay -> redaction -> LWW upsert ->
+exactly-once lake sink on small generated change events (sf0.001-ish
+scale) and returns the final table. ``queries()`` / ``oracle_sql()``
+expose every implemented operator from SURVEY.md §2 plus the
+training-data operators.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; no
+ray.init()/ray.shutdown() here or in the library.
 """
 
 from __future__ import annotations
@@ -20,25 +17,42 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: CDC replay with a masking redaction policy
+    into an exactly-once partitioned lake table; returns the final
+    table as a ray.data.Dataset."""
+    import os
+    import tempfile
+
+    from dlp_plugins_ray.cdc import events as EV
+    from dlp_plugins_ray.cdc import replay as RP
+
+    work = os.path.join(tempfile.gettempdir(), "dlp_ray_entry")
+    ev_dir = os.path.join(work, "events")
+    lake = os.path.join(work, "lake")
+    EV.write_events_parquet(ev_dir, 3000, n_shards=4)
+    policy = {
+        "transforms": [
+            {
+                "transform": "MASKING",
+                "fields": "content",
+                "filters": "NONE",
+                "transformProperties": {"maskingChar": "#"},
+            }
+        ],
+        "customTemplateEnabled": True,
+        "templateId": "DemoTemplate",
+    }
+    RP.replay(ev_dir, lake, policy=policy, num_partitions=8)
+    return RP.read_lake_table(lake)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from dlp_plugins_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from dlp_plugins_ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

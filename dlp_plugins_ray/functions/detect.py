@@ -306,6 +306,23 @@ DEFAULT_TEMPLATES.register(
         },
     )
 )
+# Built-in templates must exist in EVERY process (actor __init__ builds
+# the policy worker-side from plain JSON), so all default templates are
+# registered here, not in the modules that use them.
+DEFAULT_TEMPLATES.register(
+    CustomTemplate(
+        name="NumberTemplate",
+        regexes={"NUMBER": r"[0-9]+"},
+        case_insensitive=False,
+    )
+)
+DEFAULT_TEMPLATES.register(
+    CustomTemplate(
+        name="KeywordTemplate",
+        regexes={"KEYWORD": r"\b(hash|join)\b"},
+        case_insensitive=False,
+    )
+)
 
 
 class DetectorBank:

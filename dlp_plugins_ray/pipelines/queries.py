@@ -1,0 +1,756 @@
+"""Conformance queries: every SURVEY.md §2 operator exposed as a
+callable over the driver testdata tables, with a DuckDB oracle where
+the semantics are SQL-expressible.
+
+Each ``q_*`` takes ``sf_dir`` and returns a Dataset / pyarrow Table.
+``ORACLE_SQL`` holds the matching ANSI SQL (column names identical —
+the driver hashes values after sorting columns by name).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.detect import CustomTemplate, DEFAULT_TEMPLATES
+from ..functions import text as TX
+from ..stages import ann as ANN
+from ..stages import dedup as DD
+from ..stages import filter as FS
+from ..stages import multimodal as MM
+from ..stages.decrypt import DecryptStage
+from ..stages.redact import RedactionStage
+from ..cdc import replay as RP
+
+# NumberTemplate / KeywordTemplate (exact regex parity with the oracle
+# SQL) are registered as built-ins in functions/detect.py so worker
+# processes resolve them when actors compile policies.
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
+
+
+def _sha256_col(batch: pa.Table, src: str, dst: str) -> pa.Table:
+    vals = batch.column(src).to_pylist()
+    out = [
+        None if v is None else hashlib.sha256(v.encode("utf-8")).hexdigest()
+        for v in vals
+    ]
+    return batch.append_column(dst, pa.array(out, pa.string()))
+
+
+# ---------------------------------------------------------------------------
+# redaction transforms (oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+def q_redact_mask(sf_dir: str):
+    """MASKING whole-cell, ignore WHITESPACE: every non-whitespace char
+    -> '#'. Oracle: regexp_replace(text, '\\S', '#', 'g')."""
+    policy = {
+        "transforms": [
+            {
+                "transform": "MASKING",
+                "fields": "NONE,text",
+                "filters": "NONE",
+                "transformProperties": {
+                    "maskingChar": "#",
+                    "charsToIgnoreEnum": "WHITESPACE",
+                },
+            }
+        ],
+        "customTemplateEnabled": True,
+        "templateId": "DemoTemplate",
+    }
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        RedactionStage,
+        fn_constructor_args=(policy,),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    return out.map_batches(
+        lambda b: b.rename_columns(["doc_id", "masked"]), batch_format="pyarrow"
+    )
+
+
+def q_redact_replace(sf_dir: str):
+    """REPLACE_VALUE on digit spans of events.props."""
+    policy = {
+        "transforms": [
+            {
+                "transform": "REPLACE_VALUE",
+                "fields": "props",
+                "filters": "NONE",
+                "transformProperties": {"newValue": "[N]"},
+            }
+        ],
+        "customTemplateEnabled": True,
+        "templateId": "NumberTemplate",
+    }
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+    out = ds.map_batches(
+        RedactionStage,
+        fn_constructor_args=(policy,),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    return out.map_batches(
+        lambda b: b.rename_columns(["event_id", "props_redacted"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_redact_redact(sf_dir: str):
+    """REDACT (delete) digit spans of events.props."""
+    policy = {
+        "transforms": [
+            {
+                "transform": "REDACT",
+                "fields": "props",
+                "filters": "NONE",
+                "transformProperties": {},
+            }
+        ],
+        "customTemplateEnabled": True,
+        "templateId": "NumberTemplate",
+    }
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+    out = ds.map_batches(
+        RedactionStage,
+        fn_constructor_args=(policy,),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    return out.map_batches(
+        lambda b: b.rename_columns(["event_id", "props_redacted"]),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# filter / split (oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+def q_filter_split_counts(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    scored = FS.score(ds, field="text", template="KeywordTemplate", concurrency=(1, 8))
+
+    def to_port(batch: pa.Table) -> pa.Table:
+        port = pc.if_else(
+            batch.column("is_sensitive"),
+            pa.scalar(FS.SENSITIVE_PORT),
+            pa.scalar(FS.NON_SENSITIVE_PORT),
+        )
+        return pa.table({"port": port})
+
+    ports = scored.map_batches(to_port, batch_format="pyarrow")
+    agg = ports.groupby("port").count()
+    return agg.map_batches(
+        lambda b: b.rename_columns(["port", "n"]), batch_format="pyarrow"
+    )
+
+
+def q_filter_sensitive_ids(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    scored = FS.score(ds, field="text", template="KeywordTemplate", concurrency=(1, 8))
+    port = FS.split(scored)[FS.SENSITIVE_PORT]
+    return port.map_batches(
+        lambda b: b.select(["doc_id"]), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# hashing / fingerprints
+# ---------------------------------------------------------------------------
+
+
+def q_fingerprint_sha256(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: _sha256_col(b, "text", "content_sha").select(
+            ["doc_id", "content_sha"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# upsert / CDC (oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+def _lww_events(batch_or_group: pa.Table) -> pa.Table:
+    import polars as pl
+
+    schema = batch_or_group.schema
+    out = (
+        pl.from_arrow(batch_or_group)
+        .sort("event_id")
+        .group_by("user_id", maintain_order=False)
+        .last()
+    )
+    return out.to_arrow().select(schema.names).cast(schema)
+
+
+def q_upsert_lww_events(sf_dir: str):
+    """Last-writer-wins by user_id on event_id: per-block combiner then
+    one groupby — the upsert shuffle pattern on the shared table."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
+    ds = ds.map_batches(_lww_events, batch_format="pyarrow")
+    out = ds.groupby("user_id").map_groups(_lww_events, batch_format="pyarrow")
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "last_event_id": b.column("event_id"),
+                "last_event_type": b.column("event_type"),
+                "last_value": b.column("value"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_upsert_lww_tombstones(sf_dir: str):
+    """Same LWW, treating a final 'error' event as a tombstone (the
+    delete-event path of the CDC reduce)."""
+    import ray.data as rd
+
+    base = q_upsert_lww_events(sf_dir)
+    return base.map_batches(
+        lambda b: b.filter(
+            pc.not_equal(b.column("last_event_type"), "error")
+        ),
+        batch_format="pyarrow",
+    )
+
+
+class _ExpandVersions:
+    """documents -> synthetic CDC events: doc_id % 3 + 1 versions per
+    doc, delete tombstone for doc_id % 7 == 0 at the last version."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        n_versions = (doc_ids % 3) + 1
+        rep_ids = np.repeat(doc_ids, n_versions)
+        rep_last = np.repeat(doc_ids % 3, n_versions)
+        v = np.concatenate([np.arange(n) for n in n_versions])
+        seq = rep_ids * 10 + v
+        op = np.where((rep_ids % 7 == 0) & (v == rep_last), "delete", "upsert")
+        rep_texts = np.repeat(np.array(texts, dtype=object), n_versions)
+        content = [f"{t}-v{int(x)}" for t, x in zip(rep_texts, v)]
+        return pa.table(
+            {
+                "doc_id": pa.array(rep_ids, pa.int64()),
+                "seq": pa.array(seq, pa.int64()),
+                "op": pa.array(op.tolist(), pa.string()),
+                "content": pa.array(content, pa.string()),
+            }
+        )
+
+
+def _lww_docs(t: pa.Table) -> pa.Table:
+    import polars as pl
+
+    schema = t.schema
+    out = (
+        pl.from_arrow(t)
+        .sort("seq")
+        .group_by("doc_id", maintain_order=False)
+        .last()
+    )
+    return out.to_arrow().select(schema.names).cast(schema)
+
+
+def q_cdc_replay_versions(sf_dir: str):
+    """Full CDC replay shape (expand -> combiner -> groupby LWW ->
+    tombstone drop -> sha256 of final content) with a pure-SQL oracle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ev = ds.map_batches(_ExpandVersions(), batch_format="pyarrow")
+    ev = ev.map_batches(_lww_docs, batch_format="pyarrow")
+    last = ev.groupby("doc_id").map_groups(_lww_docs, batch_format="pyarrow")
+    live = last.map_batches(
+        lambda b: b.filter(pc.not_equal(b.column("op"), "delete")),
+        batch_format="pyarrow",
+    )
+    return live.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "final_seq": b.column("seq"),
+                "content_sha": _sha256_col(b, "content", "s").column("s"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup (oracle-checked for exact; rows-only for sketch variants)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = DD.exact_dedup(ds, text_col="text", id_col="doc_id")
+    return out.map_batches(lambda b: b.select(["doc_id", "text"]), batch_format="pyarrow")
+
+
+def q_dedup_minhash_pairs(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return DD.minhash_duplicate_pairs(ds, text_col="text", id_col="doc_id")
+
+
+def q_simhash_fingerprints(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        DD.SimHashStage,
+        fn_constructor_args=("text",),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "simhash"]), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search (oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+def _query_vector(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    idx = t.column("vec_id").to_pylist().index(0)
+    return np.asarray(t.column("embedding")[idx].as_py(), dtype=np.float64)
+
+
+def q_ann_topk_cosine(sf_dir: str):
+    """Top-10 vec_ids by cosine similarity to vec 0 (float64 math to
+    match the DuckDB oracle exactly)."""
+    q = _query_vector(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ANN.brute_force_topk(ds, q.astype(np.float64), k=10, concurrency=(1, 8))
+    return out.map_batches(lambda b: b.select(["vec_id"]), batch_format="pyarrow")
+
+
+def q_ann_ivf_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"])
+    sample = np.asarray(t.column("embedding").to_pylist()[:2000], dtype=np.float32)
+    cent = ANN.train_centroids(sample, n_centroids=8)
+    q = _query_vector(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ANN.ivf_topk(ds, q, cent, k=10, nprobe=4).map_batches(
+        lambda b: b.select(["vec_id", "score"]), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_token_count(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(
+                    [TX.whitespace_token_count(t or "") for t in texts], pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_langid(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang_pred": pa.array(
+                    [TX.detect_language(t or "") for t in texts], pa.string()
+                ),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_quality_scores(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        feats = [TX.quality_features(t or "") for t in texts]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": pa.array([f_["n_words"] for f_ in feats], pa.int64()),
+                "quality": pa.array(
+                    [TX.quality_score(t or "") for t in texts], pa.float64()
+                ),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# relational coverage on the TPC-H-ish tables (oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q1_lite(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"]
+    )
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Count(alias_name="n_rows"),
+    )
+    return out
+
+
+def q_join_orders_customers(sf_dir: str):
+    """Broadcast hash join: customer (small side) shipped once via
+    ray.put, probed per batch — no shuffle of orders."""
+    import pyarrow.parquet as pq
+    import ray
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    lookup = dict(
+        zip(cust.column("c_custkey").to_pylist(), cust.column("c_mktsegment").to_pylist())
+    )
+    ref = ray.put(lookup)
+
+    class JoinStage:
+        def __init__(self, ref):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch.column("o_custkey").to_pylist()
+            seg = [self.lookup.get(k) for k in keys]
+            return pa.table(
+                {
+                    "c_mktsegment": pa.array(seg, pa.string()),
+                    "o_totalprice": batch.column("o_totalprice"),
+                }
+            )
+
+    from ray.data.aggregate import Count, Max
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = ds.map_batches(
+        JoinStage, fn_constructor_args=(ref,), batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    return joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"),
+        Max("o_totalprice", alias_name="max_price"),
+    )
+
+
+def q_events_hourly(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def add_hour(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        return pa.table({"user_id": batch.column("user_id"), "hour": hour})
+
+    from ray.data.aggregate import Count
+
+    out = ds.map_batches(add_hour, batch_format="pyarrow")
+    return out.groupby(["user_id", "hour"]).aggregate(Count(alias_name="n_events"))
+
+
+# ---------------------------------------------------------------------------
+# crypto round-trip checks (rows-only: not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+_Q_KEY = "MDEyMzQ1Njc4OWFiY2RlZg=="  # base64("0123456789abcdef")
+
+
+def q_crypto_hash(sf_dir: str):
+    policy = {
+        "transforms": [
+            {
+                "transform": "CRYPTO_HASH",
+                "fields": "NONE,source",
+                "filters": "NONE",
+                "transformProperties": {"keyType": "UNWRAPPED", "key": _Q_KEY},
+            }
+        ],
+        "customTemplateEnabled": True,
+        "templateId": "DemoTemplate",
+    }
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    return ds.map_batches(
+        RedactionStage,
+        fn_constructor_args=(policy,),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+
+def q_fpe_roundtrip(sf_dir: str):
+    """FPE encrypt then decrypt events.props digits-bearing strings;
+    returns per-row match flag (must be all true)."""
+    policy = {
+        "transforms": [
+            {
+                "transform": "FORMAT_PRESERVING_ENCRYPTION",
+                "fields": "NONE,props",
+                "filters": "NONE",
+                "transformProperties": {
+                    "keyType": "UNWRAPPED",
+                    "key": _Q_KEY,
+                    "surrogateInfoTypeName": "PROPS_TOKEN",
+                    "alphabet": "ALPHA_NUMERIC",
+                },
+            }
+        ],
+        "customTemplateEnabled": True,
+        "templateId": "DemoTemplate",
+    }
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    class RoundTrip:
+        def __init__(self, policy):
+            self.enc = RedactionStage(policy)
+            self.dec = DecryptStage(policy, fields=("props",))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = self.dec(self.enc(batch))
+            ok = pc.equal(out.column("props"), batch.column("props"))
+            return pa.table(
+                {"event_id": batch.column("event_id"), "roundtrip_ok": ok}
+            )
+
+    return ds.map_batches(
+        RoundTrip, fn_constructor_args=(policy,), batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing query over deterministic synthetic media
+    (no media table in the shared testdata)."""
+    import ray.data as rd
+
+    tbl = MM.generate_media_table(256)
+    ds = rd.from_arrow(tbl)
+    out = ds.map_batches(
+        MM.MediaFeatureStage, batch_format="pyarrow", batch_size=64,
+        concurrency=(1, 4),
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "media_id": b.column("media_id"),
+                "feat_dim": pa.array(
+                    [len(x) for x in b.column("features").to_pylist()], pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_cdc_full_replay(sf_dir: str):
+    """The flagship engine end-to-end on generated change events:
+    replay -> redact -> LWW upsert -> exactly-once sink; returns the
+    final lake table keyed rows (rows-only check; the pytest suite
+    holds the sha256 oracle)."""
+    import tempfile
+
+    from ..cdc import events as EV
+
+    scale = {"sf0.001": 2000, "sf0.01": 20000, "sf0.1": 200000}
+    n = 5000
+    for k, v in scale.items():
+        if k in sf_dir:
+            n = v
+    work = os.path.join(
+        tempfile.gettempdir(), f"dlp_ray_cdc_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    ev_dir = os.path.join(work, "events")
+    lake = os.path.join(work, "lake")
+    EV.write_events_parquet(ev_dir, n, n_shards=8)
+    policy = {
+        "transforms": [
+            {
+                "transform": "MASKING",
+                "fields": "content",
+                "filters": "NONE",
+                "transformProperties": {"maskingChar": "#"},
+            }
+        ],
+        "customTemplateEnabled": True,
+        "templateId": "DemoTemplate",
+    }
+    RP.replay(ev_dir, lake, policy=policy, num_partitions=16)
+    return RP.read_lake_table(lake).map_batches(
+        lambda b: b.select(["repo", "path", "seq", "commit"]),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "redact_mask": q_redact_mask,
+    "redact_replace": q_redact_replace,
+    "redact_redact": q_redact_redact,
+    "filter_split_counts": q_filter_split_counts,
+    "filter_sensitive_ids": q_filter_sensitive_ids,
+    "fingerprint_sha256": q_fingerprint_sha256,
+    "upsert_lww_events": q_upsert_lww_events,
+    "upsert_lww_tombstones": q_upsert_lww_tombstones,
+    "cdc_replay_versions": q_cdc_replay_versions,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "simhash_fingerprints": q_simhash_fingerprints,
+    "ann_topk_cosine": q_ann_topk_cosine,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "token_count": q_token_count,
+    "langid": q_langid,
+    "quality_scores": q_quality_scores,
+    "tpch_q1_lite": q_tpch_q1_lite,
+    "join_orders_customers": q_join_orders_customers,
+    "events_hourly": q_events_hourly,
+    "crypto_hash": q_crypto_hash,
+    "fpe_roundtrip": q_fpe_roundtrip,
+    "media_features": q_media_features,
+    "cdc_full_replay": q_cdc_full_replay,
+}
+
+ORACLE_SQL = {
+    "redact_mask": r"""
+        SELECT doc_id, regexp_replace(text, '\S', '#', 'g') AS masked
+        FROM documents
+    """,
+    "redact_replace": r"""
+        SELECT event_id, regexp_replace(props, '[0-9]+', '[N]', 'g') AS props_redacted
+        FROM events
+    """,
+    "redact_redact": r"""
+        SELECT event_id, regexp_replace(props, '[0-9]+', '', 'g') AS props_redacted
+        FROM events
+    """,
+    "filter_split_counts": r"""
+        SELECT CASE WHEN regexp_matches(text, '\b(hash|join)\b')
+                    THEN 'Sensitive' ELSE 'Non-Sensitive' END AS port,
+               count(*) AS n
+        FROM documents GROUP BY port
+    """,
+    "filter_sensitive_ids": r"""
+        SELECT doc_id FROM documents WHERE regexp_matches(text, '\b(hash|join)\b')
+    """,
+    "fingerprint_sha256": r"""
+        SELECT doc_id, sha256(text) AS content_sha FROM documents
+    """,
+    "upsert_lww_events": r"""
+        SELECT user_id,
+               max(event_id) AS last_event_id,
+               arg_max(event_type, event_id) AS last_event_type,
+               arg_max(value, event_id) AS last_value
+        FROM events GROUP BY user_id
+    """,
+    "upsert_lww_tombstones": r"""
+        SELECT * FROM (
+          SELECT user_id,
+                 max(event_id) AS last_event_id,
+                 arg_max(event_type, event_id) AS last_event_type,
+                 arg_max(value, event_id) AS last_value
+          FROM events GROUP BY user_id
+        ) WHERE last_event_type <> 'error'
+    """,
+    "cdc_replay_versions": r"""
+        WITH ev AS (
+          SELECT d.doc_id,
+                 d.doc_id * 10 + t.v AS seq,
+                 d.text || '-v' || t.v AS content,
+                 CASE WHEN d.doc_id % 7 = 0 AND t.v = d.doc_id % 3
+                      THEN 'delete' ELSE 'upsert' END AS op
+          FROM documents d
+               CROSS JOIN (VALUES (0), (1), (2)) t(v)
+          WHERE t.v <= d.doc_id % 3
+        ), last AS (
+          SELECT doc_id,
+                 max(seq) AS final_seq,
+                 arg_max(op, seq) AS last_op,
+                 arg_max(content, seq) AS last_content
+          FROM ev GROUP BY doc_id
+        )
+        SELECT doc_id, final_seq, sha256(last_content) AS content_sha
+        FROM last WHERE last_op <> 'delete'
+    """,
+    "dedup_exact": r"""
+        SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+    """,
+    "ann_topk_cosine": r"""
+        SELECT vec_id FROM (
+          SELECT e.vec_id,
+                 list_cosine_similarity(e.embedding, q.qe) AS score
+          FROM embeddings e,
+               (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+          ORDER BY score DESC, e.vec_id ASC LIMIT 10
+        )
+    """,
+    "token_count": r"""
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        FROM documents
+    """,
+    "tpch_q1_lite": r"""
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "join_orders_customers": r"""
+        SELECT c.c_mktsegment,
+               count(*) AS n_orders,
+               max(o.o_totalprice) AS max_price
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """,
+    "events_hourly": r"""
+        SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n_events
+        FROM events GROUP BY user_id, date_trunc('hour', ts)
+    """,
+}

@@ -1,0 +1,85 @@
+"""Driver-contract conformance: every oracle-checked query must match
+its DuckDB SQL on the shared testdata (row count + sorted-column value
+equality — the driver's comparison, reproduced here at sf0.001)."""
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __ray_entry__ as E
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return c
+
+
+def _to_pandas(result) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(9)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+ORACLE_KEYS = sorted(E.oracle_sql())
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_query_matches_oracle(con, name):
+    q = E.queries()[name]
+    got = _canon(_to_pandas(q(SF_DIR)))
+    want = _canon(con.sql(E.oracle_sql()[name]).df())
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: columns {list(got.columns)} != {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: {len(got)} rows != {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=False)
+
+
+NON_ORACLE = sorted(set(E.queries()) - set(E.oracle_sql()))
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("name", NON_ORACLE)
+def test_rows_only_queries_run(name):
+    df = _to_pandas(E.queries()[name](SF_DIR))
+    assert len(df) >= 0
+    if name == "fpe_roundtrip":
+        assert df["roundtrip_ok"].all()
+    if name == "media_features":
+        assert (df["feat_dim"] == 64).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_entry_smoke():
+    ds = E.entry()
+    df = _to_pandas(ds)
+    assert len(df) > 0
+    assert {"repo", "path", "seq", "content"} <= set(df.columns)
+    assert df["content"].str.contains("#").any()  # masking policy applied
