@@ -1,0 +1,200 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Headline: the flagship CDC replay (read -> schema-normalize -> redaction
+policy -> LWW upsert -> exactly-once partitioned sink) over a cached
+deterministic change-event log sized to the scale factor; reported as
+seconds plus events/sec.
+
+Also times every conformance query at $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+--scaling: runs the headline in two fresh processes (num_cpus=8 and 32)
+on the same input and reports throughput at both + scaling efficiency
+(recorded in BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# headline event-log size by scale factor (events ~ 10x lineitem rows)
+EVENTS_BY_SF = {"sf0.001": 20_000, "sf0.01": 200_000, "sf0.1": 1_000_000}
+
+POLICY = {
+    "transforms": [
+        {
+            "transform": "MASKING",
+            "fields": "content",
+            "filters": "NONE",
+            "transformProperties": {"maskingChar": "#"},
+        }
+    ],
+    "customTemplateEnabled": True,
+    "templateId": "DemoTemplate",
+}
+
+
+def _sf_name() -> str:
+    base = os.path.basename(os.path.normpath(SF_DIR))
+    return base if base.startswith("sf") else "sf0.1"
+
+
+def _events_dir(n_events: int) -> str:
+    d = os.path.join(tempfile.gettempdir(), f"dlp_ray_bench_events_{n_events}")
+    from dlp_plugins_ray.cdc import events as EV
+
+    EV.write_events_parquet(
+        d,
+        n_events,
+        n_shards=max(8, NUM_CPUS),
+        n_files=max(500, n_events // 20),
+        n_repos=max(20, n_events // 2000),
+    )
+    return d
+
+
+def run_headline(n_events: int) -> dict:
+    from dlp_plugins_ray.cdc import replay as RP
+
+    ev_dir = _events_dir(n_events)
+    lake = os.path.join(tempfile.gettempdir(), "dlp_ray_bench_lake")
+
+    import ray.data as rd
+
+    # warm page cache + worker pool with an untimed read
+    rd.read_parquet(ev_dir).count()
+
+    shutil.rmtree(lake, ignore_errors=True)
+    t0 = time.time()
+    mpdf, _ = RP.replay(
+        ev_dir,
+        lake,
+        policy=POLICY,
+        num_partitions=64,
+        redact_concurrency=max(4, int(NUM_CPUS * 0.75)),
+        batch_size=16384,
+    )
+    dt = time.time() - t0
+    # raw replayed event count (incl. duplicate deliveries) from the
+    # generator's completion marker
+    with open(os.path.join(ev_dir, "_COMPLETE")) as f:
+        n_raw = int(f.read().strip())
+    return {
+        "seconds": round(dt, 3),
+        "events": n_raw,
+        "events_per_sec": round(n_raw / dt, 1),
+        "final_rows": int(mpdf["row_count"].sum()),
+    }
+
+
+def run_queries() -> dict[str, float]:
+    import ray.data
+    import pyarrow as pa
+
+    from dlp_plugins_ray.pipelines.queries import QUERIES
+
+    out = {}
+    for name, fn in QUERIES.items():
+        t0 = time.time()
+        try:
+            res = fn(SF_DIR)
+            if isinstance(res, ray.data.Dataset):
+                res.count()  # consume the pipeline
+            out[name] = round(time.time() - t0, 3)
+        except Exception as e:  # pragma: no cover
+            print(f"query {name} failed: {e}", file=sys.stderr)
+            out[name] = -1.0
+    return out
+
+
+def main() -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+
+    ctx = rd.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sf = _sf_name()
+    n_events = EVENTS_BY_SF.get(sf, 1_000_000)
+
+    headline = run_headline(n_events)
+    queries = {} if "--headline-only" in sys.argv else run_queries()
+
+    result = {
+        "metric": "cdc_replay_upsert_seconds",
+        "value": headline["seconds"],
+        "unit": "sec",
+        "events_per_sec": headline["events_per_sec"],
+        "events": headline["events"],
+        "final_rows": headline["final_rows"],
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+    }
+    ray.shutdown()
+    print(json.dumps(result))
+
+
+def scaling() -> None:
+    """Two fresh processes at num_cpus=8 and 32 over the SAME input —
+    the sandbox stand-in for the N vs 4N-node cluster criterion."""
+    import subprocess
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--headline-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    tput_lo = r_lo["events_per_sec"]
+    tput_hi = r_hi["events_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "cpus_lo": lo,
+                "cpus_hi": hi,
+                "sec_lo": r_lo["value"],
+                "sec_hi": r_hi["value"],
+                "events_per_sec_lo": tput_lo,
+                "events_per_sec_hi": tput_hi,
+                "scaling_efficiency": round(eff, 3),
+                "sf": r_hi["sf"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -145,6 +145,54 @@ class NormalizeStage:
         )
 
 
+# Per-worker-process cache of compiled ReplayMapStage objects, keyed by
+# config fingerprint. Lets the fused map phase run as a plain TASK pool
+# (reusing Ray's pre-started idle workers) while still compiling the
+# policy once per process — actor pools pay a fresh-process start per
+# pipeline run, which dominates wall time on short jobs.
+_STAGE_CACHE: dict = {}
+
+
+def _cached_stage(key, factory):
+    stage = _STAGE_CACHE.get(key)
+    if stage is None:
+        stage = factory()
+        _STAGE_CACHE[key] = stage
+    return stage
+
+
+class ReplayMapStage:
+    """The fused map phase of the replay — ONE actor-pool stage doing
+    normalize -> checkpoint-filter -> redact -> per-block LWW combiner
+    -> partition tag. Fusing matters at scale: one pass over each Arrow
+    block, one actor pool (policy compiled once per actor), no
+    intermediate blocks in the object store between sub-steps."""
+
+    def __init__(
+        self,
+        policy_json: dict | None,
+        *,
+        registry: SchemaRegistry | None = None,
+        num_partitions: int = 32,
+        checkpoint: dict[int, int] | None = None,
+    ):
+        self.normalize = NormalizeStage(registry)
+        self.ckpt = (
+            CheckpointFilter(checkpoint, num_partitions) if checkpoint else None
+        )
+        self.redact = RedactionStage(policy_json) if policy_json else None
+        self.num_partitions = num_partitions
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = self.normalize(batch)
+        if self.ckpt is not None:
+            batch = self.ckpt(batch)
+        if self.redact is not None:
+            batch = self.redact(batch)
+        batch = lww_reduce(batch)
+        return add_pkey(batch, self.num_partitions)
+
+
 class CheckpointFilter:
     """Resume support: drop events already reflected in the committed
     table (seq <= per-partition committed max_seq). The checkpoint dict
@@ -285,29 +333,34 @@ def replay(
         if incremental:
             checkpoint = mf.table_checkpoint(out_dir)
 
+    policy_json = pol.to_json() if pol else None
+    cache_key = json.dumps(
+        [policy_json, num_partitions, sorted((checkpoint or {}).items()), epoch],
+        sort_keys=True,
+        default=str,
+    )
+
+    def replay_map(batch: pa.Table) -> pa.Table:
+        stage = _cached_stage(
+            cache_key,
+            lambda: ReplayMapStage(
+                policy_json,
+                registry=registry,
+                num_partitions=num_partitions,
+                checkpoint=checkpoint or None,
+            ),
+        )
+        return stage(batch)
+
     ds = rd.read_parquet(events_path)
     ds = ds.map_batches(
-        NormalizeStage(registry), batch_format="pyarrow", batch_size=batch_size
+        replay_map,
+        batch_format="pyarrow",
+        batch_size=batch_size,
     )
-    if checkpoint:
-        ds = ds.map_batches(
-            CheckpointFilter(checkpoint, num_partitions),
-            batch_format="pyarrow",
-            batch_size=batch_size,
-        )
-    if pol is not None:
-        ds = ds.map_batches(
-            RedactionStage,
-            fn_constructor_args=(pol.to_json(),),
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=redact_concurrency or (1, 16),
-        )
-    # per-block combiner then partition tag
-    ds = ds.map_batches(lww_reduce, batch_format="pyarrow", batch_size=batch_size)
-    ds = ds.map_batches(
-        lambda b: add_pkey(b, num_partitions), batch_format="pyarrow"
-    )
+    # combiner output is small; coalesce the many map blocks so the
+    # sort-based groupby shuffles few, dense blocks
+    ds = ds.repartition(max(8, num_partitions // 4))
     if salt_buckets > 1:
         # phase 1: reduce per (pkey, salt) to shrink adversarially hot
         # partitions before the final exchange

@@ -18,11 +18,10 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
-from typing import Callable, Iterable
+from typing import Callable, Iterable, NamedTuple
 
 
-@dataclass(frozen=True)
-class Span:
+class Span(NamedTuple):
     start: int
     end: int
     info_type: str
@@ -333,6 +332,67 @@ class DetectorBank:
     def __init__(self, detectors: list[Detector]):
         self.detectors = detectors
 
+    @property
+    def single_pattern(self):
+        """The lone validator-free pattern, if this bank has exactly
+        one — enables the fused re.sub fast path in transforms."""
+        if len(self.detectors) == 1 and self.detectors[0].validate is None:
+            return self.detectors[0].pattern
+        return None
+
+    @property
+    def union_re2(self) -> str | None:
+        """One RE2-syntax union of every detector pattern (IGNORECASE
+        folded into inline ``(?i:...)`` groups) — a *necessary*
+        condition for any detector to match, usable with Arrow's
+        vectorized ``match_substring_regex`` kernel as a column-level
+        prefilter. None when a pattern uses non-RE2 features
+        (lookarounds); callers fall back to per-cell scanning."""
+        import re as _re
+
+        if "_union_re2" in self.__dict__:
+            return self.__dict__["_union_re2"]
+        parts = []
+        ok = True
+        for d in self.detectors:
+            p = d.pattern.pattern
+            if "(?!" in p or "(?<" in p or "(?=" in p:
+                ok = False
+                break
+            parts.append(f"(?i:{p})" if d.pattern.flags & _re.IGNORECASE else f"(?:{p})")
+        union = "|".join(parts) if ok and parts else None
+        if union is not None:
+            try:  # probe the kernel once — RE2 may still reject
+                import pyarrow as _pa
+                import pyarrow.compute as _pc
+
+                _pc.match_substring_regex(_pa.array(["x"]), union)
+            except Exception:
+                union = None
+        self.__dict__["_union_re2"] = union
+        return union
+
+    def vector_candidates(self, col):
+        """Vectorized per-row 'could match' boolean mask for an Arrow
+        string column (RE2 kernel; nulls -> false). None when the bank
+        isn't RE2-expressible."""
+        union = self.union_re2
+        if union is None:
+            return None
+        import pyarrow.compute as pc
+
+        return pc.fill_null(pc.match_substring_regex(col, union), False)
+
+    def maybe_match(self, text: str) -> bool:
+        """Cheap necessary-condition check: one C ``search`` per
+        detector pattern, no match objects/spans built. Validators only
+        narrow regex matches, so a miss here is a definitive miss —
+        most cells carry no PII, making this the hot-path early exit."""
+        for d in self.detectors:
+            if d.pattern.search(text) is not None:
+                return True
+        return False
+
     @classmethod
     def from_filters(cls, filters: Iterable[str]) -> "DetectorBank":
         names = info_types_for_filters(filters)
@@ -347,20 +407,27 @@ class DetectorBank:
 
     def scan(self, text: str) -> list[Span]:
         """All non-overlapping spans, earliest-start (ties: longest)."""
-        spans = sorted(
-            (s for d in self.detectors for s in d.finditer(text)),
-            key=lambda s: (s.start, -s.end),
-        )
+        spans: list[Span] = []
+        for d in self.detectors:
+            val = d.validate
+            name = d.name
+            for m in d.pattern.finditer(text):
+                if val is None or val(m.group(0)):
+                    spans.append(Span(m.start(), m.end(), name))
+        spans.sort(key=lambda s: (s[0], -s[1]))
         out: list[Span] = []
         last_end = -1
         for s in spans:
-            if s.start >= last_end:
+            if s[0] >= last_end:
                 out.append(s)
-                last_end = s.end
+                last_end = s[1]
         return out
 
     def any_match(self, text: str) -> bool:
-        return any(
-            next(iter(d.finditer(text)), None) is not None
-            for d in self.detectors
-        )
+        for d in self.detectors:
+            if d.validate is None:
+                if d.pattern.search(text) is not None:
+                    return True
+            elif next(iter(d.finditer(text)), None) is not None:
+                return True
+        return False

@@ -79,6 +79,22 @@ class FilterStage:
         self.on_error = on_error
         self.metrics = LocalMetrics(enabled=metrics)
 
+    def _match_flags(self, texts: list[str | None]) -> list[bool]:
+        """Vectorized detection: one RE2 union scan over the whole
+        column; detectors with validators re-verify only the candidate
+        rows in Python."""
+        union = self.bank.union_re2
+        if union is None:
+            return [False if t is None else self.bank.any_match(t) for t in texts]
+        col = pa.array(texts, type=pa.string())
+        mask = self.bank.vector_candidates(col).to_pylist()
+        if any(d.validate is not None for d in self.bank.detectors):
+            return [
+                bool(m) and self.bank.any_match(t)
+                for m, t in zip(mask, texts)
+            ]
+        return [bool(m) for m in mask]
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         errors: list[str | None] = [None] * batch.num_rows
         if self.entire_record:
@@ -108,9 +124,7 @@ class FilterStage:
                         None if v is None else str(v)
                         for v in batch.column(idx).to_pylist()
                     ]
-        flags = [
-            False if t is None else self.bank.any_match(t) for t in texts
-        ]
+        flags = self._match_flags(texts)
         out = batch.append_column("is_sensitive", pa.array(flags, type=pa.bool_()))
         if self.on_error == ON_ERROR_SEND:
             out = out.append_column("_error", pa.array(errors, type=pa.string()))

@@ -31,6 +31,9 @@ import pyarrow as pa
 
 from ..functions.transforms import (
     DateShiftConfig,
+    MaskingConfig,
+    RedactConfig,
+    ReplaceValueConfig,
     apply_spans_column,
     apply_whole_column,
 )
@@ -57,6 +60,7 @@ class RedactionStage:
         self.ops = self.policy.compiled_ops()  # detectors/ciphers compiled once
         self.validate_schema = validate_schema
         self._schema_checked = False
+        self._re2_ok: dict[int, bool] = {}
         self.metrics = LocalMetrics(enabled=metrics)
 
     # -- per-column application ------------------------------------------------
@@ -76,16 +80,91 @@ class RedactionStage:
         ]
         return pa.array(out, type=coltype)
 
+    def _vectorized_column(self, op, col: pa.ChunkedArray):
+        """Arrow-native (RE2 kernel) path for mask/replace/redact —
+        zero Python per row. Returns None when the op needs the Python
+        path (crypto, validators, multi-detector banks, non-RE2
+        regexes). RE2 compatibility is probed once per op and cached."""
+        import pyarrow.compute as pc
+
+        cfg = op.config
+        if op.bank is None:
+            if isinstance(cfg, MaskingConfig):
+                return cfg.transform_column(col)
+            if isinstance(cfg, RedactConfig):
+                return pc.binary_repeat("", pc.utf8_length(col))
+            if isinstance(cfg, ReplaceValueConfig):
+                return pc.if_else(
+                    pc.is_valid(col),
+                    pa.scalar(cfg.new_value),
+                    pa.scalar(None, type=pa.string()),
+                )
+            return None
+        pat = op.bank.single_pattern
+        if pat is None or not isinstance(cfg, (RedactConfig, ReplaceValueConfig)):
+            return None
+        import re as _re
+
+        if pat.flags & _re.IGNORECASE:
+            # the compiled flag would be lost handing the bare pattern
+            # string to RE2 — keep the Python path
+            return None
+        cached = self._re2_ok.get(id(op))
+        if cached is False:
+            return None
+        repl = ("" if isinstance(cfg, RedactConfig) else cfg.new_value).replace(
+            "\\", "\\\\"
+        )
+        try:
+            out = pc.replace_substring_regex(col, pattern=pat.pattern, replacement=repl)
+        except pa.ArrowException:
+            self._re2_ok[id(op)] = False  # non-RE2 regex (lookarounds)
+            return None
+        self._re2_ok[id(op)] = True
+        return out
+
     def _transform_string_column(
         self, batch: pa.Table, idx: int, op, contexts: list | None
     ) -> pa.Array:
-        values = _string_values(batch.column(idx))
+        col = batch.column(idx)
+        vec = self._vectorized_column(op, col)
+        if vec is not None:
+            self.metrics.incr("cells.transformed", batch.num_rows)
+            if isinstance(vec, pa.ChunkedArray):
+                vec = vec.combine_chunks()
+            return vec.cast(col.type)
+        if op.bank is not None:
+            # vectorized prefilter: RE2 kernel marks candidate rows;
+            # only those are materialized to Python and span-transformed
+            cand = op.bank.vector_candidates(col)
+            if cand is not None:
+                import pyarrow.compute as pc
+
+                if isinstance(cand, pa.ChunkedArray):
+                    cand = cand.combine_chunks()
+                n_cand = pc.sum(cand).as_py() or 0
+                if n_cand == 0:
+                    return col  # untouched — zero-copy passthrough
+                arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+                idx = pc.indices_nonzero(cand)
+                subset = arr.take(idx).to_pylist()
+                sub_ctx = (
+                    [contexts[i] for i in idx.to_pylist()] if contexts else None
+                )
+                out = apply_spans_column(
+                    op.config, op.bank, subset, sub_ctx, prefiltered=True
+                )
+                self.metrics.incr("cells.transformed", n_cand)
+                return pc.replace_with_mask(
+                    arr, cand, pa.array(out, type=arr.type)
+                )
+        values = _string_values(col)
         if op.bank is None:
             out = apply_whole_column(op.config, values, contexts)
         else:
             out = apply_spans_column(op.config, op.bank, values, contexts)
         self.metrics.incr("cells.transformed", len(values))
-        return pa.array(out, type=batch.column(idx).type)
+        return pa.array(out, type=col.type)
 
     # -- batch entry -----------------------------------------------------------
 
