@@ -1,0 +1,106 @@
+"""The reference's two example pipelines, end-to-end on Ray Data.
+
+1. Redaction pipeline (examples/example-redaction-pipeline.json):
+   text source -> Wrangler CSV parse -> SensitiveRecordRedaction
+   (DATE_SHIFT on ``date`` with custom template ``DemoTemplate``)
+   -> JSON sink.
+2. Filter+redaction pipeline
+   (examples/example-filter-redaction-pipeline.json): text source ->
+   Wrangler -> SensitiveRecordFilter (entire-record, send-to-error) ->
+   Sensitive port -> Redaction (MASKING ``notes``, '#', ignore
+   PUNCTUATION) -> sink; Non-Sensitive port -> sink directly.
+
+A user of the reference can run the same logical pipeline by swapping
+GCS paths for local/posix paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from ..sources.readers import read_text_lines
+from ..sources.wrangle import wrangle
+from ..stages import filter as FS
+from ..stages.redact import redact
+
+# the example's Wrangler directives verbatim
+LOANS_DIRECTIVES = """\
+parse-as-csv :body ',' false
+drop body
+parse-as-simple-date :body_1 MM/dd/yyyy
+rename body_1 date
+rename body_2 loan_type
+rename body_3 loan
+rename body_4 bank
+rename body_5 state
+rename body_6 zip
+rename body_7 notes
+"""
+
+REDACTION_POLICY = {
+    # examples/example-redaction-pipeline.json:84-89
+    "fieldsToTransform": [
+        '{"fields":"date","transform":"DATE_SHIFT","filters":"NONE",'
+        '"transformProperties":{"lowerBoundDays":"10","upperBoundDays":"100",'
+        '"context":"zip"}}'
+    ],
+    "customTemplateEnabled": True,
+    "templateId": "DemoTemplate",
+}
+
+MASK_NOTES_POLICY = {
+    # examples/example-filter-redaction-pipeline.json MASKING stage
+    "fieldsToTransform": [
+        '{"fields":"notes","transform":"MASKING","filters":"NONE",'
+        '"transformProperties":{"maskingChar":"#","numberToMask":"0",'
+        '"reverseOrder":"false","charsToIgnoreEnum":"PUNCTUATION"}}'
+    ],
+    "customTemplateEnabled": True,
+    "templateId": "DemoTemplate",
+}
+
+
+def _drop_offset(ds):
+    return ds.map_batches(
+        lambda b: b.drop_columns([c for c in ("offset",) if c in b.column_names]),
+        batch_format="pyarrow",
+    )
+
+
+def redaction_pipeline(input_paths, out_dir: str, *, write: bool = True):
+    """Example 1. Returns the redacted Dataset (and writes JSON when
+    ``write``)."""
+    ds = read_text_lines(input_paths)
+    ds = wrangle(ds, LOANS_DIRECTIVES)
+    ds = _drop_offset(ds)
+    out = redact(ds, REDACTION_POLICY)
+    if write:
+        out.write_json(os.path.join(out_dir, "redacted"))
+    return out
+
+
+def filter_redaction_pipeline(input_paths, out_dir: str, *, write: bool = True):
+    """Example 2. Returns {"Sensitive": ds, "Non-Sensitive": ds,
+    "error": ds} after masking the sensitive branch."""
+    ds = read_text_lines(input_paths)
+    ds = wrangle(ds, LOANS_DIRECTIVES)
+    ds = _drop_offset(ds)
+    scored = FS.score(
+        ds,
+        entire_record=True,
+        template="DemoTemplate",
+        on_error=FS.ON_ERROR_SEND,
+    )
+    ports = FS.split(scored, with_errors=True)
+    masked = redact(ports[FS.SENSITIVE_PORT], MASK_NOTES_POLICY)
+    result = {
+        FS.SENSITIVE_PORT: masked,
+        FS.NON_SENSITIVE_PORT: ports[FS.NON_SENSITIVE_PORT],
+        "error": ports["error"],
+    }
+    if write:
+        masked.write_json(os.path.join(out_dir, "sensitive-redacted"))
+        ports[FS.NON_SENSITIVE_PORT].write_json(
+            os.path.join(out_dir, "non-sensitive")
+        )
+    return result

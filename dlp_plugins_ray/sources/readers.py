@@ -1,0 +1,57 @@
+"""Sources mirroring the reference examples' I/O shape.
+
+The example pipelines read GCS text files as ``(offset: long, body:
+string)`` records (examples/example-redaction-pipeline.json:13-38,
+``format: text``) and write JSON/parquet sinks. Natively:
+
+- ``read_text_lines``: files -> one row per line with the byte offset
+  of the line within its file (the CDAP text-format contract).
+- parquet/CSV/JSON readers are ray.data built-ins; always pass
+  ``columns=`` to prune at the read.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _split_lines(batch: pa.Table) -> pa.Table:
+    """bytes-of-file -> (offset, body, path) line rows, vectorized per
+    file with numpy offset arithmetic."""
+    out_off: list[np.ndarray] = []
+    out_body: list[str] = []
+    out_path: list[str] = []
+    for payload, path in zip(
+        batch.column("bytes").to_pylist(), batch.column("path").to_pylist()
+    ):
+        text = payload.decode("utf-8", "replace")
+        lines = text.split("\n")
+        if lines and lines[-1] == "":
+            lines.pop()
+        lens = np.fromiter((len(l) + 1 for l in lines), dtype=np.int64, count=len(lines))
+        offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        out_off.append(offsets)
+        out_body.extend(l.rstrip("\r") for l in lines)
+        out_path.extend([path] * len(lines))
+    offs = np.concatenate(out_off) if out_off else np.array([], dtype=np.int64)
+    return pa.table(
+        {
+            "offset": pa.array(offs, pa.int64()),
+            "body": pa.array(out_body, pa.string()),
+            "path": pa.array(out_path, pa.string()),
+        }
+    )
+
+
+def read_text_lines(paths, *, include_path: bool = False):
+    """(offset, body[, path]) rows — the GCSFile text-format shape."""
+    import ray.data as rd
+
+    ds = rd.read_binary_files(paths, include_paths=True)
+    ds = ds.map_batches(_split_lines, batch_format="pyarrow")
+    if not include_path:
+        ds = ds.map_batches(
+            lambda b: b.drop_columns(["path"]), batch_format="pyarrow"
+        )
+    return ds

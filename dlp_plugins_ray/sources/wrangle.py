@@ -1,0 +1,117 @@
+"""Wrangler-directive pre-stage.
+
+The reference's example pipelines run a Wrangler stage before the DLP
+plugins (examples/example-redaction-pipeline.json, ``directives``):
+
+    parse-as-csv :body ',' false
+    drop body
+    parse-as-simple-date :body_1 MM/dd/yyyy
+    rename body_1 date
+    ...
+
+This module interprets exactly that directive subset as one
+``map_batches`` stage: parse-as-csv (quoted CSV via the C csv module),
+drop, rename, parse-as-simple-date (Java SimpleDateFormat ->
+``pc.strptime``). Enough to run both example pipelines unmodified.
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+import shlex
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Java SimpleDateFormat -> strptime tokens (longest first)
+_DATE_TOKENS = [
+    ("yyyy", "%Y"),
+    ("MM", "%m"),
+    ("dd", "%d"),
+    ("HH", "%H"),
+    ("mm", "%M"),
+    ("ss", "%S"),
+    ("yy", "%y"),
+]
+
+
+def java_date_format_to_strptime(fmt: str) -> str:
+    out = fmt
+    for j, p in _DATE_TOKENS:
+        out = out.replace(j, p)
+    return out
+
+
+class WranglerStage:
+    """Vectorized interpreter for the supported directive subset."""
+
+    SUPPORTED = ("parse-as-csv", "drop", "rename", "parse-as-simple-date")
+
+    def __init__(self, directives: str):
+        self.ops: list[tuple] = []
+        for line in directives.strip().splitlines():
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = shlex.split(line)
+            op = parts[0]
+            if op == "parse-as-csv":
+                col = parts[1].lstrip(":")
+                delim = parts[2] if len(parts) > 2 else ","
+                header = len(parts) > 3 and parts[3].lower() == "true"
+                self.ops.append(("parse_csv", col, delim, header))
+            elif op == "drop":
+                self.ops.append(("drop", parts[1].lstrip(":")))
+            elif op == "rename":
+                self.ops.append(("rename", parts[1].lstrip(":"), parts[2].lstrip(":")))
+            elif op == "parse-as-simple-date":
+                col = parts[1].lstrip(":")
+                fmt = java_date_format_to_strptime(parts[2])
+                self.ops.append(("parse_date", col, fmt))
+            else:
+                raise ValueError(
+                    f"Unsupported wrangler directive {op!r} "
+                    f"(supported: {self.SUPPORTED})"
+                )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        for op in self.ops:
+            kind = op[0]
+            if kind == "parse_csv":
+                _, col, delim, header = op
+                values = batch.column(col).to_pylist()
+                rows = list(
+                    csv.reader(
+                        io.StringIO("\n".join(v or "" for v in values)),
+                        delimiter=delim,
+                    )
+                )
+                # ragged rows pad with null
+                width = max((len(r) for r in rows), default=0)
+                for i in range(width):
+                    newcol = pa.array(
+                        [r[i] if i < len(r) else None for r in rows], pa.string()
+                    )
+                    batch = batch.append_column(f"{col}_{i + 1}", newcol)
+            elif kind == "drop":
+                if op[1] in batch.column_names:
+                    batch = batch.drop_columns([op[1]])
+            elif kind == "rename":
+                _, old, new = op
+                batch = batch.rename_columns(
+                    [new if c == old else c for c in batch.column_names]
+                )
+            elif kind == "parse_date":
+                _, col, fmt = op
+                idx = batch.schema.get_field_index(col)
+                parsed = pc.strptime(batch.column(idx), format=fmt, unit="us")
+                batch = batch.set_column(
+                    idx, pa.field(col, pa.timestamp("us")), parsed
+                )
+        return batch
+
+
+def wrangle(ds, directives: str, *, batch_size: int = 8192):
+    stage = WranglerStage(directives)  # validate directives driver-side
+    return ds.map_batches(stage, batch_format="pyarrow", batch_size=batch_size)

@@ -1,0 +1,97 @@
+"""End-to-end parity tests for the reference's example pipelines
+(loans CSV fixture, FIXTURES.md F2)."""
+
+import datetime as dt
+import os
+
+import pyarrow as pa
+import pytest
+
+from dlp_plugins_ray.sources.readers import read_text_lines
+from dlp_plugins_ray.sources.wrangle import WranglerStage, java_date_format_to_strptime
+from dlp_plugins_ray.pipelines import examples as EX
+
+LOANS_CSV = """\
+01/15/2020,auto,12000,First National,CA,94105,call me at 415-555-1234
+02/20/2020,home,250000,Pacific Trust,WA,98101,clean record
+03/05/2021,personal,5000,Metro Bank,NY,10001,ssn 523-45-6789 on file
+04/10/2021,auto,8000,First National,TX,73301,email bob@example.com
+"""
+
+
+@pytest.fixture()
+def loans_file(tmp_path):
+    p = tmp_path / "loans.csv"
+    p.write_text(LOANS_CSV)
+    return str(p)
+
+
+class TestWrangler:
+    def test_java_date_format(self):
+        assert java_date_format_to_strptime("MM/dd/yyyy") == "%m/%d/%Y"
+        assert java_date_format_to_strptime("yyyy-MM-dd HH:mm:ss") == "%Y-%m-%d %H:%M:%S"
+
+    def test_directives(self):
+        stage = WranglerStage(EX.LOANS_DIRECTIVES)
+        batch = pa.table({"offset": [0], "body": [LOANS_CSV.splitlines()[0]]})
+        out = stage(batch)
+        assert set(out.column_names) == {
+            "offset", "date", "loan_type", "loan", "bank", "state", "zip", "notes",
+        }
+        assert out.column("date").to_pylist() == [dt.datetime(2020, 1, 15)]
+        assert out.column("notes").to_pylist() == ["call me at 415-555-1234"]
+
+    def test_quoted_csv(self):
+        stage = WranglerStage("parse-as-csv :body ',' false\ndrop body")
+        out = stage(pa.table({"body": ['a,"b,c",d']}))
+        assert out.column("body_2").to_pylist() == ["b,c"]
+
+    def test_unsupported_directive(self):
+        with pytest.raises(ValueError, match="Unsupported"):
+            WranglerStage("fill-null-or-empty :x 'y'")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestExamplePipelines:
+    def test_read_text_lines(self, loans_file):
+        ds = read_text_lines([loans_file])
+        rows = sorted(ds.take_all(), key=lambda r: r["offset"])
+        assert len(rows) == 4
+        assert rows[0]["offset"] == 0
+        assert rows[1]["offset"] == len(LOANS_CSV.splitlines()[0]) + 1
+        assert rows[0]["body"].startswith("01/15/2020")
+
+    def test_redaction_pipeline(self, loans_file, tmp_path):
+        out = EX.redaction_pipeline([loans_file], str(tmp_path), write=False)
+        rows = {r["zip"]: r for r in out.take_all()}
+        # DATE_SHIFT applied deterministically, bounded 10..100 days
+        orig = dt.datetime(2020, 1, 15)
+        got = rows["94105"]["date"]
+        assert 10 <= (got - orig).days <= 100
+        # deterministic per (key, context=zip)
+        out2 = EX.redaction_pipeline([loans_file], str(tmp_path), write=False)
+        rows2 = {r["zip"]: r for r in out2.take_all()}
+        assert rows2["94105"]["date"] == got
+        # non-date fields untouched
+        assert rows["94105"]["notes"] == "call me at 415-555-1234"
+
+    def test_filter_redaction_pipeline(self, loans_file, tmp_path):
+        ports = EX.filter_redaction_pipeline([loans_file], str(tmp_path), write=False)
+        sens = ports["Sensitive"].take_all()
+        nons = ports["Non-Sensitive"].take_all()
+        errs = ports["error"].take_all()
+        assert len(sens) == 3  # phone, ssn, email rows
+        assert len(nons) == 1 and nons[0]["zip"] == "98101"
+        assert errs == []
+        # filters=NONE + template => span-driven: only detected spans
+        # masked, '#', punctuation ignored inside the span
+        by_zip = {r["zip"]: r["notes"] for r in sens}
+        assert by_zip["10001"] == "ssn ###-##-#### on file"
+        assert by_zip["94105"] == "call me at ###-###-####"
+        # email span: alphanumerics masked, '@' and '.' (punctuation) kept
+        assert by_zip["73301"] == "email ###@#######.###"
+
+    def test_writes_json(self, loans_file, tmp_path):
+        EX.redaction_pipeline([loans_file], str(tmp_path), write=True)
+        out_dir = os.path.join(str(tmp_path), "redacted")
+        assert os.path.isdir(out_dir) and len(os.listdir(out_dir)) > 0
