@@ -126,17 +126,35 @@ _FF1_MIN_LEN = 2
 _FF1_MAX_LEN = 4096  # practical guard; spec allows up to 2**32
 
 
+# One long-lived ECB encryptor per key: ECB is stateless across blocks,
+# so update() can be called forever — this avoids an EVP context
+# allocation per FF1 round (the dominant cost of per-cell FPE).
+_ECB_ENCRYPTORS: dict[bytes, object] = {}
+
+
+def _ecb_encryptor(key: bytes):
+    enc = _ECB_ENCRYPTORS.get(key)
+    if enc is None:
+        enc = Cipher(algorithms.AES(key), modes.ECB()).encryptor()
+        _ECB_ENCRYPTORS[key] = enc
+    return enc
+
+
 def _aes_ecb_encrypt_block(key: bytes, block: bytes) -> bytes:
-    enc = Cipher(algorithms.AES(key), modes.ECB()).encryptor()
-    return enc.update(block) + enc.finalize()
+    return _ecb_encryptor(key).update(block)
 
 
 def _ff1_prf(key: bytes, data: bytes) -> bytes:
-    """AES-CBC-MAC over 16-byte-aligned data (SP 800-38G PRF)."""
+    """AES-CBC-MAC over 16-byte-aligned data (SP 800-38G PRF),
+    computed with the cached ECB context (CBC-MAC = chained ECB of
+    XORed blocks)."""
     assert len(data) % 16 == 0
-    enc = Cipher(algorithms.AES(key), modes.CBC(b"\x00" * 16)).encryptor()
-    out = enc.update(data) + enc.finalize()
-    return out[-16:]
+    enc = _ecb_encryptor(key)
+    c = 0
+    for i in range(0, len(data), 16):
+        blk = int.from_bytes(data[i : i + 16], "big")
+        c = int.from_bytes(enc.update((c ^ blk).to_bytes(16, "big")), "big")
+    return c.to_bytes(16, "big")
 
 
 def _num_radix(chars: str, alphabet_index: dict[str, int], radix: int) -> int:

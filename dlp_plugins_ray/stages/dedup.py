@@ -87,22 +87,27 @@ def exact_dedup(ds, *, text_col: str, id_col: str, precomputed_hash: str | None 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
+_SHINGLE_BASE = np.uint64(1099511628211)  # FNV prime as polynomial base
+
+
 def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Distinct k-char shingle hashes (64-bit)."""
-    if len(text) < k:
+    """Distinct k-byte shingle hashes (64-bit) — fully vectorized
+    polynomial rolling hash over the utf-8 bytes (numpy uint64
+    wraparound arithmetic), no per-shingle Python."""
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if data.size < k:
         return np.array(
-            [int.from_bytes(hashlib.blake2b(text.encode(), digest_size=8).digest(), "big")],
+            [int.from_bytes(hashlib.blake2b(data.tobytes(), digest_size=8).digest(), "big")],
             dtype=np.uint64,
         )
-    shingles = {text[i : i + k] for i in range(len(text) - k + 1)}
-    return np.fromiter(
-        (
-            int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
-            for s in shingles
-        ),
-        dtype=np.uint64,
-        count=len(shingles),
-    )
+    sw = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
+    powers = _SHINGLE_BASE ** np.arange(k, dtype=np.uint64)
+    h = (sw * powers).sum(axis=1, dtype=np.uint64)
+    # avalanche the weak polynomial hash (splitmix64 finalizer)
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
+    return np.unique(h)
 
 
 class MinHasher:
