@@ -256,6 +256,9 @@ class FinalizeAndCommit:
 
         final = lww_reduce(group)
         final = drop_tombstones(final)
+        # deterministic row order -> byte-identical partition files on
+        # task retry / re-run (polars group_by order is arbitrary)
+        final = final.sort_by([("repo", "ascending"), ("path", "ascending")])
         max_seq = (
             int(pc.max(group.column("seq")).as_py()) if group.num_rows else -1
         )

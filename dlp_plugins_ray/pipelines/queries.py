@@ -16,7 +16,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.detect import CustomTemplate, DEFAULT_TEMPLATES
 from ..functions import text as TX
 from ..stages import ann as ANN
 from ..stages import dedup as DD
@@ -754,3 +753,49 @@ ORACLE_SQL = {
         FROM events GROUP BY user_id, date_trunc('hour', ts)
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# schema evolution (oracle-checked): reconstruct the payload across a
+# column rename — half the rows arrive as v1 (legacy ``body``), half as
+# v2 (``content``); the registry must land both in ``content``.
+# ---------------------------------------------------------------------------
+
+
+def _split_versions(batch: pa.Table) -> pa.Table:
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    texts = batch.column("text").to_pylist()
+    v1 = doc_ids % 2 == 0
+    body = [t if m else None for t, m in zip(texts, v1)]
+    content = [None if m else t for t, m in zip(texts, v1)]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "body": pa.array(body, pa.string()),
+            "content": pa.array(content, pa.string()),
+            "schema_ver": pa.array(
+                np.where(v1, 1, 2).astype(np.int32), pa.int32()
+            ),
+        }
+    )
+
+
+def q_schema_evolution(sf_dir: str):
+    from ..state.schema_registry import SchemaRegistry
+
+    registry = (
+        SchemaRegistry().add_version(1).add_version(2, renames={"body": "content"})
+    )
+    target = pa.schema([("doc_id", pa.int64()), ("content", pa.string())])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    mixed = ds.map_batches(_split_versions, batch_format="pyarrow")
+    return mixed.map_batches(
+        lambda b: registry.normalize_mixed(b, "schema_ver", target),
+        batch_format="pyarrow",
+    )
+
+
+QUERIES["schema_evolution"] = q_schema_evolution
+ORACLE_SQL["schema_evolution"] = (
+    "SELECT doc_id, text AS content FROM documents"
+)

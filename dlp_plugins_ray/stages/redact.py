@@ -25,8 +25,6 @@ DLPTransformPluginConfig.java:100-105).
 
 from __future__ import annotations
 
-import datetime as _dt
-
 import pyarrow as pa
 
 from ..functions.transforms import (

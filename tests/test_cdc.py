@@ -267,3 +267,64 @@ class TestReplay:
         ckpt = MF.table_checkpoint(out)
         assert len(ckpt) > 0
         assert all(isinstance(v, int) and v >= 0 for v in ckpt.values())
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestExactlyOnce:
+    def test_finalize_task_retry_idempotent(self, tmp_path):
+        """A Ray task retry re-executes FinalizeAndCommit on the same
+        group: the atomic overwrite must leave identical state."""
+        import pyarrow.compute as pc
+
+        ev = EV.generate_change_events(500, seed=3)
+        from dlp_plugins_ray.cdc.replay import (
+            FinalizeAndCommit, NormalizeStage, add_pkey,
+        )
+
+        norm = NormalizeStage()(ev)
+        tagged = add_pkey(norm, 4)
+        group = tagged.filter(pc.equal(tagged.column("_pkey"), 2))
+        out = str(tmp_path / "lake")
+        committer = FinalizeAndCommit(out, "epoch1")
+        m1 = committer(group)
+        data1 = pq.read_table(MF.partition_data_path(out, 2))
+        m2 = committer(group)  # simulated retry
+        data2 = pq.read_table(MF.partition_data_path(out, 2))
+        assert data1.equals(data2)
+        assert m1.column("checksum").to_pylist() == m2.column("checksum").to_pylist()
+        # exactly one manifest for (partition, epoch)
+        mans = [f for f in os.listdir(os.path.join(out, MF.MANIFEST_DIR))]
+        assert mans == ["part-00002-epoch1.json"]
+
+    def test_torn_manifest_ignored(self, tmp_path):
+        out = str(tmp_path / "lake")
+        mdir = os.path.join(out, MF.MANIFEST_DIR)
+        os.makedirs(mdir)
+        with open(os.path.join(mdir, "part-00001-x.json"), "w") as f:
+            f.write('{"partition": 1, "epo')  # torn write
+        assert MF.committed_partitions(out) == {}
+
+
+class TestMetrics:
+    def test_local_metrics_flush(self, ray_session):
+        from dlp_plugins_ray.state.metrics import (
+            LocalMetrics, get_or_create_metrics_actor,
+        )
+        import ray as _ray
+
+        actor = get_or_create_metrics_actor()
+        _ray.get(actor.reset.remote())
+        m = LocalMetrics(enabled=True, flush_every=1)
+        m.incr("records.count", 10)
+        m.batch_done()
+        m.incr("records.count", 5)
+        m.batch_done()
+        import time as _t
+
+        for _ in range(50):
+            snap = _ray.get(actor.snapshot.remote())
+            if snap.get("records.count") == 15:
+                break
+            _t.sleep(0.1)
+        assert snap["records.count"] == 15
+        assert m.snapshot()["records.count"] == 15
