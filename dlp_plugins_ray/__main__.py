@@ -1,0 +1,109 @@
+"""CLI entry points: python -m dlp_plugins_ray <command>.
+
+Commands:
+  replay   --events DIR --out DIR [--policy FILE] [--partitions N]
+           [--incremental] [--no-resume] [--salt N]
+  gen      --out DIR --events N [--shards N] [--seed N]
+  show     --lake DIR  (print committed checkpoint + row counts)
+
+Owns the Ray session (scripts may init); the library never does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="dlp_plugins_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    rp = sub.add_parser("replay", help="replay a change-event log into a lake table")
+    rp.add_argument("--events", required=True)
+    rp.add_argument("--out", required=True)
+    rp.add_argument("--policy", help="policy JSON file (reference fieldsToTransform shape)")
+    rp.add_argument("--partitions", type=int, default=64)
+    rp.add_argument("--incremental", action="store_true")
+    rp.add_argument("--no-resume", action="store_true")
+    rp.add_argument("--salt", type=int, default=0)
+    rp.add_argument("--num-cpus", type=int, default=None)
+
+    gp = sub.add_parser("gen", help="generate a deterministic change-event log")
+    gp.add_argument("--out", required=True)
+    gp.add_argument("--events", type=int, required=True)
+    gp.add_argument("--shards", type=int, default=8)
+    gp.add_argument("--seed", type=int, default=42)
+
+    sp = sub.add_parser("show", help="show lake-table checkpoint state")
+    sp.add_argument("--lake", required=True)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "gen":
+        from .cdc.events import write_events_parquet
+
+        out = write_events_parquet(
+            args.out, args.events, n_shards=args.shards, seed=args.seed
+        )
+        print(json.dumps({"events_dir": out, "n_events": args.events}))
+        return 0
+
+    if args.cmd == "show":
+        from .state.manifest import committed_partitions
+
+        mans = committed_partitions(args.lake)
+        print(
+            json.dumps(
+                {
+                    "partitions": len(mans),
+                    "rows": sum(m.row_count for m in mans.values()),
+                    "checkpoint": {p_: m.max_seq for p_, m in sorted(mans.items())},
+                }
+            )
+        )
+        return 0
+
+    # replay
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+    from .cdc.replay import replay
+
+    policy = None
+    if args.policy:
+        policy = json.load(open(args.policy))
+    mpdf, epoch = replay(
+        args.events,
+        args.out,
+        policy=policy,
+        num_partitions=args.partitions,
+        incremental=args.incremental,
+        resume=not args.no_resume,
+        salt_buckets=args.salt,
+    )
+    print(
+        json.dumps(
+            {
+                "epoch": epoch,
+                "partitions_committed": int(len(mpdf)),
+                "rows": int(mpdf["row_count"].sum()) if len(mpdf) else 0,
+            }
+        )
+    )
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

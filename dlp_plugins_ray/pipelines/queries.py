@@ -799,3 +799,14 @@ QUERIES["schema_evolution"] = q_schema_evolution
 ORACLE_SQL["schema_evolution"] = (
     "SELECT doc_id, text AS content FROM documents"
 )
+
+
+def q_minhash_dedup_keep(sf_dir: str):
+    """Full near-dup removal decision over documents (rows-only: LSH
+    clustering is not SQL-expressible)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    kept = DD.minhash_dedup(ds, text_col="text", id_col="doc_id")
+    return kept.map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow")
+
+
+QUERIES["minhash_dedup_keep"] = q_minhash_dedup_keep

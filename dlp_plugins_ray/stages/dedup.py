@@ -317,3 +317,71 @@ class CosineLshStage:
         signs = (emb @ self.planes) > 0
         bucket = signs @ (1 << np.arange(signs.shape[1], dtype=np.int64))
         return batch.append_column("lsh_bucket", pa.array(bucket.astype(np.int64)))
+
+
+# ---------------------------------------------------------------------------
+# full near-dup dedup decision: pairs -> clusters -> kept set
+# ---------------------------------------------------------------------------
+
+
+class _UnionFind:
+    def __init__(self):
+        self.parent: dict[int, int] = {}
+
+    def find(self, x: int) -> int:
+        p = self.parent.setdefault(x, x)
+        while p != self.parent[p]:
+            self.parent[p] = self.parent[self.parent[p]]
+            p = self.parent[p]
+        self.parent[x] = p
+        return p
+
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[max(ra, rb)] = min(ra, rb)
+
+
+def minhash_dedup(
+    ds,
+    *,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+):
+    """End-to-end near-dup removal: LSH candidate pairs -> connected
+    components (union-find over the pair list — the pair set is orders
+    of magnitude smaller than the corpus, so driver-side union-find is
+    the standard play; at extreme pair counts switch to iterated
+    min-label propagation via groupby) -> keep the min-id member of
+    every duplicate cluster. Returns the deduplicated Dataset.
+
+    The drop-set is broadcast via ray.put and applied as a vectorized
+    filter — the corpus itself is never shuffled."""
+    import ray
+
+    pairs = minhash_duplicate_pairs(
+        ds, text_col=text_col, id_col=id_col,
+        num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+    ).take_all()
+    uf = _UnionFind()
+    for p in pairs:
+        uf.union(int(p["id_a"]), int(p["id_b"]))
+    drop = {x for x in uf.parent if uf.find(x) != x}
+    drop_ref = ray.put(drop)
+
+    class DropStage:
+        def __init__(self, ref):
+            self.drop = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_pylist()
+            mask = pa.array([i not in self.drop for i in ids], pa.bool_())
+            return batch.filter(mask)
+
+    return ds.map_batches(
+        DropStage, fn_constructor_args=(drop_ref,),
+        batch_format="pyarrow", concurrency=(1, 8),
+    )

@@ -189,3 +189,29 @@ class TestMultimodal:
         )
         assert all(kinds[m] == "video" for m in out.column("media_id").to_pylist())
         assert out.num_rows > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMinhashFullDedup:
+    def test_clusters_keep_min_id(self):
+        import ray.data as rd
+
+        base = "the quick brown fox jumps over the lazy dog and runs far away " * 8
+        other = "completely different text about database query planning joins " * 8
+        docs = pa.table(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                "text": [
+                    base,
+                    base.replace("far", "near"),
+                    base + " trailing",
+                    other,
+                    other.replace("joins", "sorts"),
+                ],
+            }
+        )
+        kept = DD.minhash_dedup(
+            rd.from_arrow(docs), text_col="text", id_col="doc_id"
+        )
+        ids = sorted(r["doc_id"] for r in kept.take_all())
+        assert ids == [1, 4]  # min id per near-dup cluster
