@@ -810,3 +810,149 @@ def q_minhash_dedup_keep(sf_dir: str):
 
 
 QUERIES["minhash_dedup_keep"] = q_minhash_dedup_keep
+
+
+# ---------------------------------------------------------------------------
+# sort / limit / distinct / joins / windows (oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+def q_top10_orders(sf_dir: str):
+    """Global top-k via ds.sort + limit (deterministic tie-break)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def q_distinct_langs(sf_dir: str):
+    import ray.data as rd
+
+    ds = _read(sf_dir, "documents", ["lang"])
+    # distinct = one groupby; return as a single-column table
+    return ds.groupby("lang").count().map_batches(
+        lambda b: b.select(["lang"]), batch_format="pyarrow"
+    )
+
+
+def q_events_sessions(sf_dir: str):
+    """Gap-based sessionization (30-min gap) — the session-window
+    operator over the event stream."""
+    from ..stages.windows import sessionize
+    from ray.data.aggregate import Count, Min
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    sess = sessionize(ds, key="user_id", ts_col="ts", gap_minutes=30, order_col="event_id")
+    agg = sess.groupby(["user_id", "session_id"]).aggregate(
+        Count(alias_name="n_events"),
+        Min("ts", alias_name="session_start"),
+    )
+    return agg
+
+
+def q_asof_purchase_signup(sf_dir: str):
+    """As-of join: each purchase matched to the user's latest signup at
+    or before the purchase time."""
+    from ..stages.joins import asof_join
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    purchases = ev.map_batches(
+        lambda b: b.filter(pc.equal(b.column("event_type"), "purchase")).select(
+            ["user_id", "ts", "event_id"]
+        ),
+        batch_format="pyarrow",
+    )
+    signups = ev.map_batches(
+        lambda b: b.filter(pc.equal(b.column("event_type"), "signup")).select(
+            ["user_id", "ts"]
+        ).append_column(
+            "signup_ts",
+            b.filter(pc.equal(b.column("event_type"), "signup")).column("ts"),
+        ),
+        batch_format="pyarrow",
+    )
+    joined = asof_join(
+        purchases, signups, key="user_id", ts_col="ts",
+        right_value_cols=["signup_ts"], direction="backward",
+    )
+    return joined.map_batches(
+        lambda b: b.select(["user_id", "event_id", "signup_ts"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_orders_anti_building(sf_dir: str):
+    """Broadcast ANTI join: orders whose customer is NOT in the
+    BUILDING market segment."""
+    import pyarrow.parquet as pq
+    from ..stages.joins import broadcast_semi_anti
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    building = {
+        k
+        for k, seg in zip(
+            cust.column("c_custkey").to_pylist(),
+            cust.column("c_mktsegment").to_pylist(),
+        )
+        if seg == "BUILDING"
+    }
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    return broadcast_semi_anti(ds, building, key="o_custkey", anti=True)
+
+
+QUERIES.update(
+    {
+        "top10_orders": q_top10_orders,
+        "distinct_langs": q_distinct_langs,
+        "events_sessions": q_events_sessions,
+        "asof_purchase_signup": q_asof_purchase_signup,
+        "orders_anti_building": q_orders_anti_building,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "top10_orders": r"""
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "distinct_langs": r"""
+            SELECT DISTINCT lang FROM documents
+        """,
+        "events_sessions": r"""
+            WITH o AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id, ts,
+                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM o
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   count(*) AS n_events, min(ts) AS session_start
+            FROM s GROUP BY user_id, session_id
+        """,
+        "asof_purchase_signup": r"""
+            WITH purchases AS (
+              SELECT user_id, ts, event_id FROM events WHERE event_type='purchase'
+            ), signups AS (
+              SELECT user_id, ts AS signup_ts FROM events WHERE event_type='signup'
+            )
+            SELECT p.user_id, p.event_id, s.signup_ts
+            FROM purchases p ASOF LEFT JOIN signups s
+              ON p.user_id = s.user_id AND p.ts >= s.signup_ts
+        """,
+        "orders_anti_building": r"""
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_custkey NOT IN (
+              SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            )
+        """,
+    }
+)

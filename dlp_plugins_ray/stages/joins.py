@@ -1,0 +1,166 @@
+"""Join operators Ray Data doesn't ship (or ships only recently).
+
+- ``broadcast_join``: small side shipped once via ray.put, probed per
+  batch — the no-shuffle hash join for dimension tables.
+- ``broadcast_semi_anti``: membership filter against a broadcast key
+  set (semi) or its complement (anti).
+- ``asof_join``: per-key ordered as-of join (each left row matched to
+  the latest right row with ts <= left ts) — implemented as
+  union-with-side-tag -> ONE groupby(key) shuffle -> pd.merge_asof per
+  key group. Partitioning assumption: one key's rows fit a reduce task
+  (same assumption as any keyed window); salt hot keys upstream if
+  not.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+_SIDE_COL = "__side"
+
+
+def broadcast_join(ds, small_table: pa.Table, *, key: str, small_cols: list[str]):
+    """Left join ``ds`` with a small table on ``key``; the small side is
+    put in the object store once and probed per batch."""
+    lookup: dict = {}
+    keys = small_table.column(key).to_pylist()
+    cols = {c: small_table.column(c).to_pylist() for c in small_cols}
+    for i, k in enumerate(keys):
+        lookup[k] = tuple(cols[c][i] for c in small_cols)
+    ref = ray.put(lookup)
+
+    class Probe:
+        def __init__(self, ref, key, small_cols):
+            self.lookup = ray.get(ref)
+            self.key = key
+            self.small_cols = small_cols
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ks = batch.column(self.key).to_pylist()
+            hits = [self.lookup.get(k) for k in ks]
+            for j, c in enumerate(self.small_cols):
+                batch = batch.append_column(
+                    c, pa.array([h[j] if h else None for h in hits])
+                )
+            return batch
+
+    return ds.map_batches(
+        Probe,
+        fn_constructor_args=(ref, key, small_cols),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+
+def broadcast_semi_anti(ds, key_set: set, *, key: str, anti: bool = False):
+    """Semi join (keep rows whose key is in the set) or anti join
+    (complement). The set travels once via ray.put."""
+    ref = ray.put(frozenset(key_set))
+
+    class Member:
+        def __init__(self, ref, key, anti):
+            self.keys = ray.get(ref)
+            self.key = key
+            self.anti = anti
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ks = batch.column(self.key).to_pylist()
+            mask = [(k in self.keys) != self.anti for k in ks]
+            return batch.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(
+        Member,
+        fn_constructor_args=(ref, key, anti),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+
+def asof_join(
+    left_ds,
+    right_ds,
+    *,
+    key: str,
+    ts_col: str,
+    right_value_cols: list[str],
+    direction: str = "backward",
+):
+    """As-of join: for each left row, the latest right row with
+    right.ts <= left.ts (direction='backward'; 'forward' for the
+    earliest >=) within the same key.
+
+    Output = left columns + right_value_cols (null when no match).
+    One shuffle: both sides union under a unified schema with a side
+    tag, groupby(key), pd.merge_asof inside each key group."""
+
+    left_schema = None
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            _SIDE_COL, pa.array(np.zeros(batch.num_rows, dtype=np.int8))
+        )
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        keep = [key, ts_col] + right_value_cols
+        batch = batch.select(keep)
+        return batch.append_column(
+            _SIDE_COL, pa.array(np.ones(batch.num_rows, dtype=np.int8))
+        )
+
+    left_tagged = left_ds.map_batches(tag_left, batch_format="pyarrow")
+    right_tagged = right_ds.map_batches(tag_right, batch_format="pyarrow")
+
+    # unify schemas: add each other's missing columns as nulls
+    l_schema = left_tagged.schema().base_schema
+    r_schema = right_tagged.schema().base_schema
+    union_schema = pa.unify_schemas([l_schema, r_schema], promote_options="permissive")
+
+    def conform(batch: pa.Table) -> pa.Table:
+        cols = []
+        for fld in union_schema:
+            idx = batch.schema.get_field_index(fld.name)
+            if idx >= 0:
+                col = batch.column(idx)
+                if col.type != fld.type:
+                    col = col.cast(fld.type)
+                cols.append(col)
+            else:
+                cols.append(pa.nulls(batch.num_rows, fld.type))
+        return pa.Table.from_arrays(cols, schema=union_schema)
+
+    unioned = left_tagged.map_batches(conform, batch_format="pyarrow").union(
+        right_tagged.map_batches(conform, batch_format="pyarrow")
+    )
+
+    left_cols = [f.name for f in l_schema if f.name != _SIDE_COL]
+    # right value columns may collide with left names — suffix them
+    out_right_names = [
+        c if c not in left_cols else f"{c}_right" for c in right_value_cols
+    ]
+    # the union schema forces left int columns nullable (right rows hold
+    # nulls there) -> pandas silently promotes to float; restore after
+    # the side filter, where no nulls remain
+    left_int_cols = [
+        f.name
+        for f in l_schema
+        if f.name != _SIDE_COL and pa.types.is_integer(f.type)
+    ]
+
+    def per_key(group: pd.DataFrame) -> pd.DataFrame:
+        lf = group[group[_SIDE_COL] == 0][left_cols].sort_values(ts_col, kind="mergesort")
+        rf = group[group[_SIDE_COL] == 1][[ts_col] + right_value_cols].sort_values(
+            ts_col, kind="mergesort"
+        )
+        if lf.empty:
+            return lf.assign(**{c: pd.Series(dtype=object) for c in out_right_names})
+        if left_int_cols:
+            lf = lf.astype({c: "int64" for c in left_int_cols})
+        rf = rf.rename(columns=dict(zip(right_value_cols, out_right_names)))
+        merged = pd.merge_asof(lf, rf, on=ts_col, direction=direction)
+        return merged
+
+    return unioned.groupby(key).map_groups(per_key, batch_format="pandas")

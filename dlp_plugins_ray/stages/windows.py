@@ -1,0 +1,79 @@
+"""Windowed aggregates over the event stream.
+
+Ray Data has no event-time windows; these are the documented
+compositions (guide: 'Streaming-shaped workloads'): partition by key,
+order by ts within the key group, window with pandas inside
+``groupby(key).map_groups``. Ordering assumption: the window function
+sorts its own group — block order never matters.
+
+- tumbling: floor ts to the window size (pure vectorized map, no
+  group state needed) -> groupby aggregate
+- session: gap-based sessionization per key
+- sliding: each event contributes to every window covering it
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def tumbling(ds, *, ts_col: str, every: str = "hour"):
+    """Adds a ``window_start`` column (floor_temporal) — follow with a
+    groupby aggregate. No shuffle beyond the aggregate itself."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(batch.column(ts_col), unit=every)
+        return batch.append_column("window_start", w)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def sessionize(ds, *, key: str, ts_col: str, gap_minutes: float, order_col: str | None = None):
+    """Gap-based sessions per key: a new session starts when the gap to
+    the previous event exceeds ``gap_minutes``. Adds ``session_id``
+    (1-based per key, ordered by ts then ``order_col``)."""
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_key(group: pd.DataFrame) -> pd.DataFrame:
+        sort_cols = [ts_col] + ([order_col] if order_col else [])
+        g = group.sort_values(sort_cols, kind="mergesort").copy()
+        new_sess = (g[ts_col].diff() > gap) | g[ts_col].diff().isna()
+        g["session_id"] = new_sess.cumsum().astype(np.int64)
+        return g
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+def sliding_counts(ds, *, key: str, ts_col: str, window_minutes: int, slide_minutes: int):
+    """Sliding-window counts: each event lands in every window covering
+    it (window length / slide copies), then one groupby aggregate.
+    Vectorized expansion inside map_batches; shuffle moves only
+    (key, window_start) rows."""
+    n_covers = window_minutes // slide_minutes
+    slide_us = slide_minutes * 60_000_000
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keys = batch.column(key).to_numpy(zero_copy_only=False)
+        base = (ts // slide_us) * slide_us  # last slide boundary <= ts
+        offsets = np.arange(n_covers, dtype=np.int64) * slide_us
+        starts = base[:, None] - offsets[None, :]
+        rep_keys = np.repeat(keys, n_covers)
+        return pa.table(
+            {
+                key: pa.array(rep_keys),
+                "window_start": pa.array(starts.reshape(-1)).cast(
+                    pa.timestamp("us")
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Count
+
+    expanded = ds.map_batches(expand, batch_format="pyarrow")
+    return expanded.groupby([key, "window_start"]).aggregate(
+        Count(alias_name="n_events")
+    )

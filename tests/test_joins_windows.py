@@ -1,0 +1,114 @@
+"""Unit tests for join and window operators."""
+
+import datetime as dt
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from dlp_plugins_ray.stages import joins as J
+from dlp_plugins_ray.stages import windows as W
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestJoins:
+    def test_broadcast_join(self):
+        import ray.data as rd
+
+        big = rd.from_arrow(pa.table({"k": [1, 2, 3, 1], "v": ["a", "b", "c", "d"]}))
+        small = pa.table({"k": [1, 2], "name": ["one", "two"]})
+        out = J.broadcast_join(big, small, key="k", small_cols=["name"]).take_all()
+        got = {(r["k"], r["v"]): r["name"] for r in out}
+        assert got[(1, "a")] == "one" and got[(2, "b")] == "two"
+        assert got[(3, "c")] is None  # left join: miss -> null
+
+    def test_semi_and_anti(self):
+        import ray.data as rd
+
+        ds = rd.from_arrow(pa.table({"k": [1, 2, 3, 4]}))
+        semi = J.broadcast_semi_anti(ds, {2, 4}, key="k")
+        anti = J.broadcast_semi_anti(ds, {2, 4}, key="k", anti=True)
+        assert sorted(r["k"] for r in semi.take_all()) == [2, 4]
+        assert sorted(r["k"] for r in anti.take_all()) == [1, 3]
+
+    def test_asof_join_backward(self):
+        import ray.data as rd
+
+        left = rd.from_arrow(
+            pa.table(
+                {
+                    "k": ["a", "a", "b"],
+                    "ts": pa.array([_ts(10), _ts(12), _ts(10)], pa.timestamp("us")),
+                    "lid": [1, 2, 3],
+                }
+            )
+        )
+        right = rd.from_arrow(
+            pa.table(
+                {
+                    "k": ["a", "a", "b"],
+                    "ts": pa.array([_ts(9), _ts(11), _ts(11)], pa.timestamp("us")),
+                    "rv": ["r9", "r11", "rb11"],
+                }
+            )
+        )
+        out = J.asof_join(
+            left, right, key="k", ts_col="ts", right_value_cols=["rv"]
+        ).take_all()
+        got = {r["lid"]: r["rv"] for r in out}
+        assert got[1] == "r9" and got[2] == "r11"
+        assert got[3] is None or got[3] != got[3]  # b@10: no match <= 10
+        assert all(isinstance(k, (int, np.integer)) for k in got)  # dtypes kept
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWindows:
+    def _events(self):
+        ts = [_ts(1, 0), _ts(1, 10), _ts(2, 30), _ts(2, 45), _ts(5, 0)]
+        return pa.table(
+            {
+                "user_id": [1] * 5,
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "event_id": list(range(5)),
+            }
+        )
+
+    def test_sessionize(self):
+        import ray.data as rd
+
+        out = W.sessionize(
+            rd.from_arrow(self._events()),
+            key="user_id", ts_col="ts", gap_minutes=30, order_col="event_id",
+        ).take_all()
+        sess = {r["event_id"]: r["session_id"] for r in out}
+        assert sess == {0: 1, 1: 1, 2: 2, 3: 2, 4: 3}
+
+    def test_tumbling(self):
+        import ray.data as rd
+
+        out = W.tumbling(rd.from_arrow(self._events()), ts_col="ts").take_all()
+        hours = {r["event_id"]: r["window_start"].hour for r in out}
+        assert hours == {0: 1, 1: 1, 2: 2, 3: 2, 4: 5}
+
+    def test_sliding_counts(self):
+        import ray.data as rd
+
+        out = W.sliding_counts(
+            rd.from_arrow(self._events()),
+            key="user_id", ts_col="ts", window_minutes=60, slide_minutes=30,
+        ).take_all()
+        # event at 01:00 covered by windows starting 00:30 and 01:00
+        starts = {
+            (r["window_start"].hour, r["window_start"].minute): r["n_events"]
+            for r in out
+        }
+        # hour-long windows sliding every 30 min: [0:30,1:30) and
+        # [1:00,2:00) both contain the 1:00 and 1:10 events
+        assert starts[(1, 0)] == 2
+        assert starts[(0, 30)] == 2
+        assert starts[(2, 30)] == 2  # 2:30 and 2:45
+        assert starts[(5, 0)] == 1
