@@ -205,9 +205,11 @@ def _lww_events(batch_or_group: pa.Table) -> pa.Table:
 def q_upsert_lww_events(sf_dir: str):
     """Last-writer-wins by user_id on event_id: per-block combiner then
     one groupby — the upsert shuffle pattern on the shared table."""
+    from ..stages.shuffle import bucketed_group_reduce
+
     ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
-    ds = ds.map_batches(_lww_events, batch_format="pyarrow")
-    out = ds.groupby("user_id").map_groups(_lww_events, batch_format="pyarrow")
+    ds = ds.map_batches(_lww_events, batch_format="pyarrow")  # combiner
+    out = bucketed_group_reduce(ds, ["user_id"], _lww_events)
     return out.map_batches(
         lambda b: pa.table(
             {
@@ -277,9 +279,11 @@ def q_cdc_replay_versions(sf_dir: str):
     """Full CDC replay shape (expand -> combiner -> groupby LWW ->
     tombstone drop -> sha256 of final content) with a pure-SQL oracle."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    from ..stages.shuffle import bucketed_group_reduce
+
     ev = ds.map_batches(_ExpandVersions(), batch_format="pyarrow")
-    ev = ev.map_batches(_lww_docs, batch_format="pyarrow")
-    last = ev.groupby("doc_id").map_groups(_lww_docs, batch_format="pyarrow")
+    ev = ev.map_batches(_lww_docs, batch_format="pyarrow")  # combiner
+    last = bucketed_group_reduce(ev, ["doc_id"], _lww_docs)
     live = last.map_batches(
         lambda b: b.filter(pc.not_equal(b.column("op"), "delete")),
         batch_format="pyarrow",
@@ -837,15 +841,20 @@ def q_events_sessions(sf_dir: str):
     """Gap-based sessionization (30-min gap) — the session-window
     operator over the event stream."""
     from ..stages.windows import sessionize
-    from ray.data.aggregate import Count, Min
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
     sess = sessionize(ds, key="user_id", ts_col="ts", gap_minutes=30, order_col="event_id")
-    agg = sess.groupby(["user_id", "session_id"]).aggregate(
-        Count(alias_name="n_events"),
-        Min("ts", alias_name="session_start"),
-    )
-    return agg
+
+    # sessions never span bucket blocks (sessionize hash-buckets by
+    # key), so a per-block pandas aggregate IS the global aggregate —
+    # no second shuffle, no per-group overhead. batch_size=None keeps
+    # block alignment.
+    def agg_block(df):
+        return df.groupby(["user_id", "session_id"], as_index=False).agg(
+            n_events=("ts", "size"), session_start=("ts", "min")
+        )
+
+    return sess.map_batches(agg_block, batch_format="pandas", batch_size=None)
 
 
 def q_asof_purchase_signup(sf_dir: str):
@@ -860,15 +869,17 @@ def q_asof_purchase_signup(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    signups = ev.map_batches(
-        lambda b: b.filter(pc.equal(b.column("event_type"), "signup")).select(
-            ["user_id", "ts"]
-        ).append_column(
-            "signup_ts",
-            b.filter(pc.equal(b.column("event_type"), "signup")).column("ts"),
-        ),
-        batch_format="pyarrow",
-    )
+    def _signups(b: pa.Table) -> pa.Table:
+        s = b.filter(pc.equal(b.column("event_type"), "signup"))
+        return pa.table(
+            {
+                "user_id": s.column("user_id"),
+                "ts": s.column("ts"),
+                "signup_ts": s.column("ts"),
+            }
+        )
+
+    signups = ev.map_batches(_signups, batch_format="pyarrow")
     joined = asof_join(
         purchases, signups, key="user_id", ts_col="ts",
         right_value_cols=["signup_ts"], direction="backward",

@@ -68,10 +68,11 @@ def exact_dedup(ds, *, text_col: str, id_col: str, precomputed_hash: str | None 
         lambda b: _keep_min_per_key(b, hash_col, id_col), batch_format="pyarrow"
     )
 
-    def first_in_group(group: pa.Table) -> pa.Table:
-        return _keep_min_per_key(group, hash_col, id_col)
+    from .shuffle import bucketed_group_reduce
 
-    out = ds.groupby(hash_col).map_groups(first_in_group, batch_format="pyarrow")
+    out = bucketed_group_reduce(
+        ds, [hash_col], lambda b: _keep_min_per_key(b, hash_col, id_col)
+    )
     if precomputed_hash is None:
         out = out.map_batches(
             lambda b: b.drop_columns([hash_col]), batch_format="pyarrow"
@@ -207,39 +208,36 @@ def minhash_duplicate_pairs(
         concurrency=(1, 16),
     )
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group.column(id_col).to_pylist()))
-        if len(ids) < 2:
-            return pa.table(
-                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
-            )
-        # pair every member with the bucket minimum — enough to link the
-        # duplicate cluster without O(n^2) pairs on huge buckets
-        head = ids[0]
+    from .shuffle import bucketed_group_reduce
+
+    def pairs_block(block: pa.Table) -> pa.Table:
+        """All (band, band_hash) groups of a bucket at once: pair every
+        bucket member with the bucket minimum — enough to link the
+        duplicate cluster without O(n^2) pairs on huge buckets."""
+        import polars as pl
+
+        df = pl.from_arrow(block).unique()
+        df = df.with_columns(
+            pl.col(id_col).min().over(["band", "band_hash"]).alias("_min")
+        )
+        dup = df.filter(pl.col(id_col) != pl.col("_min"))
         return pa.table(
             {
-                "id_a": pa.array([head] * (len(ids) - 1), pa.int64()),
-                "id_b": pa.array(ids[1:], pa.int64()),
+                "id_a": dup["_min"].cast(pl.Int64).to_arrow(),
+                "id_b": dup[id_col].cast(pl.Int64).to_arrow(),
             }
         )
 
-    pairs = banded.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pyarrow"
-    )
+    pairs = bucketed_group_reduce(banded, ["band", "band_hash"], pairs_block)
 
-    def dedup_pairs(batch: pa.Table) -> pa.Table:
+    def unique_pairs(block: pa.Table) -> pa.Table:
         import polars as pl
 
-        return (
-            pl.from_arrow(batch).unique(subset=["id_a", "id_b"]).to_arrow()
-            .cast(batch.schema)
-        )
+        return pl.from_arrow(block).unique().to_arrow().cast(block.schema)
 
-    # global pair dedup: one more tiny groupby on the pair key
-    pairs = pairs.map_batches(dedup_pairs, batch_format="pyarrow")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    # in-block dedup then one bucketed global dedup on the pair key
+    pairs = pairs.map_batches(unique_pairs, batch_format="pyarrow")
+    return bucketed_group_reduce(pairs, ["id_a", "id_b"], unique_pairs)
 
 
 def jaccard(a: str, b: str, k: int = 5) -> float:

@@ -31,20 +31,50 @@ def tumbling(ds, *, ts_col: str, every: str = "hour"):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def sessionize(ds, *, key: str, ts_col: str, gap_minutes: float, order_col: str | None = None):
+def sessionize(
+    ds,
+    *,
+    key: str,
+    ts_col: str,
+    gap_minutes: float,
+    order_col: str | None = None,
+    num_buckets: int = 64,
+):
     """Gap-based sessions per key: a new session starts when the gap to
     the previous event exceeds ``gap_minutes``. Adds ``session_id``
-    (1-based per key, ordered by ts then ``order_col``)."""
+    (1-based per key, ordered by ts then ``order_col``).
+
+    Scale shape: keys are hash-bucketed and each bucket block is
+    sessionized in ONE vectorized pandas pass over all its keys
+    (sort by (key, ts) -> key-change OR gap-exceeded -> cumsum within
+    key) — per-key map_groups would pay pandas overhead per tiny
+    group. One shuffle on the bucket column."""
     gap = pd.Timedelta(minutes=gap_minutes)
 
-    def per_key(group: pd.DataFrame) -> pd.DataFrame:
-        sort_cols = [ts_col] + ([order_col] if order_col else [])
-        g = group.sort_values(sort_cols, kind="mergesort").copy()
-        new_sess = (g[ts_col].diff() > gap) | g[ts_col].diff().isna()
-        g["session_id"] = new_sess.cumsum().astype(np.int64)
-        return g
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        import zlib
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+        ks = batch.column(key).to_pylist()
+        b = np.array(
+            [zlib.crc32(str(k).encode()) % num_buckets for k in ks], dtype=np.int64
+        )
+        return batch.append_column("_bucket", pa.array(b))
+
+    def per_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        sort_cols = [key, ts_col] + ([order_col] if order_col else [])
+        g = block.sort_values(sort_cols, kind="mergesort").copy()
+        key_change = g[key].ne(g[key].shift())
+        gap_break = g[ts_col].diff() > gap
+        new_sess = key_change | gap_break
+        # cumsum within key: global cumsum minus the value at each
+        # key's first row + 1
+        global_sess = new_sess.cumsum()
+        first_of_key = global_sess.where(key_change).ffill()
+        g["session_id"] = (global_sess - first_of_key + 1).astype(np.int64)
+        return g.drop(columns=["_bucket"])
+
+    tagged = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return tagged.groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
 
 
 def sliding_counts(ds, *, key: str, ts_col: str, window_minutes: int, slide_minutes: int):
