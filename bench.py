@@ -83,7 +83,6 @@ def run_headline(n_events: int) -> dict:
         lake,
         policy=POLICY,
         num_partitions=64,
-        redact_concurrency=max(4, int(NUM_CPUS * 0.75)),
         batch_size=16384,
     )
     dt = time.time() - t0

@@ -10,7 +10,7 @@ Dataflow (all streaming, one all-to-all exchange):
     read_parquet(events, columns=needed)            # prune at the read
       -> map_batches(normalize)                     # schema evolution
       -> map_batches(checkpoint filter)             # resume: drop seq <= committed
-      -> map_batches(RedactionStage, actor pool)    # policy transforms
+      -> map_batches(RedactionStage, cached/worker) # policy transforms
       -> map_batches(partial LWW combiner)          # per-block pre-reduce:
                                                     #   <=1 row per key per block
       -> groupby(_pkey).map_groups(finalize+write)  # ONE shuffle, partition-
@@ -162,11 +162,12 @@ def _cached_stage(key, factory):
 
 
 class ReplayMapStage:
-    """The fused map phase of the replay — ONE actor-pool stage doing
+    """The fused map phase of the replay — ONE stage doing
     normalize -> checkpoint-filter -> redact -> per-block LWW combiner
     -> partition tag. Fusing matters at scale: one pass over each Arrow
-    block, one actor pool (policy compiled once per actor), no
-    intermediate blocks in the object store between sub-steps."""
+    block, compiled policy state shared per worker process (via
+    _cached_stage), no intermediate blocks in the object store between
+    sub-steps."""
 
     def __init__(
         self,
@@ -304,7 +305,6 @@ def replay(
     registry: SchemaRegistry | None = None,
     num_partitions: int = 32,
     batch_size: int = 8192,
-    redact_concurrency=None,
     salt_buckets: int = 0,
     incremental: bool = False,
     resume: bool = True,

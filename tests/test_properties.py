@@ -1,0 +1,147 @@
+"""Property-based equivalence tests: every vectorized fast path must
+agree with a naive, obviously-correct reference implementation of the
+documented semantics (hypothesis-generated inputs incl. specials)."""
+
+import re
+import string
+
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from dlp_plugins_ray.functions.transforms import (
+    MaskingConfig,
+    RedactConfig,
+    ReplaceValueConfig,
+    apply_spans_column,
+    _CHARS_TO_IGNORE,
+)
+from dlp_plugins_ray.functions.detect import CustomTemplate, DetectorBank
+from dlp_plugins_ray.stages.redact import RedactionStage
+
+
+def naive_mask(value, masking_char, number_to_mask, reverse_order, ignore_enum):
+    """The reference CharacterMaskConfig semantics, written the dumb
+    way: walk characters, skip ignored, mask until the count runs out."""
+    ignore = _CHARS_TO_IGNORE[ignore_enum]
+    chars = list(value)
+    idxs = range(len(chars) - 1, -1, -1) if reverse_order else range(len(chars))
+    masked = 0
+    limit = number_to_mask if number_to_mask > 0 else len(chars)
+    for i in idxs:
+        if masked >= limit:
+            break
+        if chars[i] in ignore:
+            continue
+        chars[i] = masking_char
+        masked += 1
+    return "".join(chars)
+
+
+TEXT = st.text(
+    alphabet=string.ascii_letters + string.digits + string.punctuation + " \t\né中",
+    max_size=60,
+)
+
+
+class TestMaskingEquivalence:
+    @given(
+        TEXT,
+        st.sampled_from(sorted(_CHARS_TO_IGNORE)),
+        st.integers(min_value=0, max_value=10),
+        st.booleans(),
+        st.sampled_from(["#", "*", "x"]),
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_cell_fast_path_matches_naive(self, text, ignore, n, rev, ch):
+        cfg = MaskingConfig(
+            masking_char=ch,
+            number_to_mask=n,
+            reverse_order=rev,
+            chars_to_ignore_enum=ignore,
+        )
+        assert cfg.transform_cell(text) == naive_mask(text, ch, n, rev, ignore)
+
+    @given(
+        st.lists(TEXT, min_size=1, max_size=8),
+        st.sampled_from(sorted(_CHARS_TO_IGNORE)),
+        st.integers(min_value=0, max_value=6),
+        st.booleans(),
+    )
+    @settings(max_examples=150, deadline=None)
+    def test_arrow_column_path_matches_naive(self, texts, ignore, n, rev):
+        cfg = MaskingConfig(
+            masking_char="#",
+            number_to_mask=n,
+            reverse_order=rev,
+            chars_to_ignore_enum=ignore,
+        )
+        col = pa.array(texts, pa.string())
+        got = cfg.transform_column(col).to_pylist()
+        want = [naive_mask(t, "#", n, rev, ignore) for t in texts]
+        assert got == want
+
+
+class TestSpanPathEquivalence:
+    """The RE2-vectorized span path in RedactionStage must agree with
+    plain python re.sub for replace/redact."""
+
+    @given(st.lists(TEXT, min_size=1, max_size=8))
+    @settings(max_examples=100, deadline=None)
+    def test_redact_digits(self, texts):
+        policy = {
+            "transforms": [
+                {
+                    "transform": "REDACT",
+                    "fields": "t",
+                    "filters": "NONE",
+                    "transformProperties": {},
+                }
+            ],
+            "customTemplateEnabled": True,
+            "templateId": "NumberTemplate",
+        }
+        stage = RedactionStage(policy)
+        out = stage(pa.table({"t": pa.array(texts, pa.string())}))
+        want = [re.sub(r"[0-9]+", "", t) for t in texts]
+        assert out.column("t").to_pylist() == want
+
+    @given(st.lists(TEXT, min_size=1, max_size=8))
+    @settings(max_examples=100, deadline=None)
+    def test_replace_digits(self, texts):
+        policy = {
+            "transforms": [
+                {
+                    "transform": "REPLACE_VALUE",
+                    "fields": "t",
+                    "filters": "NONE",
+                    "transformProperties": {"newValue": "[N]"},
+                }
+            ],
+            "customTemplateEnabled": True,
+            "templateId": "NumberTemplate",
+        }
+        stage = RedactionStage(policy)
+        out = stage(pa.table({"t": pa.array(texts, pa.string())}))
+        want = [re.sub(r"[0-9]+", "[N]", t) for t in texts]
+        assert out.column("t").to_pylist() == want
+
+    @given(st.lists(TEXT, min_size=1, max_size=6))
+    @settings(max_examples=100, deadline=None)
+    def test_span_mask_fused_vs_scan(self, texts):
+        """Fused single-pattern sub vs generic scan+splice."""
+        bank1 = DetectorBank(
+            CustomTemplate("a", regexes={"N": r"[0-9]+"}, case_insensitive=False).build_detectors()
+        )
+        cfg = MaskingConfig(masking_char="#")
+        fused = apply_spans_column(cfg, bank1, texts)
+        # force the generic path: two detectors that never overlap
+        bank2 = DetectorBank(
+            CustomTemplate(
+                "b",
+                regexes={"N": r"[0-9]+", "NEVER": r"(?!x)x"},
+                case_insensitive=False,
+            ).build_detectors()
+        )
+        generic = apply_spans_column(cfg, bank2, texts)
+        assert fused == generic
