@@ -71,11 +71,10 @@ def q_redact_mask(sf_dir: str):
         "templateId": "DemoTemplate",
     }
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    from ..stages.cache import cached_task_stage
+
     out = ds.map_batches(
-        RedactionStage,
-        fn_constructor_args=(policy,),
-        batch_format="pyarrow",
-        concurrency=(1, 8),
+        cached_task_stage(RedactionStage, policy), batch_format="pyarrow"
     )
     return out.map_batches(
         lambda b: b.rename_columns(["doc_id", "masked"]), batch_format="pyarrow"
@@ -97,11 +96,10 @@ def q_redact_replace(sf_dir: str):
         "templateId": "NumberTemplate",
     }
     ds = _read(sf_dir, "events", ["event_id", "props"])
+    from ..stages.cache import cached_task_stage
+
     out = ds.map_batches(
-        RedactionStage,
-        fn_constructor_args=(policy,),
-        batch_format="pyarrow",
-        concurrency=(1, 8),
+        cached_task_stage(RedactionStage, policy), batch_format="pyarrow"
     )
     return out.map_batches(
         lambda b: b.rename_columns(["event_id", "props_redacted"]),
@@ -124,11 +122,10 @@ def q_redact_redact(sf_dir: str):
         "templateId": "NumberTemplate",
     }
     ds = _read(sf_dir, "events", ["event_id", "props"])
+    from ..stages.cache import cached_task_stage
+
     out = ds.map_batches(
-        RedactionStage,
-        fn_constructor_args=(policy,),
-        batch_format="pyarrow",
-        concurrency=(1, 8),
+        cached_task_stage(RedactionStage, policy), batch_format="pyarrow"
     )
     return out.map_batches(
         lambda b: b.rename_columns(["event_id", "props_redacted"]),
@@ -143,7 +140,7 @@ def q_redact_redact(sf_dir: str):
 
 def q_filter_split_counts(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    scored = FS.score(ds, field="text", template="KeywordTemplate", concurrency=(1, 8))
+    scored = FS.score(ds, field="text", template="KeywordTemplate")
 
     def to_port(batch: pa.Table) -> pa.Table:
         port = pc.if_else(
@@ -162,7 +159,7 @@ def q_filter_split_counts(sf_dir: str):
 
 def q_filter_sensitive_ids(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    scored = FS.score(ds, field="text", template="KeywordTemplate", concurrency=(1, 8))
+    scored = FS.score(ds, field="text", template="KeywordTemplate")
     port = FS.split(scored)[FS.SENSITIVE_PORT]
     return port.map_batches(
         lambda b: b.select(["doc_id"]), batch_format="pyarrow"
@@ -318,11 +315,10 @@ def q_dedup_minhash_pairs(sf_dir: str):
 
 def q_simhash_fingerprints(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    from ..stages.cache import cached_task_stage
+
     out = ds.map_batches(
-        DD.SimHashStage,
-        fn_constructor_args=("text",),
-        batch_format="pyarrow",
-        concurrency=(1, 8),
+        cached_task_stage(DD.SimHashStage, "text"), batch_format="pyarrow"
     )
     return out.map_batches(
         lambda b: b.select(["doc_id", "simhash"]), batch_format="pyarrow"
@@ -518,11 +514,10 @@ def q_crypto_hash(sf_dir: str):
         "templateId": "DemoTemplate",
     }
     ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    from ..stages.cache import cached_task_stage
+
     return ds.map_batches(
-        RedactionStage,
-        fn_constructor_args=(policy,),
-        batch_format="pyarrow",
-        concurrency=(1, 8),
+        cached_task_stage(RedactionStage, policy), batch_format="pyarrow"
     )
 
 
@@ -560,9 +555,10 @@ def q_fpe_roundtrip(sf_dir: str):
                 {"event_id": batch.column("event_id"), "roundtrip_ok": ok}
             )
 
+    from ..stages.cache import cached_task_stage
+
     return ds.map_batches(
-        RoundTrip, fn_constructor_args=(policy,), batch_format="pyarrow",
-        concurrency=(1, 8),
+        cached_task_stage(RoundTrip, policy), batch_format="pyarrow"
     )
 
 

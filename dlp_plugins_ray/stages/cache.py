@@ -1,0 +1,39 @@
+"""Per-worker-process stage cache for task-pool map_batches.
+
+Actor pools (`map_batches(Cls, concurrency=N)`) start fresh actor
+processes per pipeline run — ~1-2 s of import + construction before
+the first batch. For stages whose state is cheap to build but worth
+amortizing (compiled policies, regex banks, hashers), running as a
+plain TASK pool with a per-worker-process cache reuses Ray's
+pre-started workers: zero pool spin-up, state built once per worker.
+
+Use actor pools instead when state is heavy (models, large indexes)
+or must be bounded (`concurrency` caps memory); pass concurrency to
+the stage helpers for that.
+"""
+
+from __future__ import annotations
+
+import json
+
+_CACHE: dict = {}
+
+
+def cached_task_stage(cls, *args, **kwargs):
+    """A pickle-friendly map_batches function that lazily constructs
+    ``cls(*args, **kwargs)`` once per worker process and reuses it."""
+    key = (
+        cls.__module__,
+        cls.__qualname__,
+        json.dumps([args, kwargs], sort_keys=True, default=str),
+    )
+
+    def run_stage(batch):
+        stage = _CACHE.get(key)
+        if stage is None:
+            stage = cls(*args, **kwargs)
+            _CACHE[key] = stage
+        return stage(batch)
+
+    run_stage.__name__ = f"task_{cls.__name__}"
+    return run_stage

@@ -134,17 +134,21 @@ def decrypt(
     **stage_kwargs,
 ):
     policy_json = policy.to_json() if isinstance(policy, Policy) else policy
-    kwargs = dict(
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        num_cpus=num_cpus,
-        # callable classes need an actor pool; (1, N) autoscales with
-        # the streaming executor's demand
-        concurrency=concurrency if concurrency is not None else (1, 16),
-    )
+    if concurrency is None:
+        from .cache import cached_task_stage
+
+        return ds.map_batches(
+            cached_task_stage(DecryptStage, policy_json, **stage_kwargs),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            num_cpus=num_cpus,
+        )
     return ds.map_batches(
         DecryptStage,
         fn_constructor_args=(policy_json,),
         fn_constructor_kwargs=stage_kwargs,
-        **kwargs,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        num_cpus=num_cpus,
+        concurrency=concurrency,
     )

@@ -144,17 +144,24 @@ def score(
     num_cpus: float = 1,
     **stage_kwargs,
 ):
-    """Run the detection pass once, producing the scored dataset."""
-    kwargs = dict(
+    """Run the detection pass once, producing the scored dataset.
+    Default: cached task stage; pass ``concurrency`` for an actor pool."""
+    if concurrency is None:
+        from .cache import cached_task_stage
+
+        return ds.map_batches(
+            cached_task_stage(FilterStage, **stage_kwargs),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            num_cpus=num_cpus,
+        )
+    return ds.map_batches(
+        FilterStage,
+        fn_constructor_kwargs=stage_kwargs,
         batch_format="pyarrow",
         batch_size=batch_size,
         num_cpus=num_cpus,
-        # callable classes need an actor pool; (1, N) autoscales with
-        # the streaming executor's demand
-        concurrency=concurrency if concurrency is not None else (1, 16),
-    )
-    return ds.map_batches(
-        FilterStage, fn_constructor_kwargs=stage_kwargs, **kwargs
+        concurrency=concurrency,
     )
 
 

@@ -206,20 +206,27 @@ def redact(
     num_cpus: float = 1,
     metrics: bool = False,
 ):
-    """Attach the redaction stage to a Dataset (actor pool when
-    ``concurrency`` is given, else stateless tasks)."""
+    """Attach the redaction stage to a Dataset.
+
+    Default: task pool with a per-worker cached compiled stage (no
+    actor spin-up — see stages/cache.py). Pass ``concurrency`` to get
+    a bounded actor pool instead (heavier isolation/memory control)."""
     policy_json = policy.to_json() if isinstance(policy, Policy) else policy
-    kwargs = dict(
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        num_cpus=num_cpus,
-        # callable classes need an actor pool; (1, N) autoscales with
-        # the streaming executor's demand
-        concurrency=concurrency if concurrency is not None else (1, 16),
-    )
+    if concurrency is None:
+        from .cache import cached_task_stage
+
+        return ds.map_batches(
+            cached_task_stage(RedactionStage, policy_json, metrics=metrics),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            num_cpus=num_cpus,
+        )
     return ds.map_batches(
         RedactionStage,
         fn_constructor_args=(policy_json,),
         fn_constructor_kwargs={"metrics": metrics},
-        **kwargs,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        num_cpus=num_cpus,
+        concurrency=concurrency,
     )
