@@ -302,3 +302,79 @@ class TestStagesOnRay:
         got = {r["id"]: r["zip"] for r in dec.take_all()}
         want = {r["id"]: r["zip"] for r in rd.from_arrow(_table()).take_all()}
         assert got == want
+
+
+class TestUtilsRoundtripFixture:
+    """FIXTURES.md F1 — the reference's UtilsTest record
+    (UtilsTest.java:45-81): record -> table -> record must be identity
+    when no transform matches; nulls skipped, not overwritten."""
+
+    def _fixture(self):
+        import datetime as dt
+
+        return pa.table(
+            {
+                "firstName": ["John", None],
+                "lastName": ["Smith", "Jones"],
+                "dob": pa.array([dt.date(2019, 1, 1), None], pa.date32()),
+            }
+        )
+
+    def test_identity_when_no_match(self):
+        policy = {
+            "transforms": [
+                {
+                    "transform": "REDACT",
+                    "fields": "firstName,lastName",
+                    "filters": "CREDIT_CARD",
+                    "transformProperties": {},
+                }
+            ]
+        }
+        t = self._fixture()
+        out = RedactionStage(policy)(t)
+        assert out.equals(t)  # no credit cards in names -> identity
+
+    def test_nulls_never_overwritten(self):
+        policy = {
+            "transforms": [
+                {
+                    "transform": "CRYPTO_HASH",
+                    "fields": "NONE,firstName",
+                    "filters": "NONE",
+                    "transformProperties": {"keyType": "TRANSIENT", "name": "k"},
+                }
+            ],
+            "customTemplateEnabled": True,
+            "templateId": "DemoTemplate",
+        }
+        t = self._fixture()
+        out = RedactionStage(policy)(t)
+        vals = out.column("firstName").to_pylist()
+        assert vals[1] is None  # null stays null (Utils.java:77-79)
+        assert vals[0] is not None and len(vals[0]) == 64
+
+    def test_schema_preserved_with_date_column(self):
+        policy = {
+            "transforms": [
+                {
+                    "transform": "DATE_SHIFT",
+                    "fields": "dob",
+                    "filters": "NONE",
+                    "transformProperties": {
+                        "lowerBoundDays": "10",
+                        "upperBoundDays": "100",
+                    },
+                }
+            ],
+            "customTemplateEnabled": True,
+            "templateId": "DemoTemplate",
+        }
+        t = self._fixture()
+        out = RedactionStage(policy)(t)
+        assert out.schema == t.schema  # date32 stays date32
+        assert out.column("dob").to_pylist()[1] is None
+        import datetime as dt
+
+        shifted = out.column("dob").to_pylist()[0]
+        assert 10 <= (shifted - dt.date(2019, 1, 1)).days <= 100
