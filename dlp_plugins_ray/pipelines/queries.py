@@ -426,16 +426,30 @@ def q_quality_scores(sf_dir: str):
 
 
 def q_tpch_q1_lite(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
+    """Grouped aggregate via the scale pattern: per-block partial
+    aggregation (combiner) inside map_batches, then one tiny bucketed
+    reduce over the partials — the shuffle moves 6 rows per block, not
+    600k rows."""
+    from ..stages.shuffle import bucketed_group_reduce
 
-    ds = _read(
-        sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"]
+    keys = ["l_returnflag", "l_linestatus"]
+    ds = _read(sf_dir, "lineitem", keys + ["l_quantity"])
+
+    def partial(df):
+        return df.groupby(keys, as_index=False).agg(
+            sum_qty=("l_quantity", "sum"), n_rows=("l_quantity", "size")
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=None)
+
+    def final(block):
+        return block.groupby(keys, as_index=False).agg(
+            sum_qty=("sum_qty", "sum"), n_rows=("n_rows", "sum")
+        )
+
+    return bucketed_group_reduce(
+        partials, keys, final, num_buckets=4, batch_format="pandas"
     )
-    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Count(alias_name="n_rows"),
-    )
-    return out
 
 
 def q_join_orders_customers(sf_dir: str):
@@ -467,16 +481,28 @@ def q_join_orders_customers(sf_dir: str):
                 }
             )
 
-    from ray.data.aggregate import Count, Max
+    from ..stages.cache import cached_task_stage
+    from ..stages.shuffle import bucketed_group_reduce
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     joined = ds.map_batches(
-        JoinStage, fn_constructor_args=(ref,), batch_format="pyarrow",
-        concurrency=(1, 8),
+        cached_task_stage(JoinStage, ref), batch_format="pyarrow"
     )
-    return joined.groupby("c_mktsegment").aggregate(
-        Count(alias_name="n_orders"),
-        Max("o_totalprice", alias_name="max_price"),
+
+    def partial(df):
+        return df.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("o_totalprice", "size"), max_price=("o_totalprice", "max")
+        )
+
+    partials = joined.map_batches(partial, batch_format="pandas", batch_size=None)
+
+    def final(block):
+        return block.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("n_orders", "sum"), max_price=("max_price", "max")
+        )
+
+    return bucketed_group_reduce(
+        partials, ["c_mktsegment"], final, num_buckets=4, batch_format="pandas"
     )
 
 
@@ -487,10 +513,25 @@ def q_events_hourly(sf_dir: str):
         hour = pc.floor_temporal(batch.column("ts"), unit="hour")
         return pa.table({"user_id": batch.column("user_id"), "hour": hour})
 
-    from ray.data.aggregate import Count
+    from ..stages.shuffle import bucketed_group_reduce
 
     out = ds.map_batches(add_hour, batch_format="pyarrow")
-    return out.groupby(["user_id", "hour"]).aggregate(Count(alias_name="n_events"))
+
+    def partial(df):
+        return df.groupby(["user_id", "hour"], as_index=False).agg(
+            n_events=("hour", "size")
+        )
+
+    partials = out.map_batches(partial, batch_format="pandas", batch_size=None)
+
+    def final(block):
+        return block.groupby(["user_id", "hour"], as_index=False).agg(
+            n_events=("n_events", "sum")
+        )
+
+    return bucketed_group_reduce(
+        partials, ["user_id"], final, num_buckets=16, batch_format="pandas"
+    )
 
 
 # ---------------------------------------------------------------------------
