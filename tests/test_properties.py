@@ -145,3 +145,32 @@ class TestSpanPathEquivalence:
         )
         generic = apply_spans_column(cfg, bank2, texts)
         assert fused == generic
+
+
+class TestFilterVectorEquivalence:
+    """FilterStage's vectorized RE2 scoring (union prefilter +
+    validator re-verification) must agree with pure per-cell
+    any_match — including Luhn-validated credit cards."""
+
+    @given(
+        st.lists(
+            st.one_of(
+                TEXT,
+                st.just("card 4111 1111 1111 1111 ok"),   # valid Luhn
+                st.just("card 4111 1111 1111 1112 no"),   # invalid Luhn
+                st.none(),
+            ),
+            min_size=1,
+            max_size=10,
+        )
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_flags_match_pure_python(self, texts):
+        from dlp_plugins_ray.stages.filter import FilterStage
+
+        stage = FilterStage(field="t", filters=["CREDIT_CARD", "DEMOGRAPHIC"])
+        got = stage._match_flags(list(texts))
+        want = [
+            False if t is None else stage.bank.any_match(t) for t in texts
+        ]
+        assert got == want
