@@ -1004,3 +1004,56 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+
+def q_embedding_near_dup(sf_dir: str):
+    """Embedding-cosine near-dup pairs: random-hyperplane LSH buckets
+    (map_batches) -> per-bucket exact cosine verification — only
+    (bucket, id, vec) rows shuffle, never a full cross join.
+    Rows-only: LSH bucketing is not SQL-expressible."""
+    import pyarrow.parquet as pq
+    from ..stages.cache import cached_task_stage
+    from ..stages.shuffle import bucketed_group_reduce
+
+    head = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet")).read_row_group(0, columns=["embedding"])
+    dim = len(head.column("embedding")[0].as_py())
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    bucketed = ds.map_batches(
+        cached_task_stage(DD.CosineLshStage, "embedding", "vec_id", dim, 12),
+        batch_format="pyarrow",
+    )
+
+    def verify_block(block: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(block)
+        out_a, out_b, out_s = [], [], []
+        for _, sub in df.group_by("lsh_bucket"):
+            if len(sub) < 2:
+                continue
+            ids = sub["vec_id"].to_numpy()
+            emb = np.asarray(sub["embedding"].to_list(), dtype=np.float64)
+            norms = np.linalg.norm(emb, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (emb / norms) @ (emb / norms).T
+            ii, jj = np.triu_indices(len(ids), k=1)
+            keep = sims[ii, jj] >= 0.99
+            for i, j in zip(ii[keep], jj[keep]):
+                a, b = sorted((int(ids[i]), int(ids[j])))
+                out_a.append(a)
+                out_b.append(b)
+                out_s.append(float(sims[i, j]))
+        return pa.table(
+            {
+                "id_a": pa.array(out_a, pa.int64()),
+                "id_b": pa.array(out_b, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    return bucketed_group_reduce(
+        bucketed, ["lsh_bucket"], verify_block, num_buckets=16
+    )
+
+
+QUERIES["embedding_near_dup"] = q_embedding_near_dup
