@@ -251,9 +251,21 @@ class FinalizeAndCommit:
                 import pyarrow.parquet as pq
 
                 base = pq.read_table(base_path)
-                group = pa.concat_tables(
-                    [base.select(group.column_names).cast(group.schema), group]
-                )
+                # conform the base to the current schema: a base written
+                # before a column-add lacks the new column — null-fill
+                # (the schema-evolution contract extends to the lake)
+                cols = []
+                for fld in group.schema:
+                    idx = base.schema.get_field_index(fld.name)
+                    if idx >= 0:
+                        col = base.column(idx)
+                        if col.type != fld.type:
+                            col = col.cast(fld.type)
+                        cols.append(col)
+                    else:
+                        cols.append(pa.nulls(base.num_rows, fld.type))
+                base = pa.Table.from_arrays(cols, schema=group.schema)
+                group = pa.concat_tables([base, group])
 
         final = lww_reduce(group)
         final = drop_tombstones(final)

@@ -328,3 +328,31 @@ class TestMetrics:
             _t.sleep(0.1)
         assert snap["records.count"] == 15
         assert m.snapshot()["records.count"] == 15
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIncrementalSchemaChange:
+    def test_incremental_after_column_add(self, tmp_path):
+        """Base written under schema v2 (no 'lang' values yet... here:
+        base lacking a column entirely), then an incremental slice under
+        the full schema: the merge must null-fill the base."""
+        import pyarrow.compute as pc
+
+        full = EV.generate_change_events(1000, seed=31)
+        first = full.filter(pc.less(full.column("seq"), 500))
+        second = full.filter(pc.greater_equal(full.column("seq"), 500))
+        d1, d2 = str(tmp_path / "e1"), str(tmp_path / "e2")
+        os.makedirs(d1), os.makedirs(d2)
+        # base epoch without the 'lang' column (simulated pre-evolution)
+        pq.write_table(first.drop_columns(["lang"]), os.path.join(d1, "e.parquet"))
+        pq.write_table(second, os.path.join(d2, "e.parquet"))
+
+        lake = str(tmp_path / "lake")
+        RP.replay(d1, lake, num_partitions=4)
+        # base partitions now have lang=null rows
+        RP.replay(d2, lake, num_partitions=4, incremental=True)
+        got = RP.read_lake_table(lake).to_pandas()
+        oracle = EV.oracle_replay(full)
+        assert len(got) == len(oracle)
+        for _, row in got.iterrows():
+            assert row["seq"] == oracle[(row["repo"], row["path"])][0]
