@@ -272,7 +272,18 @@ class CustomTemplate:
 class TemplateRegistry:
     """Registry of custom templates; lookup at policy-build time is the
     native analogue of the reference's getInspectTemplate existence probe
-    (SensitiveRecordRedaction.java:128-141)."""
+    (SensitiveRecordRedaction.java:128-141).
+
+    Name resolution mirrors DLPTransformPluginConfig.getCustomTemplate
+    (DLPTransformPluginConfig.java:110-113): a bare ``templateId``
+    resolves in-registry; a ``customTemplatePath`` that looks like a
+    filesystem path (contains '/' and ends .json) loads a template
+    definition file:
+
+        {"name": "...", "regexes": {"TYPE": "rx", ...},
+         "keywords": {"TYPE": ["w1", "w2"], ...},
+         "caseInsensitive": true}
+    """
 
     def __init__(self) -> None:
         self._templates: dict[str, CustomTemplate] = {}
@@ -280,7 +291,28 @@ class TemplateRegistry:
     def register(self, template: CustomTemplate) -> None:
         self._templates[template.name] = template
 
+    @staticmethod
+    def load_template_file(path: str) -> CustomTemplate:
+        import json
+        import os
+
+        if not os.path.exists(path):
+            raise KeyError(f"Custom template file {path!r} does not exist")
+        obj = json.load(open(path))
+        return CustomTemplate(
+            name=obj.get("name", os.path.splitext(os.path.basename(path))[0]),
+            regexes=dict(obj.get("regexes", {})),
+            keywords={k: tuple(v) for k, v in obj.get("keywords", {}).items()},
+            case_insensitive=bool(obj.get("caseInsensitive", True)),
+        )
+
+    @staticmethod
+    def _is_path(name: str) -> bool:
+        return "/" in name and name.endswith(".json")
+
     def get(self, name: str) -> CustomTemplate:
+        if self._is_path(name):
+            return self.load_template_file(name)
         if name not in self._templates:
             raise KeyError(
                 f"Custom template {name!r} not found in registry "
@@ -289,6 +321,10 @@ class TemplateRegistry:
         return self._templates[name]
 
     def __contains__(self, name: str) -> bool:
+        if self._is_path(name):
+            import os
+
+            return os.path.exists(name)
         return name in self._templates
 
 

@@ -202,3 +202,71 @@ class TestPolicy:
         assert names["notes"] == "MASKING"
         assert names["zip"] == "Identity"
         assert names["date"] == "Identity"
+
+
+class TestTemplateFiles:
+    """customTemplatePath semantics: a JSON template definition file is
+    a valid template name (DLPTransformPluginConfig.getCustomTemplate
+    analogue)."""
+
+    def _write(self, tmp_path):
+        import json as _json
+
+        p = tmp_path / "MyTemplate.json"
+        p.write_text(
+            _json.dumps(
+                {
+                    "name": "MyTemplate",
+                    "regexes": {"TICKET": r"TKT-\d{6}"},
+                    "keywords": {"SECRET_WORD": ["hunter2"]},
+                    "caseInsensitive": False,
+                }
+            )
+        )
+        return str(p)
+
+    def test_load_and_detect(self, tmp_path):
+        path = self._write(tmp_path)
+        bank = D.DetectorBank.from_template(path)
+        assert bank.any_match("see TKT-123456 now")
+        assert bank.any_match("password is hunter2 ok")
+        assert not bank.any_match("nothing")
+
+    def test_policy_with_template_path(self, tmp_path):
+        path = self._write(tmp_path)
+        p = Policy.from_json(
+            {
+                "transforms": [
+                    {
+                        "transform": "REDACT",
+                        "fields": "notes",
+                        "filters": "NONE",
+                        "transformProperties": {},
+                    }
+                ],
+                "customTemplateEnabled": True,
+                "customTemplatePath": path,
+            }
+        )
+        assert p.validate(SCHEMA) == []
+        from dlp_plugins_ray.stages.redact import RedactionStage
+
+        out = RedactionStage(p.to_json())(
+            pa.table({"notes": ["fix TKT-999999 soon"], "zip": ["1"],
+                      "date": pa.array([None], pa.timestamp("us"))})
+        )
+        assert out.column("notes").to_pylist() == ["fix  soon"]
+
+    def test_missing_file_fails_validation(self):
+        p = Policy.from_json(
+            {
+                "transforms": [
+                    {"transform": "REDACT", "fields": "notes",
+                     "filters": "NONE", "transformProperties": {}}
+                ],
+                "customTemplateEnabled": True,
+                "customTemplatePath": "/nonexistent/tpl.json",
+            }
+        )
+        errs = p.validate(SCHEMA)
+        assert any("does not exist" in e for e in errs)
