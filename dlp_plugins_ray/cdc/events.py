@@ -115,6 +115,7 @@ def generate_change_events(
     dup_fraction: float = 0.05,
     delete_fraction: float = 0.07,
     v1_fraction: float = 0.2,
+    hot_file_fraction: float = 0.0,
 ) -> pa.Table:
     """The CDC log as one Arrow table, rows shuffled out of seq order.
 
@@ -127,6 +128,11 @@ def generate_change_events(
     repos, paths = generate_file_keys(n_repos, n_files, seed)
 
     file_ids = rng.randint(0, n_files, n_events)
+    if hot_file_fraction > 0:
+        # adversarial hot-key skew: route a fraction of all events to
+        # ONE file (repo, path) — the salted-reduce stress case
+        hot_mask = rng.rand(n_events) < hot_file_fraction
+        file_ids[hot_mask] = 0
     seqs = np.arange(n_events, dtype=np.int64)
     # version number of a file at its k-th touch = running count
     order = np.argsort(file_ids, kind="stable")

@@ -356,3 +356,15 @@ class TestIncrementalSchemaChange:
         assert len(got) == len(oracle)
         for _, row in got.iterrows():
             assert row["seq"] == oracle[(row["repo"], row["path"])][0]
+
+
+class TestSkewGenerator:
+    def test_hot_file_fraction(self):
+        t = EV.generate_change_events(2000, hot_file_fraction=0.4, seed=5)
+        from collections import Counter
+
+        keys = Counter(
+            zip(t.column("repo").to_pylist(), t.column("path").to_pylist())
+        )
+        top = keys.most_common(1)[0][1]
+        assert top > 0.3 * t.num_rows  # one key dominates
