@@ -52,13 +52,20 @@ class RedactionStage:
         *,
         validate_schema: bool = True,
         metrics: bool = False,
+        max_cell_bytes: int = 500_000,
     ):
+        """``max_cell_bytes`` mirrors the DLP content-API 0.5 MB payload
+        cap (docs/SensitiveRecordFilter-splittertransform.md:22): cells
+        beyond it are passed through untransformed and counted in
+        ``cells.oversize`` instead of blowing up worker memory on span
+        machinery. Set 0 to disable."""
         self.policy = policy if isinstance(policy, Policy) else Policy.from_json(policy)
         self.policy.validate_or_raise(schema=None)
         self.ops = self.policy.compiled_ops()  # detectors/ciphers compiled once
         self.validate_schema = validate_schema
         self._schema_checked = False
         self._re2_ok: dict[int, bool] = {}
+        self.max_cell_bytes = max_cell_bytes
         self.metrics = LocalMetrics(enabled=metrics)
 
     # -- per-column application ------------------------------------------------
@@ -121,25 +128,55 @@ class RedactionStage:
         self._re2_ok[id(op)] = True
         return out
 
+    def _oversize_mask(self, col):
+        """Boolean mask of cells beyond ``max_cell_bytes`` (the DLP
+        0.5 MB payload-cap analogue) — those cells pass through
+        untransformed. None when no cell exceeds the cap."""
+        if not self.max_cell_bytes:
+            return None
+        import pyarrow.compute as pc
+
+        mask = pc.fill_null(
+            pc.greater(pc.binary_length(col), self.max_cell_bytes), False
+        )
+        n = pc.sum(mask).as_py() or 0
+        if n == 0:
+            return None
+        self.metrics.incr("cells.oversize", n)
+        return mask.combine_chunks() if isinstance(mask, pa.ChunkedArray) else mask
+
     def _transform_string_column(
         self, batch: pa.Table, idx: int, op, contexts: list | None
     ) -> pa.Array:
+        import pyarrow.compute as pc
+
         col = batch.column(idx)
+        oversize = self._oversize_mask(col)
+
+        def _restore(new):
+            """Keep original values for oversize cells."""
+            if oversize is None:
+                return new
+            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            if isinstance(new, pa.ChunkedArray):
+                new = new.combine_chunks()
+            return pc.if_else(oversize, arr, new)
+
         vec = self._vectorized_column(op, col)
         if vec is not None:
             self.metrics.incr("cells.transformed", batch.num_rows)
             if isinstance(vec, pa.ChunkedArray):
                 vec = vec.combine_chunks()
-            return vec.cast(col.type)
+            return _restore(vec.cast(col.type))
         if op.bank is not None:
             # vectorized prefilter: RE2 kernel marks candidate rows;
             # only those are materialized to Python and span-transformed
             cand = op.bank.vector_candidates(col)
             if cand is not None:
-                import pyarrow.compute as pc
-
                 if isinstance(cand, pa.ChunkedArray):
                     cand = cand.combine_chunks()
+                if oversize is not None:
+                    cand = pc.and_(cand, pc.invert(oversize))
                 n_cand = pc.sum(cand).as_py() or 0
                 if n_cand == 0:
                     return col  # untouched — zero-copy passthrough
@@ -157,11 +194,19 @@ class RedactionStage:
                     arr, cand, pa.array(out, type=arr.type)
                 )
         values = _string_values(col)
+        skipped = {}
+        if oversize is not None:
+            for i, flag in enumerate(oversize.to_pylist()):
+                if flag:
+                    skipped[i] = values[i]
+                    values[i] = None  # transform skips nulls; restored below
         if op.bank is None:
             out = apply_whole_column(op.config, values, contexts)
         else:
             out = apply_spans_column(op.config, op.bank, values, contexts)
-        self.metrics.incr("cells.transformed", len(values))
+        for i, v in skipped.items():
+            out[i] = v
+        self.metrics.incr("cells.transformed", len(values) - len(skipped))
         return pa.array(out, type=col.type)
 
     # -- batch entry -----------------------------------------------------------

@@ -378,3 +378,45 @@ class TestUtilsRoundtripFixture:
 
         shifted = out.column("dob").to_pylist()[0]
         assert 10 <= (shifted - dt.date(2019, 1, 1)).days <= 100
+
+
+class TestPayloadCap:
+    """The DLP 0.5 MB content-cap analogue
+    (docs/SensitiveRecordFilter-splittertransform.md:22): oversize
+    cells pass through untransformed on every code path."""
+
+    def _policies(self):
+        whole = {
+            "transforms": [
+                {"transform": "MASKING", "fields": "NONE,notes",
+                 "filters": "NONE", "transformProperties": {"maskingChar": "#"}}
+            ],
+            "customTemplateEnabled": True, "templateId": "DemoTemplate",
+        }
+        span = {
+            "transforms": [
+                {"transform": "REDACT", "fields": "notes",
+                 "filters": "NONE", "transformProperties": {}}
+            ],
+            "customTemplateEnabled": True, "templateId": "NumberTemplate",
+        }
+        return whole, span
+
+    def test_oversize_passthrough_all_paths(self):
+        big = "x1y" * 200  # 600 bytes, contains digits
+        small = "a1b"
+        t = pa.table({"notes": [small, big]})
+        whole, span = self._policies()
+        for policy in (whole, span):
+            stage = RedactionStage(policy, max_cell_bytes=500)
+            out = stage(t).column("notes").to_pylist()
+            assert out[1] == big  # untouched
+            assert out[0] != small  # transformed
+            assert stage.metrics.snapshot().get("cells.oversize") == 1
+
+    def test_cap_disabled(self):
+        big = "x1y" * 200
+        whole, _ = self._policies()
+        stage = RedactionStage(whole, max_cell_bytes=0)
+        out = stage(pa.table({"notes": [big]})).column("notes").to_pylist()
+        assert out[0] == "#" * len(big)
