@@ -1057,3 +1057,18 @@ def q_embedding_near_dup(sf_dir: str):
 
 
 QUERIES["embedding_near_dup"] = q_embedding_near_dup
+
+
+def q_approx_distinct_users(sf_dir: str):
+    """HyperLogLog approximate COUNT(DISTINCT user_id): one mergeable
+    sketch per block, merged driver-side — the sketch pattern for
+    cardinality at 100 TB (rows never shuffle). Rows-only check (the
+    estimate is approximate by design; pytest bounds the error)."""
+    from ..stages.sketches import approx_distinct
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    est = approx_distinct(ds, "user_id", p=12)
+    return pa.table({"approx_distinct_users": pa.array([round(est)], pa.int64())})
+
+
+QUERIES["approx_distinct_users"] = q_approx_distinct_users

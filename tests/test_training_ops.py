@@ -215,3 +215,37 @@ class TestMinhashFullDedup:
         )
         ids = sorted(r["doc_id"] for r in kept.take_all())
         assert ids == [1, 4]  # min id per near-dup cluster
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSketches:
+    def test_hll_accuracy_and_merge(self):
+        from dlp_plugins_ray.stages.sketches import HyperLogLog, _hash_column
+
+        col = pa.array(np.arange(100000, dtype=np.int64))
+        h = HyperLogLog(p=12)
+        h.add_hashes(_hash_column(col))
+        assert abs(h.estimate() - 100000) / 100000 < 0.05
+        # merge == union
+        a = HyperLogLog(); b = HyperLogLog()
+        a.add_hashes(_hash_column(pa.array(np.arange(0, 5000))))
+        b.add_hashes(_hash_column(pa.array(np.arange(2500, 7500))))
+        a.merge(b)
+        assert abs(a.estimate() - 7500) / 7500 < 0.05
+        # serialization round-trip
+        c = HyperLogLog.from_bytes(a.to_bytes())
+        assert np.array_equal(c.registers, a.registers)
+
+    def test_approx_distinct_on_dataset(self):
+        import ray.data as rd
+        from dlp_plugins_ray.stages.sketches import approx_distinct
+
+        t = pa.table({"u": np.repeat(np.arange(2000, dtype=np.int64), 5)})
+        est = approx_distinct(rd.from_arrow(t), "u")
+        assert abs(est - 2000) / 2000 < 0.05
+
+    def test_hll_bad_p(self):
+        from dlp_plugins_ray.stages.sketches import HyperLogLog
+
+        with pytest.raises(ValueError):
+            HyperLogLog(p=2)
