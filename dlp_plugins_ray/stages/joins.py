@@ -164,3 +164,102 @@ def asof_join(
         return merged
 
     return unioned.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+def range_join(
+    left_ds,
+    right_ds,
+    *,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    right_value_cols: list[str],
+    bucket_width: float,
+):
+    """Inner range join: left rows matched to right intervals with
+    lo <= value <= hi. Ray Data has no interval join; the scalable
+    composition is interval bucketing: each right interval replicates
+    into every ``bucket_width`` bucket it overlaps, each left row lands
+    in exactly ONE bucket, and the per-bucket block does a vectorized
+    merge+filter. A match pair appears exactly once (in the left row's
+    bucket), so no dedup pass is needed. Shuffle volume = left rows +
+    sum(interval_span / bucket_width) replicas — pick ``bucket_width``
+    near the typical interval width.
+    """
+    left_schema = left_ds.schema().base_schema
+    left_cols = [f.name for f in left_schema]
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.floor(v / bucket_width).astype(np.int64)
+        return batch.append_column("_rbucket", pa.array(b)).append_column(
+            _SIDE_COL, pa.array(np.zeros(batch.num_rows, dtype=np.int8))
+        )
+
+    def expand_right(batch: pa.Table) -> pa.Table:
+        lo = batch.column(lo_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        hi = batch.column(hi_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        b_lo = np.floor(lo / bucket_width).astype(np.int64)
+        b_hi = np.floor(hi / bucket_width).astype(np.int64)
+        counts = np.maximum(0, b_hi - b_lo + 1)
+        idx = np.repeat(np.arange(batch.num_rows), counts)
+        buckets = np.concatenate(
+            [np.arange(a, a + c) for a, c in zip(b_lo, counts) if c > 0]
+        ) if counts.sum() else np.array([], dtype=np.int64)
+        out = {
+            "_rbucket": pa.array(buckets, pa.int64()),
+            lo_col: batch.column(lo_col).take(pa.array(idx)),
+            hi_col: batch.column(hi_col).take(pa.array(idx)),
+        }
+        for c in right_value_cols:
+            out[c] = batch.column(c).take(pa.array(idx))
+        t = pa.table(out)
+        return t.append_column(
+            _SIDE_COL, pa.array(np.ones(t.num_rows, dtype=np.int8))
+        )
+
+    lt = left_ds.map_batches(tag_left, batch_format="pyarrow")
+    rt = right_ds.map_batches(expand_right, batch_format="pyarrow")
+
+    l_schema = lt.schema().base_schema
+    r_schema = rt.schema().base_schema
+    union_schema = pa.unify_schemas([l_schema, r_schema], promote_options="permissive")
+
+    def conform(batch: pa.Table) -> pa.Table:
+        cols = []
+        for fld in union_schema:
+            i = batch.schema.get_field_index(fld.name)
+            if i >= 0:
+                c = batch.column(i)
+                if c.type != fld.type:
+                    c = c.cast(fld.type)
+                cols.append(c)
+            else:
+                cols.append(pa.nulls(batch.num_rows, fld.type))
+        return pa.Table.from_arrays(cols, schema=union_schema)
+
+    unioned = lt.map_batches(conform, batch_format="pyarrow").union(
+        rt.map_batches(conform, batch_format="pyarrow")
+    )
+
+    left_int_cols = [
+        f.name for f in left_schema if pa.types.is_integer(f.type)
+    ]
+    out_right = [c if c not in left_cols else f"{c}_right" for c in right_value_cols]
+
+    def per_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        lf = block[block[_SIDE_COL] == 0][left_cols]
+        rf = block[block[_SIDE_COL] == 1][[lo_col, hi_col] + right_value_cols]
+        if lf.empty or rf.empty:
+            cols = {c: pd.Series(dtype=object) for c in left_cols + out_right}
+            return pd.DataFrame(cols)
+        if left_int_cols:
+            lf = lf.astype({c: "int64" for c in left_int_cols})
+        rf = rf.rename(columns=dict(zip(right_value_cols, out_right)))
+        merged = lf.merge(rf, how="cross")
+        keep = (merged[value_col] >= merged[lo_col]) & (
+            merged[value_col] <= merged[hi_col]
+        )
+        return merged[keep][left_cols + out_right]
+
+    return unioned.groupby("_rbucket").map_groups(per_bucket, batch_format="pandas")

@@ -112,3 +112,40 @@ class TestWindows:
         assert starts[(0, 30)] == 2
         assert starts[(2, 30)] == 2  # 2:30 and 2:45
         assert starts[(5, 0)] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRangeJoin:
+    def test_interval_match(self):
+        import ray.data as rd
+        from dlp_plugins_ray.stages.joins import range_join
+
+        left = rd.from_arrow(
+            pa.table({"lid": [1, 2, 3], "v": [5.0, 25.0, 55.0]})
+        )
+        right = rd.from_arrow(
+            pa.table(
+                {"rid": [10, 20], "lo": [0.0, 20.0], "hi": [10.0, 30.0]}
+            )
+        )
+        out = range_join(
+            left, right, value_col="v", lo_col="lo", hi_col="hi",
+            right_value_cols=["rid"], bucket_width=10.0,
+        ).take_all()
+        got = {(r["lid"], r["rid"]) for r in out}
+        assert got == {(1, 10), (2, 20)}  # 55.0 matches nothing
+
+    def test_overlapping_intervals_single_emission(self):
+        import ray.data as rd
+        from dlp_plugins_ray.stages.joins import range_join
+
+        left = rd.from_arrow(pa.table({"lid": [1], "v": [15.0]}))
+        right = rd.from_arrow(
+            pa.table({"rid": [1, 2], "lo": [0.0, 10.0], "hi": [30.0, 20.0]})
+        )
+        out = range_join(
+            left, right, value_col="v", lo_col="lo", hi_col="hi",
+            right_value_cols=["rid"], bucket_width=5.0,
+        ).take_all()
+        # wide interval spans many buckets but the pair appears once
+        assert sorted(r["rid"] for r in out) == [1, 2]
