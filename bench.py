@@ -91,7 +91,7 @@ def run_headline(n_events: int) -> dict:
         lake,
         policy=POLICY,
         num_partitions=64,
-        batch_size=16384,
+        batch_size=32768,
     )
     dt = time.time() - t0
     # raw replayed event count (incl. duplicate deliveries) from the
