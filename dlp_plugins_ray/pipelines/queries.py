@@ -1182,3 +1182,69 @@ def q_simhash_near_dup_pairs(sf_dir: str):
 
 
 QUERIES["simhash_near_dup_pairs"] = q_simhash_near_dup_pairs
+
+
+def q_suppliers_per_region(sf_dir: str):
+    """Three-way dimension join (supplier -> nation -> region) via ONE
+    composed broadcast lookup — dimension chains never shuffle the fact
+    side."""
+    import pyarrow.parquet as pq
+    import ray
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_regionkey"]
+    )
+    region = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    )
+    r_name = dict(
+        zip(region.column("r_regionkey").to_pylist(), region.column("r_name").to_pylist())
+    )
+    nation_to_region = {
+        nk: r_name.get(rk)
+        for nk, rk in zip(
+            nation.column("n_nationkey").to_pylist(),
+            nation.column("n_regionkey").to_pylist(),
+        )
+    }
+    ref = ray.put(nation_to_region)
+
+    class Lookup:
+        def __init__(self, ref):
+            self.map = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch.column("s_nationkey").to_pylist()
+            return pa.table(
+                {"r_name": pa.array([self.map.get(k) for k in keys], pa.string())}
+            )
+
+    from ..stages.cache import cached_task_stage
+    from ..stages.shuffle import bucketed_group_reduce
+
+    ds = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    tagged = ds.map_batches(cached_task_stage(Lookup, ref), batch_format="pyarrow")
+
+    def partial(df):
+        return df.groupby("r_name", as_index=False).agg(n_suppliers=("r_name", "size"))
+
+    partials = tagged.map_batches(partial, batch_format="pandas", batch_size=None)
+
+    def final(block):
+        return block.groupby("r_name", as_index=False).agg(
+            n_suppliers=("n_suppliers", "sum")
+        )
+
+    return bucketed_group_reduce(
+        partials, ["r_name"], final, num_buckets=4, batch_format="pandas"
+    )
+
+
+QUERIES["suppliers_per_region"] = q_suppliers_per_region
+ORACLE_SQL["suppliers_per_region"] = r"""
+    SELECT r.r_name, count(*) AS n_suppliers
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+"""
