@@ -1248,3 +1248,34 @@ ORACLE_SQL["suppliers_per_region"] = r"""
     JOIN region r ON n.n_regionkey = r.r_regionkey
     GROUP BY r.r_name
 """
+
+
+def q_parts_by_brand(sf_dir: str):
+    """Grouped aggregate over part (partial-agg pattern)."""
+    from ..stages.shuffle import bucketed_group_reduce
+
+    ds = _read(sf_dir, "part", ["p_brand", "p_retailprice"])
+
+    def partial(df):
+        return df.groupby("p_brand", as_index=False).agg(
+            n_parts=("p_retailprice", "size"),
+            min_price=("p_retailprice", "min"),
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=None)
+
+    def final(block):
+        return block.groupby("p_brand", as_index=False).agg(
+            n_parts=("n_parts", "sum"), min_price=("min_price", "min")
+        )
+
+    return bucketed_group_reduce(
+        partials, ["p_brand"], final, num_buckets=4, batch_format="pandas"
+    )
+
+
+QUERIES["parts_by_brand"] = q_parts_by_brand
+ORACLE_SQL["parts_by_brand"] = r"""
+    SELECT p_brand, count(*) AS n_parts, min(p_retailprice) AS min_price
+    FROM part GROUP BY p_brand
+"""
