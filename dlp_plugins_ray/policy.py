@@ -276,8 +276,11 @@ class Policy:
                     "same plugin instance."
                 )
 
-            # unique (field, filter) -> transform
+            # unique (field, filter) -> transform; the "NONE" whole-cell
+            # marker is not a field
             for fld in t.fields:
+                if fld == "NONE":
+                    continue
                 for filt in t.filter_display_names():
                     key = f"{fld}:{filt}"
                     if key not in seen:

@@ -368,3 +368,93 @@ class TestSkewGenerator:
         )
         top = keys.most_common(1)[0][1]
         assert top > 0.3 * t.num_rows  # one key dominates
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTokenizeReplayDecrypt:
+    """north_star: format-preserving tokenization as part of the CDC
+    policy — tokenize content during replay, then decrypt the lake
+    table and recover the original bytes exactly (sha256 equality)."""
+
+    def test_fpe_replay_roundtrip(self, tmp_path):
+        import base64
+
+        key = base64.b64encode(b"0123456789abcdef").decode()
+        policy = {
+            "transforms": [
+                {
+                    "transform": "FORMAT_PRESERVING_ENCRYPTION",
+                    "fields": "NONE,content",
+                    "filters": "NONE",
+                    "transformProperties": {
+                        "keyType": "UNWRAPPED",
+                        "key": key,
+                        "surrogateInfoTypeName": "CODE_TOK",
+                        "alphabet": "ALPHA_NUMERIC",
+                    },
+                }
+            ],
+            "customTemplateEnabled": True,
+            "templateId": "DemoTemplate",
+        }
+        ev_dir = str(tmp_path / "ev")
+        EV.write_events_parquet(ev_dir, 1500, n_shards=2, seed=77)
+        lake = str(tmp_path / "lake")
+        RP.replay(ev_dir, lake, policy=policy, num_partitions=4)
+
+        tokenized = RP.read_lake_table(lake)
+        toks = tokenized.take_all()
+        assert all("CODE_TOK(" in r["content"] for r in toks)
+
+        from dlp_plugins_ray.stages.decrypt import decrypt
+
+        recovered = decrypt(tokenized, policy, fields=("content",))
+        got = {
+            (r["repo"], r["path"]): hashlib.sha256(r["content"].encode()).hexdigest()
+            for r in recovered.take_all()
+        }
+        oracle = EV.oracle_replay(_read_all_events(ev_dir))
+        want = {
+            k: hashlib.sha256(c.encode()).hexdigest()
+            for k, (s, c) in oracle.items()
+        }
+        assert got == want
+
+
+class TestMultiTransformPolicy:
+    def test_three_transforms_one_pass(self):
+        import base64
+
+        from dlp_plugins_ray.stages.redact import RedactionStage
+
+        key = base64.b64encode(b"0123456789abcdef").decode()
+        policy = {
+            "transforms": [
+                {"transform": "MASKING", "fields": "notes",
+                 "filters": "NONE",
+                 "transformProperties": {"maskingChar": "#"}},
+                {"transform": "CRYPTO_HASH", "fields": "NONE,bank",
+                 "filters": "NONE",
+                 "transformProperties": {"keyType": "UNWRAPPED", "key": key}},
+                {"transform": "FORMAT_PRESERVING_ENCRYPTION",
+                 "fields": "NONE,zip", "filters": "NONE",
+                 "transformProperties": {
+                     "keyType": "UNWRAPPED", "key": key,
+                     "surrogateInfoTypeName": "Z", "alphabet": "NUMERIC"}},
+            ],
+            "customTemplateEnabled": True,
+            "templateId": "DemoTemplate",
+        }
+        t = pa.table(
+            {
+                "notes": ["ssn 123-45-6789 here", "clean"],
+                "bank": ["First National", "Metro"],
+                "zip": ["94105", "10001"],
+            }
+        )
+        out = RedactionStage(policy)(t)
+        # no ignore class -> dashes masked too
+        assert out.column("notes").to_pylist()[0] == "ssn ########### here"
+        assert all(len(v) == 64 for v in out.column("bank").to_pylist())
+        assert all(v.startswith("Z(5):") for v in out.column("zip").to_pylist())
+        assert out.schema == t.schema
