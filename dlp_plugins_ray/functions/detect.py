@@ -358,6 +358,26 @@ DEFAULT_TEMPLATES.register(
         case_insensitive=False,
     )
 )
+# Secrets-in-source-code template — an extension beyond the reference's
+# info-types, essential for the code-table use case. Patterns are the
+# well-known public formats (gitleaks/trufflehog-style).
+DEFAULT_TEMPLATES.register(
+    CustomTemplate(
+        name="SecretsTemplate",
+        regexes={
+            "AWS_ACCESS_KEY_ID": r"\bAKIA[0-9A-Z]{16}\b",
+            "PRIVATE_KEY_BLOCK": r"-----BEGIN (?:RSA |EC |DSA |OPENSSH )?PRIVATE KEY-----",
+            "JWT": r"\beyJ[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{5,}\b",
+            "GITHUB_TOKEN": r"\bgh[pousr]_[A-Za-z0-9]{36,}\b",
+            "SLACK_TOKEN": r"\bxox[baprs]-[A-Za-z0-9-]{10,}\b",
+            "GENERIC_API_KEY": (
+                r"(?i)\b(?:api[_-]?key|secret|token|passwd|password)\b"
+                r"\s*[:=]\s*['\"][A-Za-z0-9_\-/+=]{12,}['\"]"
+            ),
+        },
+        case_insensitive=False,
+    )
+)
 
 
 class DetectorBank:
