@@ -44,7 +44,7 @@ POLICY = {
         }
     ],
     "customTemplateEnabled": True,
-    "templateId": "DemoTemplate",
+    "templateId": "CodeRedactionTemplate",
 }
 
 
@@ -96,8 +96,9 @@ def run_headline(n_events: int) -> dict:
     dt = time.time() - t0
     # raw replayed event count (incl. duplicate deliveries) from the
     # generator's completion marker
-    with open(os.path.join(ev_dir, "_COMPLETE")) as f:
-        n_raw = int(f.read().strip())
+    from dlp_plugins_ray.cdc.events import event_count
+
+    n_raw = event_count(ev_dir)
     return {
         "seconds": round(dt, 3),
         "events": n_raw,

@@ -358,6 +358,24 @@ DEFAULT_TEMPLATES.register(
         case_insensitive=False,
     )
 )
+# Combined PII + secrets template for redacting source-code corpora
+# (the flagship CDC policy): one template because the reference binds
+# ONE inspect template per plugin instance.
+DEFAULT_TEMPLATES.register(
+    CustomTemplate(
+        name="CodeRedactionTemplate",
+        regexes={
+            "EMAIL_ADDRESS": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+            "US_SOCIAL_SECURITY_NUMBER": r"\b\d{3}-\d{2}-\d{4}\b",
+            "PHONE_NUMBER": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+            "CREDIT_CARD_NUMBER": r"\b(?:\d[ -]?){12,18}\d\b",
+            "AWS_ACCESS_KEY_ID": r"\bAKIA[0-9A-Z]{16}\b",
+            "GITHUB_TOKEN": r"\bgh[pousr]_[A-Za-z0-9]{36,}\b",
+            "PRIVATE_KEY_BLOCK": r"-----BEGIN (?:RSA |EC |DSA |OPENSSH )?PRIVATE KEY-----",
+        },
+        case_insensitive=False,
+    )
+)
 # Secrets-in-source-code template — an extension beyond the reference's
 # info-types, essential for the code-table use case. Patterns are the
 # well-known public formats (gitleaks/trufflehog-style).
