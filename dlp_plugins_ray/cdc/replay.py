@@ -303,10 +303,29 @@ def _manifest_row_table(mans: list[mf.PartitionManifest]) -> pa.Table:
     )
 
 
-def compute_epoch(events_path: str, policy_fingerprint: str | None) -> str:
-    return hashlib.sha256(
-        f"{events_path}|{policy_fingerprint or 'nopolicy'}".encode()
-    ).hexdigest()[:16]
+def compute_epoch(events_path: str | list, policy_fingerprint: str | None) -> str:
+    """Epoch identity = input content + policy. The input fingerprint
+    covers file names and sizes (not just the path string) so a
+    regenerated log at the same location gets a NEW epoch and is not
+    masked by stale same-epoch commits."""
+    h = hashlib.sha256()
+    paths = events_path if isinstance(events_path, list) else [events_path]
+    for p in paths:
+        h.update(str(p).encode())
+        if isinstance(p, str) and os.path.isdir(p):
+            for name in sorted(os.listdir(p)):
+                fp = os.path.join(p, name)
+                try:
+                    h.update(f"{name}:{os.path.getsize(fp)}".encode())
+                except OSError:
+                    pass
+        elif isinstance(p, str) and os.path.isfile(p):
+            try:
+                h.update(str(os.path.getsize(p)).encode())
+            except OSError:
+                pass
+    h.update((policy_fingerprint or "nopolicy").encode())
+    return h.hexdigest()[:16]
 
 
 def replay(

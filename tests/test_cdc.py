@@ -458,3 +458,18 @@ class TestMultiTransformPolicy:
         assert all(len(v) == 64 for v in out.column("bank").to_pylist())
         assert all(v.startswith("Z(5):") for v in out.column("zip").to_pylist())
         assert out.schema == t.schema
+
+
+class TestEpochIdentity:
+    def test_epoch_changes_with_content(self, tmp_path):
+        d = str(tmp_path / "ev")
+        os.makedirs(d)
+        with open(os.path.join(d, "events-0.parquet"), "wb") as f:
+            f.write(b"x" * 100)
+        e1 = RP.compute_epoch(d, None)
+        with open(os.path.join(d, "events-0.parquet"), "wb") as f:
+            f.write(b"y" * 200)  # same path, different content size
+        e2 = RP.compute_epoch(d, None)
+        assert e1 != e2
+        assert RP.compute_epoch(d, None) == e2  # stable
+        assert RP.compute_epoch(d, "policyA") != RP.compute_epoch(d, "policyB")
