@@ -95,9 +95,9 @@ def asof_join(
 
     Output = left columns + right_value_cols (null when no match).
     One shuffle: both sides union under a unified schema with a side
-    tag, groupby(key), pd.merge_asof inside each key group."""
-
-    left_schema = None
+    tag, shuffled on hash(key) % buckets, and every key of a bucket
+    block resolved in ONE vectorized ``pd.merge_asof(..., by=key)``
+    pass (per-key map_groups would pay pandas overhead per key)."""
 
     def tag_left(batch: pa.Table) -> pa.Table:
         return batch.append_column(
@@ -150,9 +150,11 @@ def asof_join(
         if f.name != _SIDE_COL and pa.types.is_integer(f.type)
     ]
 
-    def per_key(group: pd.DataFrame) -> pd.DataFrame:
-        lf = group[group[_SIDE_COL] == 0][left_cols].sort_values(ts_col, kind="mergesort")
-        rf = group[group[_SIDE_COL] == 1][[ts_col] + right_value_cols].sort_values(
+    def per_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        lf = block[block[_SIDE_COL] == 0][left_cols].sort_values(
+            ts_col, kind="mergesort"
+        )
+        rf = block[block[_SIDE_COL] == 1][[key, ts_col] + right_value_cols].sort_values(
             ts_col, kind="mergesort"
         )
         if lf.empty:
@@ -160,10 +162,16 @@ def asof_join(
         if left_int_cols:
             lf = lf.astype({c: "int64" for c in left_int_cols})
         rf = rf.rename(columns=dict(zip(right_value_cols, out_right_names)))
-        merged = pd.merge_asof(lf, rf, on=ts_col, direction=direction)
-        return merged
+        if rf.empty:
+            return lf.assign(**{c: None for c in out_right_names})
+        # by=key resolves EVERY key in the bucket in one C pass
+        return pd.merge_asof(lf, rf, on=ts_col, by=key, direction=direction)
 
-    return unioned.groupby(key).map_groups(per_key, batch_format="pandas")
+    from .shuffle import bucketed_group_reduce
+
+    return bucketed_group_reduce(
+        unioned, [key], per_bucket, batch_format="pandas"
+    )
 
 
 def range_join(
