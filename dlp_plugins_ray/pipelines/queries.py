@@ -1279,3 +1279,32 @@ ORACLE_SQL["parts_by_brand"] = r"""
     SELECT p_brand, count(*) AS n_parts, min(p_retailprice) AS min_price
     FROM part GROUP BY p_brand
 """
+
+
+def q_profile_lineitem(sf_dir: str):
+    """One-pass column profiler over lineitem (partials merged
+    driver-side). String-typed min/max so one query covers mixed
+    column types; the oracle casts identically."""
+    from ..stages.sketches import profile
+
+    cols = ["l_orderkey", "l_quantity", "l_returnflag"]
+    ds = _read(sf_dir, "lineitem", cols)
+    return profile(ds, cols)
+
+
+QUERIES["profile_lineitem"] = q_profile_lineitem
+ORACLE_SQL["profile_lineitem"] = r"""
+    SELECT 'l_orderkey' AS column, count(*) AS n_rows,
+           count(*) - count(l_orderkey) AS n_nulls,
+           CAST(min(l_orderkey) AS VARCHAR) AS min_val,
+           CAST(max(l_orderkey) AS VARCHAR) AS max_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+           CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+           CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR)
+    FROM lineitem
+"""

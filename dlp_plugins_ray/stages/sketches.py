@@ -87,3 +87,56 @@ def approx_distinct(ds, column: str, *, p: int = 12) -> float:
     for row in sketches:
         merged.merge(HyperLogLog.from_bytes(row["sketch"], p))
     return merged.estimate()
+
+
+def profile(ds, columns: list[str]):
+    """Per-column profile (count / nulls / min / max) in one pass:
+    per-block partials via Arrow kernels, merged driver-side (the
+    partials are a handful of scalars per block — nothing shuffles).
+    Returns a pyarrow Table with one row per column."""
+    import pyarrow.compute as pc
+
+    import pickle
+
+    def partial(batch: pa.Table) -> pa.Table:
+        stats = {}
+        for c in columns:
+            col = batch.column(c)
+            mm = pc.min_max(col)
+            stats[c] = (
+                batch.num_rows,
+                col.null_count,
+                mm["min"].as_py(),  # NATIVE values — merged with native
+                mm["max"].as_py(),  # comparisons, stringified at the end
+            )
+        return pa.table({"blob": pa.array([pickle.dumps(stats)], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).take_all()
+    merged: dict = {}
+    for r in parts:
+        for c, (n, nulls, mn, mx) in pickle.loads(r["blob"]).items():
+            cur = merged.get(c)
+            if cur is None:
+                merged[c] = [n, nulls, mn, mx]
+            else:
+                cur[0] += n
+                cur[1] += nulls
+                if mn is not None and (cur[2] is None or mn < cur[2]):
+                    cur[2] = mn
+                if mx is not None and (cur[3] is None or mx > cur[3]):
+                    cur[3] = mx
+    return pa.table(
+        {
+            "column": pa.array(columns, pa.string()),
+            "n_rows": pa.array([merged[c][0] for c in columns], pa.int64()),
+            "n_nulls": pa.array([merged[c][1] for c in columns], pa.int64()),
+            "min_val": pa.array(
+                [None if merged[c][2] is None else str(merged[c][2]) for c in columns],
+                pa.string(),
+            ),
+            "max_val": pa.array(
+                [None if merged[c][3] is None else str(merged[c][3]) for c in columns],
+                pa.string(),
+            ),
+        }
+    )
