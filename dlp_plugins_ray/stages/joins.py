@@ -17,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -25,27 +26,25 @@ _SIDE_COL = "__side"
 
 def broadcast_join(ds, small_table: pa.Table, *, key: str, small_cols: list[str]):
     """Left join ``ds`` with a small table on ``key``; the small side is
-    put in the object store once and probed per batch."""
-    lookup: dict = {}
-    keys = small_table.column(key).to_pylist()
-    cols = {c: small_table.column(c).to_pylist() for c in small_cols}
-    for i, k in enumerate(keys):
-        lookup[k] = tuple(cols[c][i] for c in small_cols)
-    ref = ray.put(lookup)
+    put in the object store once (as an Arrow table) and probed per
+    batch with ONE vectorized ``pc.index_in`` + ``take`` — no per-row
+    Python. Assumes unique keys on the small side (dimension lookup);
+    ``index_in`` returns the first match."""
+    small = small_table.select([key] + small_cols).combine_chunks()
+    ref = ray.put(small)
 
     class Probe:
         def __init__(self, ref, key, small_cols):
-            self.lookup = ray.get(ref)
+            small = ray.get(ref)
+            self.keys = small.column(key).combine_chunks()
+            self.cols = {c: small.column(c).combine_chunks() for c in small_cols}
             self.key = key
             self.small_cols = small_cols
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            ks = batch.column(self.key).to_pylist()
-            hits = [self.lookup.get(k) for k in ks]
-            for j, c in enumerate(self.small_cols):
-                batch = batch.append_column(
-                    c, pa.array([h[j] if h else None for h in hits])
-                )
+            idx = pc.index_in(batch.column(self.key), value_set=self.keys)
+            for c in self.small_cols:
+                batch = batch.append_column(c, self.cols[c].take(idx))
             return batch
 
     return ds.map_batches(
@@ -58,8 +57,9 @@ def broadcast_join(ds, small_table: pa.Table, *, key: str, small_cols: list[str]
 
 def broadcast_semi_anti(ds, key_set: set, *, key: str, anti: bool = False):
     """Semi join (keep rows whose key is in the set) or anti join
-    (complement). The set travels once via ray.put."""
-    ref = ray.put(frozenset(key_set))
+    (complement). The set travels once via ray.put as an Arrow array;
+    the probe is one vectorized ``pc.is_in`` per batch."""
+    ref = ray.put(pa.array(sorted(key_set)))
 
     class Member:
         def __init__(self, ref, key, anti):
@@ -68,9 +68,10 @@ def broadcast_semi_anti(ds, key_set: set, *, key: str, anti: bool = False):
             self.anti = anti
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            ks = batch.column(self.key).to_pylist()
-            mask = [(k in self.keys) != self.anti for k in ks]
-            return batch.filter(pa.array(mask, pa.bool_()))
+            mask = pc.is_in(batch.column(self.key), value_set=self.keys)
+            if self.anti:
+                mask = pc.invert(mask)
+            return batch.filter(mask)
 
     return ds.map_batches(
         Member,
@@ -149,6 +150,14 @@ def asof_join(
         for f in l_schema
         if f.name != _SIDE_COL and pa.types.is_integer(f.type)
     ]
+    # integer RIGHT value columns float-promote the same way, and an
+    # as-of LEFT join can leave genuine nulls (no match) — restore via
+    # pandas nullable Int64, which round-trips to Arrow int64
+    right_int_out = [
+        out
+        for c, out in zip(right_value_cols, out_right_names)
+        if pa.types.is_integer(r_schema.field(c).type)
+    ]
 
     def per_bucket(block: pd.DataFrame) -> pd.DataFrame:
         lf = block[block[_SIDE_COL] == 0][left_cols].sort_values(
@@ -163,9 +172,13 @@ def asof_join(
             lf = lf.astype({c: "int64" for c in left_int_cols})
         rf = rf.rename(columns=dict(zip(right_value_cols, out_right_names)))
         if rf.empty:
-            return lf.assign(**{c: None for c in out_right_names})
-        # by=key resolves EVERY key in the bucket in one C pass
-        return pd.merge_asof(lf, rf, on=ts_col, by=key, direction=direction)
+            out = lf.assign(**{c: None for c in out_right_names})
+        else:
+            # by=key resolves EVERY key in the bucket in one C pass
+            out = pd.merge_asof(lf, rf, on=ts_col, by=key, direction=direction)
+        if right_int_out:
+            out = out.astype({c: "Int64" for c in right_int_out})
+        return out
 
     from .shuffle import bucketed_group_reduce
 
@@ -250,24 +263,51 @@ def range_join(
         rt.map_batches(conform, batch_format="pyarrow")
     )
 
-    left_int_cols = [
-        f.name for f in left_schema if pa.types.is_integer(f.type)
-    ]
     out_right = [c if c not in left_cols else f"{c}_right" for c in right_value_cols]
+    # per-bucket work stays in Arrow end to end: no pandas hop, so
+    # integer columns (either side) keep their exact types — a pandas
+    # cross-merge silently promoted nulled int columns to float64,
+    # which was the round-1 range_join_values hash mismatch
+    out_fields = [
+        (f.name, union_schema.field(f.name).type) for f in left_schema
+    ] + [
+        (out, union_schema.field(c).type)
+        for c, out in zip(right_value_cols, out_right)
+    ]
 
-    def per_bucket(block: pd.DataFrame) -> pd.DataFrame:
-        lf = block[block[_SIDE_COL] == 0][left_cols]
-        rf = block[block[_SIDE_COL] == 1][[lo_col, hi_col] + right_value_cols]
-        if lf.empty or rf.empty:
-            cols = {c: pd.Series(dtype=object) for c in left_cols + out_right}
-            return pd.DataFrame(cols)
-        if left_int_cols:
-            lf = lf.astype({c: "int64" for c in left_int_cols})
-        rf = rf.rename(columns=dict(zip(right_value_cols, out_right)))
-        merged = lf.merge(rf, how="cross")
-        keep = (merged[value_col] >= merged[lo_col]) & (
-            merged[value_col] <= merged[hi_col]
+    # memory bound for the vectorized probe: a hot bucket (many left
+    # rows x many interval replicas) never materializes more than
+    # MAX_CELLS boolean cells at once — the cross-merge it replaces
+    # materialized the full L*R row product before filtering
+    _MAX_CELLS = 4_000_000
+
+    def per_bucket(block: pa.Table) -> pa.Table:
+        side = block.column(_SIDE_COL)
+        lf = block.filter(pc.equal(side, 0)).select(left_cols)
+        rf = block.filter(pc.equal(side, 1)).select(
+            [lo_col, hi_col] + right_value_cols
         )
-        return merged[keep][left_cols + out_right]
+        if lf.num_rows == 0 or rf.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], type=t) for _, t in out_fields],
+                names=[n for n, _ in out_fields],
+            )
+        v = lf.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        lo = rf.column(lo_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        hi = rf.column(hi_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        chunk = max(1, _MAX_CELLS // max(1, lo.size))
+        li_parts, ri_parts = [], []
+        for s in range(0, v.size, chunk):
+            vv = v[s : s + chunk, None]
+            m = (vv >= lo[None, :]) & (vv <= hi[None, :])
+            li, ri = np.nonzero(m)
+            li_parts.append(li + s)
+            ri_parts.append(ri)
+        li = pa.array(np.concatenate(li_parts))
+        ri = pa.array(np.concatenate(ri_parts))
+        cols = {c: lf.column(c).take(li) for c in left_cols}
+        for c, out in zip(right_value_cols, out_right):
+            cols[out] = rf.column(c).take(ri)
+        return pa.table(cols)
 
-    return unioned.groupby("_rbucket").map_groups(per_bucket, batch_format="pandas")
+    return unioned.groupby("_rbucket").map_groups(per_bucket, batch_format="pyarrow")
