@@ -107,13 +107,15 @@ def run_headline(n_events: int) -> dict:
     }
 
 
-def run_queries() -> dict[str, float]:
+def run_queries(result: dict) -> dict[str, float]:
+    """Times every conformance query, updating ``result['queries']`` in
+    place after each one so a crash mid-way loses only the remaining
+    queries (round 1 lost ALL perf evidence to one Ray worker crash)."""
     import ray.data
-    import pyarrow as pa
 
     from dlp_plugins_ray.pipelines.queries import QUERIES
 
-    out = {}
+    out = result.setdefault("queries", {})
     for name, fn in QUERIES.items():
         t0 = time.time()
         try:
@@ -127,7 +129,13 @@ def run_queries() -> dict[str, float]:
     return out
 
 
+def _emit(result: dict) -> None:
+    print(json.dumps(result), flush=True)
+
+
 def main() -> None:
+    import atexit
+
     import ray
 
     ray.init(
@@ -153,8 +161,11 @@ def main() -> None:
     sf = _sf_name()
     n_events = EVENTS_BY_SF.get(sf, 1_000_000)
 
-    headline = run_headline(n_events)
-    queries = {} if "--headline-only" in sys.argv else run_queries()
+    try:
+        headline = run_headline(n_events)
+    except Exception as e:  # one retry: a Ray worker flake must not
+        print(f"headline attempt 1 failed, retrying: {e}", file=sys.stderr)
+        headline = run_headline(n_events)  # zero the round's evidence
 
     result = {
         "metric": "cdc_replay_upsert_seconds",
@@ -163,12 +174,36 @@ def main() -> None:
         "events_per_sec": headline["events_per_sec"],
         "events": headline["events"],
         "final_rows": headline["final_rows"],
-        "queries": queries,
+        "queries": {},
         "sf": sf,
         "num_cpus": NUM_CPUS,
     }
-    ray.shutdown()
-    print(json.dumps(result))
+    # flush the headline line NOW — every later step (queries, ray
+    # shutdown) can die without losing the headline measurement; the
+    # consumer parses the LAST JSON line it sees
+    _emit(result)
+    if "--headline-only" in sys.argv:
+        try:
+            ray.shutdown()
+        except Exception:
+            pass
+        return
+
+    # safety net for abnormal-but-Python-visible exits mid-queries
+    state = {"final_emitted": False}
+    atexit.register(lambda: None if state["final_emitted"] else _emit(result))
+    try:
+        run_queries(result)
+    except BaseException:
+        _emit(result)  # partial per-query timings
+        state["final_emitted"] = True
+        raise
+    try:
+        ray.shutdown()
+    except Exception:
+        pass
+    state["final_emitted"] = True
+    _emit(result)
 
 
 def scaling() -> None:
