@@ -311,10 +311,223 @@ class CosineLshStage:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        emb = np.asarray(batch.column(self.emb_col).to_pylist(), dtype=np.float32)
+        emb = _list_col_matrix(batch.column(self.emb_col))
         signs = (emb @ self.planes) > 0
         bucket = signs @ (1 << np.arange(signs.shape[1], dtype=np.int64))
         return batch.append_column("lsh_bucket", pa.array(bucket.astype(np.int64)))
+
+
+def _list_col_matrix(col, dtype=np.float32) -> np.ndarray:
+    """Fixed-width list<float> column -> (n, dim) ndarray via
+    list_flatten + reshape (zero Python objects)."""
+    import pyarrow.compute as _pc
+
+    if col.length() == 0:
+        return np.zeros((0, 0), dtype=dtype)
+    flat = _pc.list_flatten(col)
+    n = col.length()
+    return flat.to_numpy(zero_copy_only=False).astype(dtype).reshape(n, -1)
+
+
+class CosineMultiLshStage:
+    """Multi-table random-hyperplane LSH: each vector is exploded into
+    ``n_tables`` (table, bucket) rows. Recall for a pair at cosine c is
+    1 - (1 - (1 - arccos(c)/pi)^n_planes)^n_tables — with 8x8 a 0.999
+    pair is found with probability ~1-1e-10, where a single 12-plane
+    table missed ~40% of 0.99 pairs (the round-1 vacuity trap).
+    Shuffle volume = n_tables x (table, bucket, id, embedding) rows —
+    the standard LSH space/recall trade."""
+
+    def __init__(
+        self,
+        emb_col: str,
+        id_col: str,
+        dim: int,
+        *,
+        n_tables: int = 8,
+        n_planes: int = 8,
+        seed: int = 7,
+    ):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.randn(n_tables, dim, n_planes).astype(np.float32)
+        self.emb_col = emb_col
+        self.id_col = id_col
+        self.n_tables = n_tables
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = _list_col_matrix(batch.column(self.emb_col))
+        n = batch.num_rows
+        parts = []
+        for t in range(self.n_tables):
+            signs = (emb @ self.planes[t]) > 0
+            bucket = signs @ (1 << np.arange(signs.shape[1], dtype=np.int64))
+            parts.append(
+                pa.table(
+                    {
+                        "lsh_table": pa.array(np.full(n, t, dtype=np.int64)),
+                        "lsh_bucket": pa.array(bucket.astype(np.int64)),
+                        self.id_col: batch.column(self.id_col),
+                        self.emb_col: batch.column(self.emb_col),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+
+def embedding_near_dup_pairs(
+    ds,
+    *,
+    emb_col: str,
+    id_col: str,
+    dim: int,
+    threshold: float = 0.99,
+    n_tables: int = 8,
+    n_planes: int = 8,
+    num_buckets: int = 16,
+):
+    """Embedding-cosine near-duplicate pairs (id_a < id_b): multi-table
+    hyperplane LSH -> per-(table, bucket) exact cosine verification ->
+    global pair dedup. Only (table, bucket, id, vec) rows shuffle —
+    never a full cross join."""
+    from .cache import cached_task_stage
+    from .shuffle import bucketed_group_reduce
+
+    banded = ds.map_batches(
+        cached_task_stage(
+            CosineMultiLshStage, emb_col, id_col, dim,
+            n_tables=n_tables, n_planes=n_planes,
+        ),
+        batch_format="pyarrow",
+    )
+
+    def verify_block(block: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(block)
+        out_a, out_b = [], []
+        for _, sub in df.group_by(["lsh_table", "lsh_bucket"]):
+            if len(sub) < 2:
+                continue
+            ids = sub[id_col].to_numpy()
+            emb = np.asarray(sub[emb_col].to_list(), dtype=np.float64)
+            norms = np.linalg.norm(emb, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            unit = emb / norms
+            sims = unit @ unit.T
+            ii, jj = np.triu_indices(len(ids), k=1)
+            keep = sims[ii, jj] >= threshold
+            a = ids[ii[keep]]
+            b = ids[jj[keep]]
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+        if out_a:
+            ta = np.concatenate(out_a).astype(np.int64)
+            tb = np.concatenate(out_b).astype(np.int64)
+        else:
+            ta = tb = np.array([], dtype=np.int64)
+        return pa.table({"id_a": pa.array(ta), "id_b": pa.array(tb)})
+
+    pairs = bucketed_group_reduce(
+        banded, ["lsh_table", "lsh_bucket"], verify_block,
+        num_buckets=num_buckets,
+    )
+
+    def unique_pairs(block: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return pl.from_arrow(block).unique().to_arrow().cast(block.schema)
+
+    pairs = pairs.map_batches(unique_pairs, batch_format="pyarrow")
+    return bucketed_group_reduce(pairs, ["id_a", "id_b"], unique_pairs)
+
+
+def verify_pairs_jaccard(
+    ds,
+    pairs,
+    *,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    threshold: float = 0.5,
+):
+    """Exact n-gram Jaccard verification of candidate pairs: the
+    documents of each pair are co-located by ONE shuffle on pair_id and
+    verified with the true shingle-set Jaccard.
+
+    Partitioning assumption: the candidate PAIR list (not the corpus)
+    fits a broadcast map — LSH candidates are orders of magnitude fewer
+    than documents; the corpus itself ships only its candidate members,
+    each replicated once per pair it appears in."""
+    import ray
+
+    from .shuffle import bucketed_group_reduce
+
+    plist = pairs.take_all()
+    doc_pairs: dict[int, list[tuple[int, int]]] = {}
+    for pid, p in enumerate(plist):
+        doc_pairs.setdefault(int(p["id_a"]), []).append((pid, 0))
+        doc_pairs.setdefault(int(p["id_b"]), []).append((pid, 1))
+    ref = ray.put(doc_pairs)
+
+    class Explode:
+        def __init__(self, ref):
+            self.map = ray.get(ref)
+            self.members = pa.array(sorted(self.map), pa.int64())
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            batch = batch.filter(
+                _pc.is_in(batch.column(id_col), value_set=self.members)
+            )
+            ids = batch.column(id_col).to_pylist()
+            texts = batch.column(text_col).to_pylist()
+            pid_out, side_out, id_out, text_out = [], [], [], []
+            for i, t in zip(ids, texts):
+                for pid, side in self.map[int(i)]:
+                    pid_out.append(pid)
+                    side_out.append(side)
+                    id_out.append(i)
+                    text_out.append(t)
+            return pa.table(
+                {
+                    "pair_id": pa.array(pid_out, pa.int64()),
+                    "side": pa.array(side_out, pa.int8()),
+                    id_col: pa.array(id_out, pa.int64()),
+                    text_col: pa.array(text_out, pa.string()),
+                }
+            )
+
+    exploded = ds.map_batches(
+        Explode, fn_constructor_args=(ref,),
+        batch_format="pyarrow", concurrency=(1, 8),
+    )
+
+    def per_pair_block(block: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(block)
+        out_a, out_b, out_j = [], [], []
+        for _, sub in df.group_by("pair_id"):
+            if len(sub) != 2:
+                continue
+            sub = sub.sort("side")
+            a_id, b_id = sub[id_col].to_list()
+            a_t, b_t = sub[text_col].to_list()
+            j = jaccard(a_t or "", b_t or "", k)
+            if j >= threshold:
+                out_a.append(a_id)
+                out_b.append(b_id)
+                out_j.append(j)
+        return pa.table(
+            {
+                "id_a": pa.array(out_a, pa.int64()),
+                "id_b": pa.array(out_b, pa.int64()),
+                "jaccard": pa.array(out_j, pa.float64()),
+            }
+        )
+
+    return bucketed_group_reduce(exploded, ["pair_id"], per_pair_block)
 
 
 # ---------------------------------------------------------------------------
@@ -322,22 +535,119 @@ class CosineLshStage:
 # ---------------------------------------------------------------------------
 
 
-class _UnionFind:
-    def __init__(self):
-        self.parent: dict[int, int] = {}
+def connected_component_labels(pairs, *, num_buckets: int = 64, max_iters: int = 64):
+    """Distributed connected components over an undirected pair list:
+    iterated min-label propagation. Returns a Dataset of
+    ``(id, label)`` where ``label`` is the min id of the component.
 
-    def find(self, x: int) -> int:
-        p = self.parent.setdefault(x, x)
-        while p != self.parent[p]:
-            self.parent[p] = self.parent[self.parent[p]]
-            p = self.parent[p]
-        self.parent[x] = p
-        return p
+    Never materializes the pair list on the driver: each round is one
+    bucketed shuffle of (edge ∪ label) rows keyed by id, with the label
+    lookup + min-fold done block-locally in polars. The label sum is
+    monotone non-increasing, so an unchanged sum means a fixpoint —
+    the convergence check is a tiny per-block partial-sum aggregate."""
+    from .shuffle import bucketed_group_reduce
 
-    def union(self, a: int, b: int) -> None:
-        ra, rb = self.find(a), self.find(b)
-        if ra != rb:
-            self.parent[max(ra, rb)] = min(ra, rb)
+    def bidir(b: pa.Table) -> pa.Table:
+        a = b.column("id_a").to_numpy(zero_copy_only=False)
+        c = b.column("id_b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "id": pa.array(np.concatenate([a, c]).astype(np.int64)),
+                "nbr": pa.array(np.concatenate([c, a]).astype(np.int64)),
+            }
+        )
+
+    edges = pairs.map_batches(bidir, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table({"id": pa.array([], pa.int64()), "label": pa.array([], pa.int64())})
+        )
+
+    def init_labels(block: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(block)
+        out = df.group_by("id").agg(pl.col("nbr").min().alias("label"))
+        out = out.with_columns(
+            pl.min_horizontal(pl.col("id"), pl.col("label")).alias("label")
+        )
+        return out.to_arrow().cast(
+            pa.schema([("id", pa.int64()), ("label", pa.int64())])
+        )
+
+    labels = bucketed_group_reduce(
+        edges, ["id"], init_labels, num_buckets=num_buckets
+    ).materialize()
+
+    def label_sum(ds_):
+        tot = 0
+        for b in ds_.iter_batches(batch_format="pyarrow", batch_size=None):
+            col = b.column("label")
+            if len(col):
+                import pyarrow.compute as _pc
+
+                tot += int(_pc.sum(col).as_py())
+        return tot
+
+    prev_sum = label_sum(labels)
+    for _ in range(max_iters):
+        # messages: every edge (id, nbr) proposes label(nbr) to id.
+        # co-locate by hashing edge rows on nbr and label rows on id.
+        def key_of_edge(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "key": b.column("nbr"),
+                    "other": b.column("id"),
+                    "label": pa.nulls(b.num_rows, pa.int64()),
+                }
+            )
+
+        def key_of_label(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "key": b.column("id"),
+                    "other": pa.nulls(b.num_rows, pa.int64()),
+                    "label": b.column("label"),
+                }
+            )
+
+        mixed = edges.map_batches(key_of_edge, batch_format="pyarrow").union(
+            labels.map_batches(key_of_label, batch_format="pyarrow")
+        )
+
+        def propose(block: pa.Table) -> pa.Table:
+            import polars as pl
+
+            df = pl.from_arrow(block)
+            lab = df.filter(pl.col("label").is_not_null()).select(
+                ["key", "label"]
+            )
+            edg = df.filter(pl.col("other").is_not_null()).select(
+                ["key", "other"]
+            )
+            msgs = edg.join(lab, on="key").select(
+                pl.col("other").alias("id"), pl.col("label")
+            )
+            own = lab.select(pl.col("key").alias("id"), pl.col("label"))
+            out = (
+                pl.concat([msgs, own])
+                .group_by("id")
+                .agg(pl.col("label").min())
+            )
+            return out.to_arrow().cast(
+                pa.schema([("id", pa.int64()), ("label", pa.int64())])
+            )
+
+        labels = bucketed_group_reduce(
+            mixed, ["key"], propose, num_buckets=num_buckets
+        ).materialize()
+        cur = label_sum(labels)
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return labels
 
 
 def minhash_dedup(
@@ -349,34 +659,42 @@ def minhash_dedup(
     bands: int = 16,
     shingle_k: int = 5,
 ):
-    """End-to-end near-dup removal: LSH candidate pairs -> connected
-    components (union-find over the pair list — the pair set is orders
-    of magnitude smaller than the corpus, so driver-side union-find is
-    the standard play; at extreme pair counts switch to iterated
-    min-label propagation via groupby) -> keep the min-id member of
-    every duplicate cluster. Returns the deduplicated Dataset.
+    """End-to-end near-dup removal: LSH candidate pairs -> distributed
+    connected components (iterated min-label propagation — the pair
+    list is never materialized on the driver) -> keep the min-id member
+    of every duplicate cluster. Returns the deduplicated Dataset.
 
-    The drop-set is broadcast via ray.put and applied as a vectorized
-    filter — the corpus itself is never shuffled."""
+    The final drop-id set (one int per REMOVED document) is broadcast
+    via ray.put and applied as one vectorized ``pc.is_in`` filter per
+    batch — the corpus itself never shuffles. If the drop set ever
+    outgrows a broadcast, swap the filter for a hash-partitioned anti
+    join on id (one corpus shuffle)."""
+    import pyarrow.compute as _pc
+
     import ray
 
     pairs = minhash_duplicate_pairs(
         ds, text_col=text_col, id_col=id_col,
         num_perm=num_perm, bands=bands, shingle_k=shingle_k,
-    ).take_all()
-    uf = _UnionFind()
-    for p in pairs:
-        uf.union(int(p["id_a"]), int(p["id_b"]))
-    drop = {x for x in uf.parent if uf.find(x) != x}
-    drop_ref = ray.put(drop)
+    )
+    labels = connected_component_labels(pairs)
+    drop_ds = labels.map_batches(
+        lambda b: b.filter(_pc.not_equal(b.column("label"), b.column("id"))),
+        batch_format="pyarrow",
+    )
+    drop_ids = np.array(
+        [r["id"] for r in drop_ds.take_all()], dtype=np.int64
+    )
+    drop_ref = ray.put(pa.array(np.sort(drop_ids)))
 
     class DropStage:
         def __init__(self, ref):
             self.drop = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch.column(id_col).to_pylist()
-            mask = pa.array([i not in self.drop for i in ids], pa.bool_())
+            mask = _pc.invert(
+                _pc.is_in(batch.column(id_col), value_set=self.drop)
+            )
             return batch.filter(mask)
 
     return ds.map_batches(

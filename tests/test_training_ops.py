@@ -216,6 +216,30 @@ class TestMinhashFullDedup:
         ids = sorted(r["doc_id"] for r in kept.take_all())
         assert ids == [1, 4]  # min id per near-dup cluster
 
+    def test_label_propagation_matches_union_find(self):
+        """Distributed min-label propagation == driver union-find on a
+        chain (worst-case diameter), a triangle, and singleton pairs."""
+        import ray.data as rd
+
+        edges = [(i, i + 1) for i in range(12)]  # 13-node chain
+        edges += [(20, 21), (21, 22), (20, 22)]  # triangle
+        edges += [(30, 31)]
+        pairs = rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": [a for a, _ in edges],
+                    "id_b": [b for _, b in edges],
+                }
+            )
+        )
+        labels = {
+            r["id"]: r["label"]
+            for r in DD.connected_component_labels(pairs).take_all()
+        }
+        assert all(labels[i] == 0 for i in range(13))
+        assert labels[20] == labels[21] == labels[22] == 20
+        assert labels[30] == labels[31] == 30
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestSketches:
