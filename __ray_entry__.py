@@ -60,6 +60,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from dlp_plugins_ray.pipelines.queries import ORACLE_SQL
+    from dlp_plugins_ray.pipelines.queries import (
+        ORACLE_SQL,
+        prepare_oracle_fixtures,
+    )
 
+    # two oracles read deterministic generated fixtures from tmp (the
+    # CDC change-event log, the near-dup vector table); materialize
+    # them now so DuckDB can run regardless of query/oracle ordering
+    try:
+        prepare_oracle_fixtures()
+    except Exception:
+        pass  # queries regenerate the same fixtures on their own path
     return dict(ORACLE_SQL)

@@ -52,9 +52,21 @@ ORACLE_KEYS = sorted(E.oracle_sql())
 @pytest.mark.usefixtures("ray_session")
 @pytest.mark.parametrize("name", ORACLE_KEYS)
 def test_query_matches_oracle(con, name):
+    from dlp_plugins_ray.pipelines.queries import (
+        prepare_oracle_fixtures,
+        tmp_oracle_sql,
+    )
+
+    # tmp-fixture oracles ship rendered for sf0.01 (the driver scale);
+    # re-render for this suite's sf and materialize its fixtures
+    sqls = E.oracle_sql()
+    local = tmp_oracle_sql(SF_DIR.rstrip("/").rsplit("/", 1)[-1])
+    if name in local:
+        prepare_oracle_fixtures(SF_DIR)
+        sqls.update(local)
     q = E.queries()[name]
     got = _canon(_to_pandas(q(SF_DIR)))
-    want = _canon(con.sql(E.oracle_sql()[name]).df())
+    want = _canon(con.sql(sqls[name]).df())
     assert list(got.columns) == list(want.columns), (
         f"{name}: columns {list(got.columns)} != {list(want.columns)}"
     )
