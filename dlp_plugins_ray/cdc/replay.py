@@ -71,9 +71,17 @@ DEFAULT_REGISTRY = (
 PKEY_COL = "_pkey"
 
 
+KEY_HASH_ALGO = "crc32-pair-v1"
+
+
 def key_hash(repos, paths) -> np.ndarray:
     """Stable 64-bit key hash (crc32 pair) — NOT Python hash() which is
-    per-process salted. Vectorization: content-independent, cheap."""
+    per-process salted. Deliberately NOT the faster polars/xxhash
+    kernel: lake partition assignment and checkpoint filtering must be
+    stable across runs AND library versions forever, and zlib.crc32 is;
+    measured cost is ~0.3µs/row, far below the redaction stage, so the
+    2x kernel speedup is not worth the stability risk. The algo name is
+    pinned in the table meta (see state/manifest.ensure_table_meta)."""
     return np.array(
         [
             (zlib.crc32(r.encode()) << 32) | zlib.crc32(p.encode())
@@ -356,8 +364,16 @@ def replay(
         if isinstance(policy, Policy) or policy is None
         else Policy.from_json(policy)
     )
+    # pass list inputs through unmodified: compute_epoch fingerprints
+    # each path's file names+sizes, which a premature str() defeated
     epoch = epoch or compute_epoch(
-        str(events_path), pol.fingerprint() if pol else None
+        events_path, pol.fingerprint() if pol else None
+    )
+
+    # checkpoint correctness depends on (num_partitions, hash algo)
+    # being identical across every run against this lake — pin them
+    mf.ensure_table_meta(
+        out_dir, {"num_partitions": num_partitions, "key_hash": KEY_HASH_ALGO}
     )
 
     skip: frozenset[int] = frozenset()

@@ -238,7 +238,7 @@ class DateShiftConfig(BaseTransformConfig):
     output (crypto-key-bound date shifting, as DLP's DateShiftConfig
     does when given a crypto key + context field)."""
 
-    supported_types = ("date32", "timestamp", "int32", "int64")
+    supported_types = ("date32", "timestamp", "int32", "int64", "time")
 
     lower_bound_days: int | None = None
     upper_bound_days: int | None = None
@@ -293,12 +293,17 @@ class DateShiftConfig(BaseTransformConfig):
         delta = _dt.timedelta(days=self.shift_days(context))
         if isinstance(value, _dt.datetime):
             return value + delta
+        if isinstance(value, _dt.time):
+            # TIME_MILLIS/TIME_MICROS (Utils.java:226-258 round-trips
+            # them as TimeOfDay): a whole-day shift preserves the
+            # time-of-day exactly — identity, type preserved
+            return value
         if isinstance(value, _dt.date):
             return value + delta
         if isinstance(value, int):  # epoch days (date32 storage)
             return value + self.shift_days(context)
         raise TransformError(
-            f"DATE_SHIFT expects date/timestamp/int values, got {type(value).__name__}"
+            f"DATE_SHIFT expects date/time/timestamp/int values, got {type(value).__name__}"
         )
 
 

@@ -20,7 +20,15 @@ import ray
 
 
 def _as_matrix(col) -> np.ndarray:
-    return np.asarray(col.to_pylist(), dtype=np.float32)
+    """Fixed-width list<float> column -> (n, dim) ndarray via
+    list_flatten + reshape — no per-row Python objects."""
+    import pyarrow.compute as pc
+
+    n = col.length()
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.float32)
+    flat = pc.list_flatten(col)
+    return flat.to_numpy(zero_copy_only=False).astype(np.float32).reshape(n, -1)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:

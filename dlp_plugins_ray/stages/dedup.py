@@ -253,20 +253,51 @@ def jaccard(a: str, b: str, k: int = 5) -> float:
 # ---------------------------------------------------------------------------
 
 
-def simhash64(text: str) -> int:
-    """Charikar simhash over word tokens (64-bit)."""
-    acc = np.zeros(64, dtype=np.int64)
-    for tok in text.split():
-        h = int.from_bytes(
-            hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "big"
-        )
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
+_BIT_SHIFTS = np.arange(64, dtype=np.uint64)
+
+
+def _token_hashes(tokens: list[str]) -> np.ndarray:
+    """64-bit hashes for a token list in ONE C pass (polars xxhash).
+    Stable within a polars version — simhash fingerprints are a
+    within-corpus signal, not a cross-version archival format."""
+    import polars as pl
+
+    return (
+        pl.Series(tokens, dtype=pl.Utf8).hash(42).to_numpy().astype(np.uint64)
+    )
+
+
+def simhash_batch(texts: list[str | None]) -> np.ndarray:
+    """Charikar simhash for a whole batch: tokenize (C-level
+    str.split), hash every token of the batch in one vectorized pass,
+    then segment-sum the ±1 bit contributions per document with
+    np.add.reduceat — no per-token Python."""
+    tokens: list[str] = []
+    lens = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        tk = t.split() if t else []
+        tokens.extend(tk)
+        lens[i] = len(tk)
+    out = np.zeros(len(texts), dtype=np.uint64)
+    if not tokens:
+        return out
+    h = _token_hashes(tokens)
+    signs = (
+        2 * ((h[:, None] >> _BIT_SHIFTS[None, :]) & np.uint64(1)).astype(np.int64)
+        - 1
+    )  # (n_tokens, 64) in {-1, +1}
+    nonempty = np.nonzero(lens)[0]
+    starts = np.concatenate([[0], np.cumsum(lens[nonempty])[:-1]])
+    acc = np.add.reduceat(signs, starts, axis=0)  # (n_nonempty, 64)
+    fp = ((acc > 0).astype(np.uint64) << _BIT_SHIFTS[None, :]).sum(axis=1)
+    out[nonempty] = fp
     return out
+
+
+def simhash64(text: str) -> int:
+    """Scalar reference (same kernel as the batch path; the property
+    test in tests/test_properties.py pins their equivalence)."""
+    return int(simhash_batch([text])[0])
 
 
 class SimHashStage:
@@ -278,9 +309,7 @@ class SimHashStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
-        hs = np.array(
-            [0 if t is None else simhash64(t) for t in texts], dtype=np.uint64
-        )
+        hs = simhash_batch(texts)
         batch = batch.append_column(
             "simhash", pa.array(hs.astype(np.int64).view(np.int64))
         )

@@ -232,9 +232,15 @@ class RedactionStage:
                 elif pa.types.is_string(ftype) or pa.types.is_large_string(ftype):
                     new = self._transform_string_column(batch, idx, op, contexts)
                 else:
+                    # mirrors Utils.java's "DLP plugin does not support
+                    # type X for field Y" rejection; logical time/date
+                    # types are supported only by DATE_SHIFT (handled
+                    # above), exactly as the reference conversion layer
                     raise TypeError(
-                        f"Column '{colname}' of type {ftype} not supported by "
-                        f"{op.transform} (string-only transform)"
+                        f"'{op.transform}' transform does not support type "
+                        f"'{ftype}' for field '{colname}' (string-only "
+                        "transform; time/date/timestamp fields are "
+                        "DATE_SHIFT-only)"
                     )
                 batch = batch.set_column(idx, batch.schema.field(idx), new)
         self.metrics.incr("records.count", batch.num_rows)

@@ -52,13 +52,19 @@ def sessionize(
     gap = pd.Timedelta(minutes=gap_minutes)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        import zlib
+        # in-run-only bucket assignment -> the vectorized polars hash
+        # is safe (cross-run stability only matters for lake layouts)
+        import polars as pl
 
-        ks = batch.column(key).to_pylist()
-        b = np.array(
-            [zlib.crc32(str(k).encode()) % num_buckets for k in ks], dtype=np.int64
+        h = (
+            pl.from_arrow(batch.select([key]))
+            .select(pl.col(key).cast(pl.Utf8).hash(7))
+            .to_series()
+            .to_numpy()
         )
-        return batch.append_column("_bucket", pa.array(b))
+        return batch.append_column(
+            "_bucket", pa.array((h % num_buckets).astype(np.int64))
+        )
 
     def per_bucket(block: pd.DataFrame) -> pd.DataFrame:
         sort_cols = [key, ts_col] + ([order_col] if order_col else [])

@@ -142,3 +142,44 @@ def committed_partitions(root: str, epoch: str | None = None) -> dict[int, Parti
 def table_checkpoint(root: str) -> dict[int, int]:
     """partition -> committed max_seq (resume point)."""
     return {p: m.max_seq for p, m in committed_partitions(root).items()}
+
+
+TABLE_META = "_table_meta.json"
+
+
+def read_table_meta(root: str) -> dict | None:
+    """Table-level invariants (partition count, key-hash algorithm).
+    Checkpoint filtering keys committed max_seq by
+    ``key_hash % num_partitions`` — a run with a different
+    ``num_partitions`` (or hash algo) would consult the WRONG
+    partition's checkpoint and silently mis-filter, so these are pinned
+    at table creation and validated on every subsequent run."""
+    path = os.path.join(root, TABLE_META)
+    if not os.path.exists(path):
+        return None
+    try:
+        return json.loads(open(path).read())
+    except (json.JSONDecodeError, OSError):
+        return None
+
+
+def ensure_table_meta(root: str, meta: dict) -> None:
+    """Write the table meta if absent; raise on a mismatch with the
+    existing one (fail fast instead of mis-filtering checkpoints or
+    mixing stale partition layouts)."""
+    existing = read_table_meta(root)
+    if existing is None:
+        atomic_write_bytes(
+            os.path.join(root, TABLE_META),
+            json.dumps(meta, sort_keys=True).encode(),
+        )
+        return
+    diffs = {
+        k: (existing.get(k), v) for k, v in meta.items() if existing.get(k) != v
+    }
+    if diffs:
+        raise ValueError(
+            f"table meta mismatch for {root}: {diffs} — this lake was "
+            "committed with different partitioning; rerun with the "
+            "original settings or use a fresh output directory"
+        )

@@ -179,6 +179,30 @@ class TestReplay:
         # same epoch overwrites only its run manifest; partition commits untouched
         assert len(os.listdir(os.path.join(out, MF.MANIFEST_DIR))) == n_manifests
 
+    def test_num_partitions_mismatch_fails_fast(self, events_dir, tmp_path):
+        """Checkpoint filtering keys max_seq by key_hash %
+        num_partitions — a run with a different partition count against
+        the same lake must be rejected, not silently mis-filter."""
+        out = str(tmp_path / "lake")
+        RP.replay(events_dir, out, num_partitions=8)
+        with pytest.raises(ValueError, match="table meta mismatch"):
+            RP.replay(events_dir, out, num_partitions=16, incremental=True)
+
+    def test_epoch_fingerprints_list_inputs(self, tmp_path):
+        """compute_epoch must fingerprint file content (names+sizes)
+        for LIST inputs too, not the stringified list."""
+        d1, d2 = str(tmp_path / "e1"), str(tmp_path / "e2")
+        EV.write_events_parquet(d1, 500, n_shards=2, seed=1)
+        EV.write_events_parquet(d2, 500, n_shards=2, seed=2)
+        e_before = RP.compute_epoch([d1, d2], None)
+        # regenerate d2 at the same path with different content
+        import shutil
+
+        shutil.rmtree(d2)
+        EV.write_events_parquet(d2, 700, n_shards=2, seed=3)
+        e_after = RP.compute_epoch([d1, d2], None)
+        assert e_before != e_after
+
     def test_rerun_is_idempotent(self, events_dir, tmp_path):
         out = str(tmp_path / "lake")
         RP.replay(events_dir, out, num_partitions=8)

@@ -148,6 +148,69 @@ class TestDateShiftStage:
             assert abs((a - b).days) <= 5
 
 
+class TestTimeLogicalTypes:
+    def test_date_shift_preserves_time_of_day(self):
+        """TIME_MICROS/TIME_MILLIS columns (Utils.java:226-258): a
+        whole-day DATE_SHIFT is identity on a time-of-day, type
+        preserved."""
+        import datetime as dt
+
+        t = pa.table(
+            {
+                "k": ["a", "b"],
+                "t_us": pa.array(
+                    [dt.time(9, 30, 15, 123456), dt.time(23, 59, 59)],
+                    type=pa.time64("us"),
+                ),
+                "t_ms": pa.array(
+                    [dt.time(1, 2, 3), dt.time(4, 5, 6)], type=pa.time32("ms")
+                ),
+            }
+        )
+        policy = {
+            "transforms": [
+                {
+                    "transform": "DATE_SHIFT",
+                    "fields": "t_us,t_ms",
+                    "filters": "NONE",
+                    "transformProperties": {
+                        "lowerBoundDays": -5,
+                        "upperBoundDays": 5,
+                        "context": "k",
+                    },
+                }
+            ],
+            "customTemplateEnabled": True,
+            "templateId": "DemoTemplate",
+        }
+        out = RedactionStage(policy)(t)
+        assert out.column("t_us").to_pylist() == t.column("t_us").to_pylist()
+        assert out.column("t_ms").to_pylist() == t.column("t_ms").to_pylist()
+        assert out.schema.field("t_us").type == pa.time64("us")
+        assert out.schema.field("t_ms").type == pa.time32("ms")
+
+    def test_string_transform_on_time_rejected_with_clear_error(self):
+        import datetime as dt
+
+        t = pa.table(
+            {"t": pa.array([dt.time(1, 2)], type=pa.time64("us"))}
+        )
+        policy = {
+            "transforms": [
+                {
+                    "transform": "MASKING",
+                    "fields": "NONE,t",
+                    "filters": "NONE",
+                    "transformProperties": {"maskingChar": "#"},
+                }
+            ],
+            "customTemplateEnabled": True,
+            "templateId": "DemoTemplate",
+        }
+        with pytest.raises(Exception, match="not supported|does not support"):
+            RedactionStage(policy)(t)
+
+
 class TestFilterStage:
     def test_single_field(self):
         stage = F.FilterStage(field="notes", filters=["NATIONAL_ID"])

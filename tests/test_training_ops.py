@@ -76,6 +76,37 @@ class TestSimHash:
         assert DD.hamming64(ha, hb) < DD.hamming64(ha, hc)
         assert DD.hamming64(ha, ha) == 0
 
+    def test_batch_matches_scalar_reference(self):
+        """Vectorized simhash_batch == textbook per-token accumulation
+        with the same token hash (pins the reduceat segment logic,
+        incl. empty and None docs)."""
+        import numpy as np
+
+        def scalar_ref(text):
+            toks = text.split() if text else []
+            if not toks:
+                return 0
+            acc = np.zeros(64, dtype=np.int64)
+            for h in DD._token_hashes(toks):
+                bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                acc += np.where(bits.astype(bool), 1, -1)
+            out = 0
+            for i in range(64):
+                if acc[i] > 0:
+                    out |= 1 << i
+            return out
+
+        texts = [
+            "the quick brown fox",
+            "",
+            None,
+            "a b a b c",
+            "x",
+            "  spaced   out   tokens  ",
+        ]
+        got = DD.simhash_batch(texts).tolist()
+        assert got == [scalar_ref(t) for t in texts]
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestDedupOnRay:
