@@ -476,22 +476,20 @@ def q_join_orders_customers(sf_dir: str):
     cust = pq.read_table(
         os.path.join(sf_dir, "customer.parquet"),
         columns=["c_custkey", "c_mktsegment"],
-    )
-    lookup = dict(
-        zip(cust.column("c_custkey").to_pylist(), cust.column("c_mktsegment").to_pylist())
-    )
-    ref = ray.put(lookup)
+    ).combine_chunks()
+    ref = ray.put(cust)
 
     class JoinStage:
         def __init__(self, ref):
-            self.lookup = ray.get(ref)
+            small = ray.get(ref)
+            self.keys = small.column("c_custkey").combine_chunks()
+            self.seg = small.column("c_mktsegment").combine_chunks()
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch.column("o_custkey").to_pylist()
-            seg = [self.lookup.get(k) for k in keys]
+            idx = pc.index_in(batch.column("o_custkey"), value_set=self.keys)
             return pa.table(
                 {
-                    "c_mktsegment": pa.array(seg, pa.string()),
+                    "c_mktsegment": self.seg.take(idx),
                     "o_totalprice": batch.column("o_totalprice"),
                 }
             )
@@ -1301,24 +1299,31 @@ def q_suppliers_per_region(sf_dir: str):
     r_name = dict(
         zip(region.column("r_regionkey").to_pylist(), region.column("r_name").to_pylist())
     )
-    nation_to_region = {
-        nk: r_name.get(rk)
-        for nk, rk in zip(
-            nation.column("n_nationkey").to_pylist(),
-            nation.column("n_regionkey").to_pylist(),
-        )
-    }
-    ref = ray.put(nation_to_region)
+    # pre-compose the nation->region dimension chain into one small
+    # lookup table, broadcast once, probed with pc.index_in per batch
+    n2r = pa.table(
+        {
+            "n_nationkey": nation.column("n_nationkey"),
+            "r_name": pa.array(
+                [
+                    r_name.get(rk)
+                    for rk in nation.column("n_regionkey").to_pylist()
+                ],
+                pa.string(),
+            ),
+        }
+    ).combine_chunks()
+    ref = ray.put(n2r)
 
     class Lookup:
         def __init__(self, ref):
-            self.map = ray.get(ref)
+            small = ray.get(ref)
+            self.keys = small.column("n_nationkey").combine_chunks()
+            self.names = small.column("r_name").combine_chunks()
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch.column("s_nationkey").to_pylist()
-            return pa.table(
-                {"r_name": pa.array([self.map.get(k) for k in keys], pa.string())}
-            )
+            idx = pc.index_in(batch.column("s_nationkey"), value_set=self.keys)
+            return pa.table({"r_name": self.names.take(idx)})
 
     from ..stages.cache import cached_task_stage
     from ..stages.shuffle import bucketed_group_reduce

@@ -35,11 +35,38 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
+try:  # probe optional real decoders once at import
+    from PIL import Image as _PILImage  # noqa: N812
+except ImportError:  # the sandbox has no PIL; the stub path is used
+    _PILImage = None
+
+
+def pil_image_decoder(payload: bytes, kind: str) -> "np.ndarray":
+    """Real image decode via PIL when installed: bytes -> float32
+    pixel array in [0,1]. Raises NotImplementedError otherwise so
+    callers fall back explicitly (never silently fake)."""
+    if _PILImage is None or kind != "image":
+        return real_decoder_unavailable(payload, kind)
+    import io
+
+    with _PILImage.open(io.BytesIO(payload)) as img:
+        return np.asarray(img.convert("L"), dtype=np.float32) / 255.0
+
+
 def real_decoder_unavailable(payload: bytes, kind: str):
     raise NotImplementedError(
         "Real image/audio decoding needs PIL/ffmpeg which are not in this "
         "container; pass decoder=... or use deterministic_fake_decoder"
     )
+
+
+def best_decoder(kind_hint: str = "image"):
+    """The best decoder the environment offers: PIL-backed for images
+    when PIL is importable, else the deterministic fake (tests and this
+    sandbox). Production swaps in ffmpeg/soundfile the same way."""
+    if _PILImage is not None and kind_hint == "image":
+        return pil_image_decoder
+    return deterministic_fake_decoder
 
 
 def deterministic_fake_decoder(payload: bytes, kind: str) -> np.ndarray:
