@@ -564,119 +564,170 @@ def verify_pairs_jaccard(
 # ---------------------------------------------------------------------------
 
 
-def connected_component_labels(pairs, *, num_buckets: int = 64, max_iters: int = 64):
-    """Distributed connected components over an undirected pair list:
-    iterated min-label propagation. Returns a Dataset of
-    ``(id, label)`` where ``label`` is the min id of the component.
+class _UnionFind:
+    """Path-halving union-by-min — used block-locally inside reduce
+    tasks and on the (tiny) root-equivalence graph, never on the raw
+    pair list at the driver."""
 
-    Never materializes the pair list on the driver: each round is one
-    bucketed shuffle of (edge ∪ label) rows keyed by id, with the label
-    lookup + min-fold done block-locally in polars. The label sum is
-    monotone non-increasing, so an unchanged sum means a fixpoint —
-    the convergence check is a tiny per-block partial-sum aggregate."""
+    __slots__ = ("parent",)
+
+    def __init__(self):
+        self.parent: dict[int, int] = {}
+
+    def find(self, x: int) -> int:
+        p = self.parent.setdefault(x, x)
+        while p != self.parent[p]:
+            self.parent[p] = self.parent[self.parent[p]]
+            p = self.parent[p]
+        self.parent[x] = p
+        return p
+
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[max(ra, rb)] = min(ra, rb)
+
+
+def connected_component_labels(pairs, *, num_buckets: int = 64):
+    """Distributed connected components over an undirected pair list —
+    hierarchical union-find in a CONSTANT number of shuffles (iterated
+    label propagation paid one all-to-all per graph-diameter step):
+
+    1. ONE shuffle: edges hash-bucketed; per-bucket union-find emits
+       (id, local_root) for its edge subset.
+    2. ONE shuffle on id: an id seen with different local roots in
+       different buckets links those roots — emit the root-equivalence
+       edges (and the id -> min local root mapping).
+    3. The equivalence graph (≤ #components spanning buckets — orders
+       of magnitude smaller than the edge set; recurse here if it ever
+       isn't) is solved by union-find in ONE remote task, never on the
+       driver; the root->final map is broadcast by ObjectRef.
+    4. A map stage rewrites each id's root through the broadcast map.
+
+    Returns a Dataset of ``(id, label)``, label = min id of the
+    component (deterministic under any block order)."""
+    import ray
+    import ray.data as rd
+
     from .shuffle import bucketed_group_reduce
 
-    def bidir(b: pa.Table) -> pa.Table:
-        a = b.column("id_a").to_numpy(zero_copy_only=False)
-        c = b.column("id_b").to_numpy(zero_copy_only=False)
+    def per_bucket_uf(block: pa.Table) -> pa.Table:
+        uf = _UnionFind()
+        a = block.column("id_a").to_numpy(zero_copy_only=False)
+        b = block.column("id_b").to_numpy(zero_copy_only=False)
+        for x, y in zip(a, b):
+            uf.union(int(x), int(y))
+        ids = list(uf.parent)
+        roots = [uf.find(i) for i in ids]
         return pa.table(
             {
-                "id": pa.array(np.concatenate([a, c]).astype(np.int64)),
-                "nbr": pa.array(np.concatenate([c, a]).astype(np.int64)),
+                "id": pa.array(ids, pa.int64()),
+                "root": pa.array(roots, pa.int64()),
             }
         )
 
-    edges = pairs.map_batches(bidir, batch_format="pyarrow").materialize()
-    if edges.count() == 0:
-        import ray.data as rd
+    local = bucketed_group_reduce(
+        pairs, ["id_a"], per_bucket_uf, num_buckets=num_buckets
+    )
 
-        return rd.from_arrow(
-            pa.table({"id": pa.array([], pa.int64()), "label": pa.array([], pa.int64())})
-        )
-
-    def init_labels(block: pa.Table) -> pa.Table:
+    def stitch(block: pa.Table) -> pa.Table:
+        """Per id: min root becomes the mapping; every other root
+        becomes an equivalence edge (eq=1 rows)."""
         import polars as pl
 
         df = pl.from_arrow(block)
-        out = df.group_by("id").agg(pl.col("nbr").min().alias("label"))
-        out = out.with_columns(
-            pl.min_horizontal(pl.col("id"), pl.col("label")).alias("label")
+        g = df.group_by("id").agg(
+            pl.col("root").min().alias("lo"), pl.col("root").alias("roots")
         )
-        return out.to_arrow().cast(
-            pa.schema([("id", pa.int64()), ("label", pa.int64())])
+        mapping = g.select(pl.col("id"), pl.col("lo").alias("root"))
+        eq = (
+            g.select(pl.col("lo"), pl.col("roots"))
+            .explode("roots")
+            .filter(pl.col("roots") != pl.col("lo"))
+            .unique()
+        )
+        m = mapping.to_arrow()
+        e = eq.to_arrow()
+        return pa.table(
+            {
+                "id": pa.concat_arrays(
+                    [
+                        m.column("id").combine_chunks(),
+                        e.column("lo").combine_chunks(),
+                    ]
+                ),
+                "root": pa.concat_arrays(
+                    [
+                        m.column("root").combine_chunks(),
+                        e.column("roots").combine_chunks(),
+                    ]
+                ),
+                "eq": pa.array(
+                    np.concatenate(
+                        [
+                            np.zeros(m.num_rows, dtype=np.int8),
+                            np.ones(e.num_rows, dtype=np.int8),
+                        ]
+                    )
+                ),
+            }
         )
 
-    labels = bucketed_group_reduce(
-        edges, ["id"], init_labels, num_buckets=num_buckets
+    stitched = bucketed_group_reduce(
+        local, ["id"], stitch, num_buckets=num_buckets
     ).materialize()
 
-    def label_sum(ds_):
-        tot = 0
-        for b in ds_.iter_batches(batch_format="pyarrow", batch_size=None):
-            col = b.column("label")
-            if len(col):
-                import pyarrow.compute as _pc
+    eq_edges = stitched.map_batches(
+        lambda b: b.filter(pa.compute.equal(b.column("eq"), 1)).select(
+            ["id", "root"]
+        ),
+        batch_format="pyarrow",
+    )
 
-                tot += int(_pc.sum(col).as_py())
-        return tot
+    @ray.remote
+    def solve_equivalences(*tables) -> dict[int, int]:
+        uf = _UnionFind()
+        for t in tables:
+            if t.num_rows == 0 or "id" not in t.column_names:
+                continue  # empty blocks carry an empty schema
+            for x, y in zip(
+                t.column("id").to_pylist(), t.column("root").to_pylist()
+            ):
+                uf.union(int(x), int(y))
+        return {x: uf.find(x) for x in uf.parent}
 
-    prev_sum = label_sum(labels)
-    for _ in range(max_iters):
-        # messages: every edge (id, nbr) proposes label(nbr) to id.
-        # co-locate by hashing edge rows on nbr and label rows on id.
-        def key_of_edge(b: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "key": b.column("nbr"),
-                    "other": b.column("id"),
-                    "label": pa.nulls(b.num_rows, pa.int64()),
-                }
-            )
+    resolve_ref = solve_equivalences.remote(*eq_edges.to_arrow_refs())
 
-        def key_of_label(b: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "key": b.column("id"),
-                    "other": pa.nulls(b.num_rows, pa.int64()),
-                    "label": b.column("label"),
-                }
-            )
+    class Relabel:
+        def __init__(self, ref):
+            import pyarrow.compute as _pc
 
-        mixed = edges.map_batches(key_of_edge, batch_format="pyarrow").union(
-            labels.map_batches(key_of_label, batch_format="pyarrow")
-        )
+            resolve = ray.get(ref)
+            if resolve:
+                keys = np.fromiter(resolve, dtype=np.int64, count=len(resolve))
+                vals = np.fromiter(
+                    resolve.values(), dtype=np.int64, count=len(resolve)
+                )
+            else:
+                keys = vals = np.array([], dtype=np.int64)
+            self.keys = pa.array(keys)
+            self.vals = pa.array(vals)
+            self._pc = _pc
 
-        def propose(block: pa.Table) -> pa.Table:
-            import polars as pl
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            batch = batch.filter(self._pc.equal(batch.column("eq"), 0))
+            roots = batch.column("root")
+            idx = self._pc.index_in(roots, value_set=self.keys)
+            final = self._pc.if_else(
+                self._pc.is_valid(idx), self.vals.take(idx), roots
+            )
+            return pa.table({"id": batch.column("id"), "label": final})
 
-            df = pl.from_arrow(block)
-            lab = df.filter(pl.col("label").is_not_null()).select(
-                ["key", "label"]
-            )
-            edg = df.filter(pl.col("other").is_not_null()).select(
-                ["key", "other"]
-            )
-            msgs = edg.join(lab, on="key").select(
-                pl.col("other").alias("id"), pl.col("label")
-            )
-            own = lab.select(pl.col("key").alias("id"), pl.col("label"))
-            out = (
-                pl.concat([msgs, own])
-                .group_by("id")
-                .agg(pl.col("label").min())
-            )
-            return out.to_arrow().cast(
-                pa.schema([("id", pa.int64()), ("label", pa.int64())])
-            )
+    from .cache import cached_task_stage
 
-        labels = bucketed_group_reduce(
-            mixed, ["key"], propose, num_buckets=num_buckets
-        ).materialize()
-        cur = label_sum(labels)
-        if cur == prev_sum:
-            break
-        prev_sum = cur
-    return labels
+    return stitched.map_batches(
+        cached_task_stage(Relabel, resolve_ref), batch_format="pyarrow"
+    )
 
 
 def minhash_dedup(
@@ -726,7 +777,8 @@ def minhash_dedup(
             )
             return batch.filter(mask)
 
+    from .cache import cached_task_stage
+
     return ds.map_batches(
-        DropStage, fn_constructor_args=(drop_ref,),
-        batch_format="pyarrow", concurrency=(1, 8),
+        cached_task_stage(DropStage, drop_ref), batch_format="pyarrow"
     )

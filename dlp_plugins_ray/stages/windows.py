@@ -107,9 +107,26 @@ def sliding_counts(ds, *, key: str, ts_col: str, window_minutes: int, slide_minu
             }
         )
 
-    from ray.data.aggregate import Count
+    from .shuffle import bucketed_group_reduce
 
     expanded = ds.map_batches(expand, batch_format="pyarrow")
-    return expanded.groupby([key, "window_start"]).aggregate(
-        Count(alias_name="n_events")
+
+    # partial counts per block BEFORE the shuffle: the exchange moves
+    # (key, window) partials, not the n_covers-times-expanded rows
+    def partial(df):
+        return df.groupby([key, "window_start"], as_index=False).agg(
+            n_events=("window_start", "size")
+        )
+
+    partials = expanded.map_batches(
+        partial, batch_format="pandas", batch_size=None
+    )
+
+    def final(block):
+        return block.groupby([key, "window_start"], as_index=False).agg(
+            n_events=("n_events", "sum")
+        )
+
+    return bucketed_group_reduce(
+        partials, [key], final, num_buckets=16, batch_format="pandas"
     )
