@@ -1701,6 +1701,12 @@ def tmp_oracle_sql(sf: str = "sf0.01") -> dict[str, str]:
               ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
         """,
+        "heavy_hitters": f"""
+            SELECT count(*) AS n_heavy, true AS mg_ok
+            FROM (SELECT repo, count(*) AS c FROM read_parquet('{ev}')
+                  GROUP BY repo)
+            WHERE c > (SELECT count(*) FROM read_parquet('{ev}')) / 8.0
+        """,
     }
 
 
@@ -1713,3 +1719,140 @@ def prepare_oracle_fixtures(sf_dir: str = "/root/testdata/sf0.01") -> None:
     so the DuckDB side can run even if it runs before the queries."""
     cdc_events_dir(sf_dir)
     neardup_vectors_path(sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# corpus statistics at scale: word counts (flat-map fan-out + partial
+# counts), Misra-Gries heavy hitters (mergeable sketch + exact
+# cross-check), global order statistic (one sort shuffle, one block read)
+# ---------------------------------------------------------------------------
+
+
+def q_top_words(sf_dir: str):
+    """Top-20 words across the corpus: per-block explode+count (the
+    shuffle moves (word, partial_count) rows, never tokens), bucketed
+    count reduce, then a tiny global sort+limit."""
+    from ..stages.shuffle import bucketed_group_reduce
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def explode_counts(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        texts = [t or "" for t in b.column("text").to_pylist()]
+        counts = (
+            pl.DataFrame({"text": texts})
+            .select(
+                pl.col("text")
+                .str.to_lowercase()
+                .str.extract_all(r"[a-z]+")
+                .alias("word")
+            )
+            .explode("word")
+            .drop_nulls()
+            .group_by("word")
+            .len()
+        )
+        return pa.table(
+            {
+                "word": counts["word"].to_arrow().cast(pa.string()),
+                "n": counts["len"].to_arrow().cast(pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(
+        explode_counts, batch_format="pyarrow", batch_size=None
+    )
+
+    def final(block: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = pl.from_arrow(block).group_by("word").agg(pl.col("n").sum())
+        return pa.table(
+            {
+                "word": out["word"].to_arrow().cast(pa.string()),
+                "n": out["n"].to_arrow().cast(pa.int64()),
+            }
+        )
+
+    counts = bucketed_group_reduce(partials, ["word"], final, num_buckets=16)
+    return counts.sort(["n", "word"], descending=[True, False]).limit(20)
+
+
+QUERIES["top_words"] = q_top_words
+ORACLE_SQL["top_words"] = r"""
+    SELECT word, count(*) AS n FROM (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM documents
+    ) GROUP BY word ORDER BY n DESC, word ASC LIMIT 20
+"""
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Misra-Gries heavy hitters over the zipf-skewed ``repo`` column
+    of the generated CDC log (the shared events.user_id is uniform —
+    no true heavy hitters — so the MG guarantee would be vacuous
+    there). Adversarially cross-checked in-query: the exact per-repo
+    counts (distributed partial-agg) define the true > n/k heavy set;
+    ``mg_ok`` asserts every one survived the mergeable k-slot sketch
+    with k SMALLER than the key cardinality (so the sketch really
+    compresses). Oracle recomputes n_heavy exactly from the same log."""
+    import ray.data as rd
+
+    from ..stages.shuffle import bucketed_group_reduce
+    from ..stages.sketches import misra_gries_candidates
+
+    k = 8
+    ev_dir = cdc_events_dir(sf_dir)
+    ds = rd.read_parquet(ev_dir, columns=["repo"])
+    candidates = set(misra_gries_candidates(ds, "repo", k=k))
+
+    def partial(df):
+        return df.groupby("repo", as_index=False).agg(c=("repo", "size"))
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=None)
+
+    def final(block):
+        return block.groupby("repo", as_index=False).agg(c=("c", "sum"))
+
+    exact = bucketed_group_reduce(
+        partials, ["repo"], final, num_buckets=8, batch_format="pandas"
+    ).take_all()
+    total = sum(r["c"] for r in exact)
+    heavy = [r["repo"] for r in exact if r["c"] > total / float(k)]
+    ok = bool(heavy) and all(u in candidates for u in heavy)
+    return pa.table(
+        {
+            "n_heavy": pa.array([len(heavy)], pa.int64()),
+            "mg_ok": pa.array([ok], pa.bool_()),
+        }
+    )
+
+
+QUERIES["heavy_hitters"] = q_heavy_hitters
+
+
+def q_median_order_price(sf_dir: str):
+    """Global median order price as a distributed order statistic: ONE
+    sort shuffle, then split_at_indices reads only the block holding
+    the target rank (deterministic (price, orderkey) tie-break)."""
+    from ..stages.sketches import nth_ordered
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    n = ds.count()
+    idx = (n + 1) // 2 - 1  # 0-based position of 1-based rank (n+1)//2
+    row = nth_ordered(ds, ["o_totalprice", "o_orderkey"], idx)
+    return pa.table(
+        {"median_price": pa.array([row["o_totalprice"]], pa.float64())}
+    )
+
+
+QUERIES["median_order_price"] = q_median_order_price
+ORACLE_SQL["median_order_price"] = r"""
+    SELECT max(v) AS median_price FROM (
+      SELECT o_totalprice AS v,
+             row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+             count(*) OVER () AS n
+      FROM orders
+    ) WHERE rn = (n + 1) // 2
+"""

@@ -89,6 +89,75 @@ def approx_distinct(ds, column: str, *, p: int = 12) -> float:
     return merged.estimate()
 
 
+def misra_gries_candidates(ds, column: str, *, k: int = 64) -> dict:
+    """Misra-Gries heavy-hitter sketch (Misra & Gries 1982): one k-slot
+    summary per block, merged driver-side by counter addition + global
+    decrement (Agarwal et al.'s mergeable-summaries rule). Guarantee:
+    every value with true frequency > n/k survives the merge. Returns
+    {value: lower-bound count}. Only (#blocks x k) counters move —
+    never rows."""
+    import pickle
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        col = batch.column(column)
+        counts = (
+            pl.from_arrow(
+                col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            )
+            .rename("v")
+            .to_frame()
+            .group_by("v")
+            .len()
+        )
+        summary: dict = {}
+        for v, n in zip(counts["v"].to_list(), counts["len"].to_list()):
+            _mg_add(summary, v, int(n), k)
+        return pa.table({"blob": pa.array([pickle.dumps(summary)], pa.binary())})
+
+    parts = ds.map_batches(
+        sketch_batch, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    merged: dict = {}
+    for r in parts:
+        for v, n in pickle.loads(r["blob"]).items():
+            _mg_add(merged, v, n, k)
+    return merged
+
+
+def _mg_add(summary: dict, value, count: int, k: int) -> None:
+    """Add ``count`` occurrences of ``value`` to a k-slot MG summary."""
+    if value in summary:
+        summary[value] += count
+        return
+    if len(summary) < k - 1:
+        summary[value] = count
+        return
+    # decrement all by the smallest of (count, current min) repeatedly —
+    # closed form: subtract d = min over candidates after insertion
+    d = min(count, min(summary.values()))
+    summary[value] = count
+    dead = []
+    for v in summary:
+        summary[v] -= d
+        if summary[v] <= 0:
+            dead.append(v)
+    for v in dead:
+        del summary[v]
+
+
+def nth_ordered(ds, sort_cols: list[str], idx: int, *, descending=False):
+    """Global order statistic: the row at 0-based position ``idx`` of
+    the totally-ordered dataset — ONE distributed sort shuffle, then
+    only the block containing the index is read (split_at_indices is a
+    metadata operation on the sorted block layout)."""
+    sorted_ds = ds.sort(sort_cols, descending=descending)
+    tail = sorted_ds.split_at_indices([idx])[1]
+    rows = tail.limit(1).take_all()
+    return rows[0] if rows else None
+
+
 def profile(ds, columns: list[str]):
     """Per-column profile (count / nulls / min / max) in one pass:
     per-block partials via Arrow kernels, merged driver-side (the

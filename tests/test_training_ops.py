@@ -304,3 +304,40 @@ class TestSketches:
 
         with pytest.raises(ValueError):
             HyperLogLog(p=2)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHeavyHittersAndOrderStats:
+    def test_misra_gries_guarantee_under_skew(self):
+        """Every value with true frequency > n/k must survive the
+        per-block sketch + merge (zipf-skewed synthetic column with
+        cardinality far above k)."""
+        import numpy as np
+        import ray.data as rd
+        from dlp_plugins_ray.stages.sketches import misra_gries_candidates
+
+        rng = np.random.RandomState(3)
+        ranks = np.arange(1, 201, dtype=np.float64)
+        w = 1.0 / ranks**1.3
+        vals = rng.choice(200, size=50_000, p=w / w.sum()).astype(np.int64)
+        k = 10
+        ds = rd.from_arrow(pa.table({"v": vals})).repartition(8)
+        cands = set(misra_gries_candidates(ds, "v", k=k))
+        assert len(cands) < 2 * k  # it actually compresses
+        counts = np.bincount(vals)
+        heavy = {i for i, c in enumerate(counts) if c > len(vals) / k}
+        assert heavy, "fixture must have true heavy hitters"
+        assert heavy <= cands
+
+    def test_nth_ordered_exact(self):
+        import numpy as np
+        import ray.data as rd
+        from dlp_plugins_ray.stages.sketches import nth_ordered
+
+        rng = np.random.RandomState(5)
+        v = rng.permutation(1001).astype(np.int64)
+        ds = rd.from_arrow(pa.table({"id": np.arange(1001), "v": v})).repartition(6)
+        med = nth_ordered(ds, ["v", "id"], 500)
+        assert med["v"] == 500  # exact median of 0..1000
+        assert nth_ordered(ds, ["v", "id"], 0)["v"] == 0
+        assert nth_ordered(ds, ["v", "id"], 1000)["v"] == 1000
