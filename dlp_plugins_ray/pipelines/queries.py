@@ -1856,3 +1856,73 @@ ORACLE_SQL["median_order_price"] = r"""
       FROM orders
     ) WHERE rn = (n + 1) // 2
 """
+
+
+def q_bloom_semi_orders(sf_dir: str):
+    """Semi join with Bloom-filter pruning — the scale path when the
+    build-side key set outgrows an exact broadcast: per-block mergeable
+    Bloom over BUILDING customer keys, OR-merged, broadcast once;
+    orders prefiltered by the bloom (no false negatives), then the
+    exact membership verify removes the ~fp-rate survivors. Result ==
+    the exact semi join, checked by the oracle."""
+    import pyarrow.parquet as pq
+
+    from ..stages.joins import broadcast_semi_anti
+    from ..stages.sketches import bloom_prefilter, build_bloom
+
+    import ray.data as rd
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    building = cust.map_batches(
+        lambda b: b.filter(
+            pc.equal(b.column("c_mktsegment"), "BUILDING")
+        ).select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    bloom = build_bloom(building, "c_custkey", n_bits=1 << 18)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    pruned = bloom_prefilter(orders, bloom, "o_custkey")
+    # exact verify of the bloom survivors (at real scale this is the
+    # shuffle join the bloom just shrank; here the exact set fits)
+    keys = {
+        r["c_custkey"] for r in building.take_all()
+    }
+    return broadcast_semi_anti(pruned, keys, key="o_custkey")
+
+
+QUERIES["bloom_semi_orders"] = q_bloom_semi_orders
+ORACLE_SQL["bloom_semi_orders"] = r"""
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_custkey IN (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+"""
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified downsampling — the training-data
+    rebalancing op: per-event-type keep rates applied with pure
+    modular arithmetic on the id (reproducible on any cluster, no RNG
+    state), vectorized per batch; exact SQL oracle with the same
+    arithmetic."""
+    rates = {"purchase": 100, "click": 10}  # per-type keep % (else 25)
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+
+    def sample(b: pa.Table) -> pa.Table:
+        ids = b.column("event_id").to_numpy(zero_copy_only=False)
+        types = np.asarray(b.column("event_type").to_pylist(), dtype=object)
+        thresh = np.full(len(ids), 25, dtype=np.int64)
+        for t, r in rates.items():
+            thresh[types == t] = r
+        keep = (ids % 100) < thresh
+        return b.filter(pa.array(keep))
+
+    return ds.map_batches(sample, batch_format="pyarrow")
+
+
+QUERIES["stratified_sample"] = q_stratified_sample
+ORACLE_SQL["stratified_sample"] = r"""
+    SELECT event_id, event_type FROM events
+    WHERE event_id % 100 < CASE event_type
+      WHEN 'purchase' THEN 100 WHEN 'click' THEN 10 ELSE 25 END
+"""

@@ -341,3 +341,36 @@ class TestHeavyHittersAndOrderStats:
         assert med["v"] == 500  # exact median of 0..1000
         assert nth_ordered(ds, ["v", "id"], 0)["v"] == 0
         assert nth_ordered(ds, ["v", "id"], 1000)["v"] == 1000
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBloom:
+    def test_no_false_negatives_and_bounded_fp(self):
+        import numpy as np
+        import ray.data as rd
+        from dlp_plugins_ray.stages.sketches import (
+            BloomFilter, bloom_prefilter, build_bloom,
+        )
+
+        keys = np.arange(0, 20_000, 2, dtype=np.int64)  # evens
+        ds = rd.from_arrow(pa.table({"k": keys})).repartition(4)
+        bloom = build_bloom(ds, "k", n_bits=1 << 18)
+        probe = rd.from_arrow(
+            pa.table({"k": np.arange(20_000, dtype=np.int64)})
+        )
+        kept = {r["k"] for r in bloom_prefilter(probe, bloom, "k").take_all()}
+        assert set(keys) <= kept  # NO false negatives
+        fp = len(kept - set(keys)) / 10_000
+        assert fp < 0.05, fp  # ~1% expected at 10 bits/key, 7 hashes
+
+    def test_merge_is_union(self):
+        import numpy as np
+        from dlp_plugins_ray.stages.sketches import BloomFilter, _hash_column
+
+        a, b = BloomFilter(1 << 12), BloomFilter(1 << 12)
+        ha = _hash_column(pa.array(np.arange(100, dtype=np.int64)))
+        hb = _hash_column(pa.array(np.arange(100, 200, dtype=np.int64)))
+        a.add_hashes(ha)
+        b.add_hashes(hb)
+        a.merge(b)
+        assert a.contains_hashes(ha).all() and a.contains_hashes(hb).all()
