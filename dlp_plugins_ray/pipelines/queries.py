@@ -1926,3 +1926,33 @@ ORACLE_SQL["stratified_sample"] = r"""
     WHERE event_id % 100 < CASE event_type
       WHEN 'purchase' THEN 100 WHEN 'click' THEN 10 ELSE 25 END
 """
+
+
+def q_approx_quantiles(sf_dir: str):
+    """Deterministic sample-based quantiles of o_totalprice (bottom-m
+    by stable id hash), adversarially verified in-query: the EXACT
+    rank of each estimate (distributed per-block counts) must sit
+    within 5% of the target quantile (~3x the 1/sqrt(m) sampling
+    error). Oracle: constant-true flags per quantile."""
+    from ..stages.sketches import approx_quantiles, exact_rank_fraction
+
+    qs = [0.25, 0.5, 0.75]
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    est = approx_quantiles(ds, "o_totalprice", "o_orderkey", qs, m=4096)
+    ranks = exact_rank_fraction(ds, "o_totalprice", [est[q] for q in qs])
+    return pa.table(
+        {
+            "q": pa.array(qs, pa.float64()),
+            "rank_ok": pa.array(
+                [abs(r - q) <= 0.05 for r, q in zip(ranks, qs)], pa.bool_()
+            ),
+        }
+    )
+
+
+QUERIES["approx_quantiles"] = q_approx_quantiles
+ORACLE_SQL["approx_quantiles"] = r"""
+    SELECT 0.25 AS q, true AS rank_ok UNION ALL
+    SELECT 0.50, true UNION ALL
+    SELECT 0.75, true
+"""

@@ -244,6 +244,71 @@ def _mg_add(summary: dict, value, count: int, k: int) -> None:
         del summary[v]
 
 
+def approx_quantiles(
+    ds,
+    value_col: str,
+    id_col: str,
+    qs: list[float],
+    *,
+    m: int = 4096,
+) -> dict[float, float]:
+    """Sample-based distributed quantiles, deterministic without RNG
+    state: the global sample = the m rows with the smallest stable
+    hash(id) (uniform over rows; ties in value don't bias it). One
+    per-block bottom-m combiner, then a tiny sort+limit merges the
+    partials; expected rank error ~1/sqrt(m). Rows never shuffle —
+    only (#blocks x m) (hash, value) pairs."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = _hash_column(b.column(id_col))
+        k = min(m, h.size)
+        if k == 0:
+            return pa.table(
+                {"h": pa.array([], pa.uint64()), "v": pa.array([], pa.float64())}
+            )
+        idx = np.argpartition(h, k - 1)[:k]
+        return pa.table(
+            {
+                "h": pa.array(h[idx]),
+                "v": b.column(value_col)
+                .take(pa.array(idx))
+                .cast(pa.float64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    sample = parts.sort("h").limit(m).take_all()
+    vals = np.sort(np.array([r["v"] for r in sample], dtype=np.float64))
+    if vals.size == 0:
+        return {q: float("nan") for q in qs}
+    return {q: float(vals[int(q * (vals.size - 1))]) for q in qs}
+
+
+def exact_rank_fraction(ds, value_col: str, thresholds: list[float]) -> list[float]:
+    """Exact rank (fraction of rows <= t) for each threshold, computed
+    distributed: one vectorized per-block partial count, merged
+    driver-side (a handful of ints per block)."""
+    th = np.asarray(thresholds, dtype=np.float64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        le = (v[:, None] <= th[None, :]).sum(axis=0)
+        return pa.table(
+            {
+                "n": pa.array([b.num_rows], pa.int64()),
+                "le": pa.array([le.tolist()], pa.list_(pa.int64())),
+            }
+        )
+
+    total, le_sum = 0, np.zeros(len(thresholds), dtype=np.int64)
+    for r in ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).take_all():
+        total += r["n"]
+        le_sum += np.asarray(r["le"], dtype=np.int64)
+    return (le_sum / max(1, total)).tolist()
+
+
 def nth_ordered(ds, sort_cols: list[str], idx: int, *, descending=False):
     """Global order statistic: the row at 0-based position ``idx`` of
     the totally-ordered dataset — ONE distributed sort shuffle, then
