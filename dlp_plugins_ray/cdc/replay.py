@@ -70,6 +70,9 @@ DEFAULT_REGISTRY = (
 
 PKEY_COL = "_pkey"
 
+# driver-side observability: stats() of the most recent replay pipeline
+LAST_STATS: str | None = None
+
 
 KEY_HASH_ALGO = "crc32-pair-v1"
 
@@ -448,6 +451,14 @@ def replay(
         finalize_and_commit, batch_format="pyarrow"
     )
     mpdf = manifests.to_pandas()
+    # observability: per-stage wall/CPU breakdown of the run just
+    # consumed (read via `replay.LAST_STATS` after a call; the module
+    # global is driver-side only and costs nothing)
+    global LAST_STATS
+    try:
+        LAST_STATS = manifests.stats()
+    except Exception:
+        LAST_STATS = None
     # run-level manifest for observability
     run_manifest = {
         "epoch": epoch,
