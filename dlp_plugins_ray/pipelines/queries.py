@@ -1956,3 +1956,44 @@ ORACLE_SQL["approx_quantiles"] = r"""
     SELECT 0.50, true UNION ALL
     SELECT 0.75, true
 """
+
+
+def q_purchases_daily_pushdown(sf_dir: str):
+    """Predicate + projection pushdown at the READ: the event-type
+    filter is handed to read_parquet (row-group statistics prune
+    before bytes leave storage) and only two columns are scanned;
+    then the usual partial-count + bucketed-reduce aggregate."""
+    import ray.data as rd
+
+    from ..stages.shuffle import bucketed_group_reduce
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "ts"],
+        filter=(pc.field("event_type") == "purchase"),
+    )
+
+    def add_day(b: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.floor_temporal(b.column("ts"), unit="day")})
+
+    days = ds.map_batches(add_day, batch_format="pyarrow")
+
+    def partial(df):
+        return df.groupby("day", as_index=False).agg(n=("day", "size"))
+
+    partials = days.map_batches(partial, batch_format="pandas", batch_size=None)
+
+    def final(block):
+        return block.groupby("day", as_index=False).agg(n=("n", "sum"))
+
+    return bucketed_group_reduce(
+        partials, ["day"], final, num_buckets=4, batch_format="pandas"
+    )
+
+
+QUERIES["purchases_daily_pushdown"] = q_purchases_daily_pushdown
+ORACLE_SQL["purchases_daily_pushdown"] = r"""
+    SELECT date_trunc('day', ts) AS day, count(*) AS n
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY date_trunc('day', ts)
+"""
