@@ -457,6 +457,57 @@ class DetectorBank:
 
         return pc.fill_null(pc.match_substring_regex(col, union), False)
 
+    @property
+    def per_detector_re2(self) -> list[str] | None:
+        """One RE2 pattern string PER detector (same lookaround gate
+        and case folding as ``union_re2``), kernel-probed once. Powers
+        detector-level candidate pruning: a row only pays the Python
+        ``finditer`` for detectors whose RE2 kernel matched it."""
+        import re as _re
+
+        if "_per_re2" in self.__dict__:
+            return self.__dict__["_per_re2"]
+        pats: list[str] | None = []
+        for d in self.detectors:
+            p = d.pattern.pattern
+            if "(?!" in p or "(?<" in p or "(?=" in p:
+                pats = None
+                break
+            pats.append(
+                f"(?i:{p})" if d.pattern.flags & _re.IGNORECASE else f"(?:{p})"
+            )
+        if pats is not None:
+            try:
+                import pyarrow as _pa
+                import pyarrow.compute as _pc
+
+                for p in pats:
+                    _pc.match_substring_regex(_pa.array(["x"]), p)
+            except Exception:
+                pats = None
+        self.__dict__["_per_re2"] = pats
+        return pats
+
+    def per_detector_masks(self, values: list) -> "list | None":
+        """(n_detectors) list of per-row bool ndarrays: detector i can
+        match row j. One Arrow RE2 kernel call per detector over the
+        whole column — the Python span scan then touches only
+        (row, detector) pairs whose mask is true."""
+        pats = self.per_detector_re2
+        if pats is None:
+            return None
+        import numpy as np
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        arr = _pa.array(values, type=_pa.string())
+        return [
+            _pc.fill_null(_pc.match_substring_regex(arr, p), False)
+            .to_numpy(zero_copy_only=False)
+            .astype(bool)
+            for p in pats
+        ]
+
     def maybe_match(self, text: str) -> bool:
         """Cheap necessary-condition check: one C ``search`` per
         detector pattern, no match objects/spans built. Validators only
@@ -479,10 +530,13 @@ class DetectorBank:
         registry = registry or DEFAULT_TEMPLATES
         return cls(registry.get(template_name).build_detectors())
 
-    def scan(self, text: str) -> list[Span]:
-        """All non-overlapping spans, earliest-start (ties: longest)."""
+    def scan(self, text: str, detectors: list | None = None) -> list[Span]:
+        """All non-overlapping spans, earliest-start (ties: longest).
+        ``detectors`` restricts the scan to a subset (the per-row RE2
+        candidate set from ``per_detector_masks``) — exact, because a
+        detector whose RE2 pattern has no match cannot emit spans."""
         spans: list[Span] = []
-        for d in self.detectors:
+        for d in detectors if detectors is not None else self.detectors:
             val = d.validate
             name = d.name
             for m in d.pattern.finditer(text):

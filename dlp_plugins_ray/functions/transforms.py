@@ -563,16 +563,29 @@ def apply_spans_column(
                 out.append(pat.sub(lambda m: cfg.transform_cell(m.group(0), c), v))
         return out
 
-    def one(v: str | None, c: str) -> str | None:
+    # detector-level vectorized pruning: one RE2 kernel per detector
+    # over the whole column, then each row pays Python finditer only
+    # for its matching detectors (exact — no RE2 match, no spans)
+    values = values if isinstance(values, list) else list(values)
+    masks = bank.per_detector_masks(values) if len(bank.detectors) > 1 else None
+    dets = bank.detectors
+
+    def one(v: str | None, c: str, i: int) -> str | None:
         if v is None:
             return None
-        if not prefiltered and not bank.maybe_match(v):  # cheap early exit
-            return v
-        spans = bank.scan(v)
+        if masks is not None:
+            active = [d for d, m in zip(dets, masks) if m[i]]
+            if not active:
+                return v
+            spans = bank.scan(v, active)
+        else:
+            if not prefiltered and not bank.maybe_match(v):  # cheap early exit
+                return v
+            spans = bank.scan(v)
         if not spans:
             return v
         return cfg.transform_spans(v, spans, c)
 
     if contexts is None:
-        return [one(v, "") for v in values]
-    return [one(v, c) for v, c in zip(values, contexts)]
+        return [one(v, "", i) for i, v in enumerate(values)]
+    return [one(v, c, i) for i, (v, c) in enumerate(zip(values, contexts))]
