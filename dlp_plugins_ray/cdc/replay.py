@@ -314,6 +314,33 @@ def _manifest_row_table(mans: list[mf.PartitionManifest]) -> pa.Table:
     )
 
 
+def _input_rows(events_path: str | list) -> int:
+    """Total input rows from parquet FOOTER metadata (drives the
+    adaptive coalesce decision; no data pages are read). Unreadable or
+    non-parquet files count as 'large' so the scale-safe branch wins."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    paths = events_path if isinstance(events_path, list) else [events_path]
+    for p in paths:
+        p = str(p)
+        files = []
+        if os.path.isdir(p):
+            files = [
+                os.path.join(p, n)
+                for n in os.listdir(p)
+                if n.endswith(".parquet")
+            ]
+        elif os.path.isfile(p):
+            files = [p]
+        for f in files:
+            try:
+                total += pq.read_metadata(f).num_rows
+            except Exception:
+                return 1 << 62
+    return total
+
+
 def compute_epoch(events_path: str | list, policy_fingerprint: str | None) -> str:
     """Epoch identity = input content + policy. The input fingerprint
     covers file names and sizes (not just the path string) so a
@@ -411,9 +438,20 @@ def replay(
         batch_format="pyarrow",
         batch_size=batch_size,
     )
-    # combiner output is small; coalesce the many map blocks so the
-    # sort-based groupby shuffles few, dense blocks
-    ds = ds.repartition(max(8, num_partitions // 4))
+    # Coalescing the combiner output before the groupby is a full
+    # SECOND exchange of that volume — it pays for itself only on small
+    # jobs, where dense blocks let the sort hit its fast path (2M-event
+    # bench: 4.5s with vs 6.6-7.7s without, scaling eff 0.99 vs 0.52),
+    # and is a pure tax on big ones (10M soak: 39.7s with vs 22.1s
+    # without; 5M is already past the crossover; at 100TB it would
+    # double the shuffle volume). Auto rule: coalesce below ~4M input
+    # rows (parquet metadata only — no data read).
+    # DLP_RAY_COALESCE=always|never overrides.
+    coalesce = os.environ.get("DLP_RAY_COALESCE", "auto")
+    if coalesce == "auto":
+        coalesce = "always" if _input_rows(events_path) < 4_000_000 else "never"
+    if coalesce == "always":
+        ds = ds.repartition(max(8, num_partitions // 4))
     if salt_buckets > 1:
         # phase 1: reduce per (pkey, salt) to shrink adversarially hot
         # partitions before the final exchange
