@@ -65,6 +65,35 @@ class TestJoins:
         assert got[3] is None or got[3] != got[3]  # b@10: no match <= 10
         assert all(isinstance(k, (int, np.integer)) for k in got)  # dtypes kept
 
+    def test_asof_join_forward(self):
+        """direction='forward': earliest right row with ts >= left ts."""
+        import ray.data as rd
+
+        left = rd.from_arrow(
+            pa.table(
+                {
+                    "k": ["a", "a"],
+                    "ts": pa.array([_ts(10), _ts(12)], pa.timestamp("us")),
+                    "lid": [1, 2],
+                }
+            )
+        )
+        right = rd.from_arrow(
+            pa.table(
+                {
+                    "k": ["a", "a"],
+                    "ts": pa.array([_ts(11), _ts(13)], pa.timestamp("us")),
+                    "rv": ["r11", "r13"],
+                }
+            )
+        )
+        out = J.asof_join(
+            left, right, key="k", ts_col="ts",
+            right_value_cols=["rv"], direction="forward",
+        ).take_all()
+        got = {r["lid"]: r["rv"] for r in out}
+        assert got[1] == "r11" and got[2] == "r13"
+
     def test_asof_join_integer_right_value(self):
         """Integer right value columns must come back integral, not
         float64 (pandas promotes nulled int columns after the union)."""
