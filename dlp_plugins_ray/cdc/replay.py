@@ -415,7 +415,13 @@ def replay(
 
     policy_json = pol.to_json() if pol else None
     cache_key = json.dumps(
-        [policy_json, num_partitions, sorted((checkpoint or {}).items()), epoch],
+        [
+            policy_json,
+            num_partitions,
+            sorted((checkpoint or {}).items()),
+            epoch,
+            (registry or DEFAULT_REGISTRY).fingerprint(),
+        ],
         sort_keys=True,
         default=str,
     )

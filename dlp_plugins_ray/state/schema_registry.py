@@ -36,6 +36,27 @@ class SchemaRegistry:
     def __init__(self) -> None:
         self._versions: dict[int, SchemaVersion] = {}
 
+    def fingerprint(self) -> str:
+        """Identity of this registry's behavior (class + version
+        rename/add chains) — part of the worker-side compiled-stage
+        cache key, so two replays with different registries in one
+        session never share a cached normalization stage."""
+        import hashlib
+        import json
+
+        payload = json.dumps(
+            {
+                v: [self._versions[v].renames, self._versions[v].added]
+                for v in sorted(self._versions)
+            },
+            sort_keys=True,
+        )
+        cls = type(self)
+        return (
+            f"{cls.__module__}.{cls.__qualname__}:"
+            + hashlib.sha256(payload.encode()).hexdigest()[:12]
+        )
+
     def add_version(
         self,
         version: int,

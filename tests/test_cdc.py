@@ -320,6 +320,54 @@ class TestExactlyOnce:
         mans = [f for f in os.listdir(os.path.join(out, MF.MANIFEST_DIR))]
         assert mans == ["part-00002-epoch1.json"]
 
+    def test_chaos_worker_failure_mid_replay(self, events_dir, tmp_path):
+        """End-to-end exactly-once under REAL Ray task retries: a map
+        task crashes hard (os._exit) the first time each worker
+        process sees a particular batch; Ray retries it and the final
+        lake must be byte-identical to an unfailed run."""
+        import pyarrow.parquet as pq_
+
+        out_clean = str(tmp_path / "clean")
+        out_chaos = str(tmp_path / "chaos")
+        RP.replay(events_dir, out_clean, num_partitions=8)
+
+        sentinel = str(tmp_path / "boom_once")
+
+        # monkeypatch-free chaos: registry normalize runs inside the
+        # fused map; wrap via a custom registry subclass whose first
+        # invocation per run hard-kills the worker
+        class ChaosRegistry(type(RP.DEFAULT_REGISTRY)):
+            def normalize_mixed(self, batch, version_col, target):
+                if not os.path.exists(sentinel):
+                    with open(sentinel, "w") as f:
+                        f.write("x")
+                        f.flush()
+                        os.fsync(f.fileno())
+                    os._exit(1)  # simulate worker crash, not exception
+                return super().normalize_mixed(batch, version_col, target)
+
+        chaos = ChaosRegistry()
+        chaos._versions = RP.DEFAULT_REGISTRY._versions
+        RP.replay(events_dir, out_chaos, num_partitions=8, registry=chaos)
+        assert os.path.exists(sentinel), "chaos never fired"
+
+        def table_of(root):
+            parts = sorted(
+                os.listdir(root)
+            )
+            tabs = [
+                pq_.read_table(os.path.join(root, p, "data.parquet"))
+                for p in parts
+                if p.startswith("part-")
+            ]
+            import pyarrow as pa_
+
+            return pa_.concat_tables(tabs).sort_by(
+                [("repo", "ascending"), ("path", "ascending")]
+            )
+
+        assert table_of(out_chaos).equals(table_of(out_clean))
+
     def test_torn_manifest_ignored(self, tmp_path):
         out = str(tmp_path / "lake")
         mdir = os.path.join(out, MF.MANIFEST_DIR)
