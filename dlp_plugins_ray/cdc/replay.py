@@ -530,3 +530,63 @@ def read_lake_table(out_dir: str):
             if os.path.exists(p):
                 paths.append(p)
     return rd.read_parquet(paths)
+
+
+def repartition_lake(
+    src_dir: str,
+    dst_dir: str,
+    *,
+    num_partitions: int,
+    batch_size: int = 32768,
+):
+    """Table maintenance: rewrite a committed lake under a NEW
+    partition count (the migration path the table-meta fail-fast
+    points at). Streams the committed table through the same
+    add_pkey -> groupby(pkey) -> finalize machinery as a replay —
+    exactly-once commits, byte-deterministic partition files,
+    checkpoint (max_seq) carried over per new partition. The source
+    lake is read-only throughout; write to a fresh directory and swap.
+
+    Returns (manifest DataFrame, epoch)."""
+    import ray.data as rd
+
+    if os.path.abspath(src_dir) == os.path.abspath(dst_dir):
+        raise ValueError("repartition_lake requires a fresh destination dir")
+    mf.ensure_table_meta(
+        dst_dir, {"num_partitions": num_partitions, "key_hash": KEY_HASH_ALGO}
+    )
+    epoch = compute_epoch(
+        [os.path.join(src_dir, n) for n in sorted(os.listdir(src_dir)) if n.startswith("part-")],
+        f"repartition:{num_partitions}",
+    )
+    skip = frozenset(mf.committed_partitions(dst_dir, epoch))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return add_pkey(batch, num_partitions)
+
+    ds = read_lake_table(src_dir).map_batches(
+        tag, batch_format="pyarrow", batch_size=batch_size
+    )
+    committer = FinalizeAndCommit(
+        dst_dir,
+        epoch,
+        lineage={"repartitioned_from": str(src_dir)},
+        skip_partitions=skip,
+    )
+    manifests = ds.groupby(PKEY_COL).map_groups(
+        lambda g: committer(g), batch_format="pyarrow"
+    )
+    mpdf = manifests.to_pandas()
+    mf.atomic_write_bytes(
+        os.path.join(dst_dir, mf.MANIFEST_DIR, f"run-{epoch}.json"),
+        json.dumps(
+            {
+                "epoch": epoch,
+                "partitions": int(mpdf.shape[0]),
+                "rows": int(mpdf["row_count"].sum()) if len(mpdf) else 0,
+                "repartitioned_from": str(src_dir),
+            },
+            indent=1,
+        ).encode(),
+    )
+    return mpdf, epoch

@@ -545,3 +545,31 @@ class TestEpochIdentity:
         assert e1 != e2
         assert RP.compute_epoch(d, None) == e2  # stable
         assert RP.compute_epoch(d, "policyA") != RP.compute_epoch(d, "policyB")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRepartitionLake:
+    def test_rewrite_preserves_state_and_checkpoint(self, events_dir, tmp_path):
+        import pandas as pd
+        import pyarrow.parquet as pq_
+
+        src = str(tmp_path / "lake8")
+        dst = str(tmp_path / "lake16")
+        RP.replay(events_dir, src, num_partitions=8)
+        mpdf, _ = RP.repartition_lake(src, dst, num_partitions=16)
+        a = RP.read_lake_table(src).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+        b = RP.read_lake_table(dst).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+        # the new lake enforces ITS partition count
+        assert MF.read_table_meta(dst)["num_partitions"] == 16
+        # incremental replay against the NEW lake works (checkpoint by
+        # the new partitioning)
+        with pytest.raises(ValueError, match="table meta mismatch"):
+            RP.replay(events_dir, dst, num_partitions=8, incremental=True)
+        RP.replay(events_dir, dst, num_partitions=16, incremental=True)
+
+    def test_same_dir_rejected(self, events_dir, tmp_path):
+        src = str(tmp_path / "lake")
+        RP.replay(events_dir, src, num_partitions=8)
+        with pytest.raises(ValueError, match="fresh destination"):
+            RP.repartition_lake(src, src, num_partitions=16)
