@@ -5,6 +5,7 @@ Commands:
            [--incremental] [--no-resume] [--salt N]
   gen      --out DIR --events N [--shards N] [--seed N]
   show     --lake DIR  (print committed checkpoint + row counts)
+  repartition --src DIR --dst DIR --partitions N  (lake rewrite)
 
 Owns the Ray session (scripts may init); the library never does.
 """
@@ -39,6 +40,15 @@ def main(argv=None) -> int:
     sp = sub.add_parser("show", help="show lake-table checkpoint state")
     sp.add_argument("--lake", required=True)
 
+    qp = sub.add_parser(
+        "repartition",
+        help="rewrite a committed lake under a new partition count",
+    )
+    qp.add_argument("--src", required=True)
+    qp.add_argument("--dst", required=True)
+    qp.add_argument("--partitions", type=int, required=True)
+    qp.add_argument("--num-cpus", type=int, default=None)
+
     args = p.parse_args(argv)
 
     if args.cmd == "gen":
@@ -65,7 +75,7 @@ def main(argv=None) -> int:
         )
         return 0
 
-    # replay
+    # replay / repartition (both need a Ray session)
     import ray
 
     if not ray.is_initialized():
@@ -78,7 +88,23 @@ def main(argv=None) -> int:
     import ray.data as rd
 
     rd.DataContext.get_current().enable_progress_bars = False
-    from .cdc.replay import replay
+    from .cdc.replay import repartition_lake, replay
+
+    if args.cmd == "repartition":
+        mpdf, epoch = repartition_lake(
+            args.src, args.dst, num_partitions=args.partitions
+        )
+        print(
+            json.dumps(
+                {
+                    "epoch": epoch,
+                    "partitions_committed": int(len(mpdf)),
+                    "rows": int(mpdf["row_count"].sum()) if len(mpdf) else 0,
+                }
+            )
+        )
+        ray.shutdown()
+        return 0
 
     policy = None
     if args.policy:
