@@ -429,6 +429,7 @@ def replay(
     resume: bool = True,
     epoch: str | None = None,
     key_hash_algo: str | None = None,
+    checkpoint_filter: bool = True,
 ):
     """Run the full replay; returns (manifest pandas DataFrame, epoch).
 
@@ -437,6 +438,17 @@ def replay(
     partitions already committed under the same epoch and, for
     incremental runs, filters events at or below the committed
     checkpoint before the shuffle.
+
+    ``checkpoint_filter`` (incremental runs): the pre-shuffle drop of
+    events with seq <= the partition's committed max_seq is an
+    OPTIMIZATION whose contract is seq-ordered slice delivery — the
+    standard WAL/binlog tail, where everything at or below the
+    committed offset was already delivered. A source that delivers
+    LATE events below a previous slice's max seq must pass
+    ``checkpoint_filter=False``: correctness then rests (exactly as
+    without the filter) on the idempotent LWW merge against the
+    committed base, which applies any genuinely-newer-per-key event
+    and discards the rest.
 
     ``key_hash_algo``: None (default) adopts the algo pinned in an
     existing lake's table meta, else DEFAULT_KEY_HASH_ALGO for a fresh
@@ -475,7 +487,7 @@ def replay(
     checkpoint: dict[int, int] = {}
     if resume:
         skip = frozenset(mf.committed_partitions(out_dir, epoch))
-        if incremental:
+        if incremental and checkpoint_filter:
             checkpoint = mf.table_checkpoint(out_dir)
 
     policy_json = pol.to_json() if pol else None

@@ -598,3 +598,47 @@ class TestRepartitionLake:
         RP.replay(events_dir, src, num_partitions=8)
         with pytest.raises(ValueError, match="fresh destination"):
             RP.repartition_lake(src, src, num_partitions=16)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLateEvents:
+    """The checkpoint filter's contract is seq-ordered slice delivery;
+    late cross-slice events need checkpoint_filter=False, where the
+    LWW merge against the committed base still applies them exactly."""
+
+    def _slices(self):
+        import pyarrow.compute as pc
+
+        full = EV.generate_change_events(1500, seed=41, delete_fraction=0.0)
+        early = full.filter(pc.less(full.column("seq"), 1000))
+        # the "late" slice: a few low-seq events NOT in the early
+        # delivery, plus the tail
+        late = full.filter(pc.greater_equal(full.column("seq"), 1000))
+        # remove 5 keyed events from early and append to late (late
+        # delivery of low seqs)
+        held = early.slice(0, 5)
+        early = early.slice(5)
+        import pyarrow as pa_
+
+        late = pa_.concat_tables([late, held])
+        return full, early, late
+
+    def test_late_events_applied_with_filter_off(self, tmp_path):
+        full, early, late = self._slices()
+        d_full = str(tmp_path / "full"); d_e = str(tmp_path / "e"); d_l = str(tmp_path / "l")
+        for d, t in [(d_full, full), (d_e, early), (d_l, late)]:
+            os.makedirs(d)
+            pq.write_table(t, os.path.join(d, "events.parquet"))
+        out_full = str(tmp_path / "lake_full")
+        out_inc = str(tmp_path / "lake_inc")
+        RP.replay(d_full, out_full, num_partitions=8)
+        RP.replay(d_e, out_inc, num_partitions=8)
+        RP.replay(
+            d_l, out_inc, num_partitions=8, incremental=True,
+            checkpoint_filter=False,
+        )
+        import pandas as pd
+
+        a = RP.read_lake_table(out_full).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+        b = RP.read_lake_table(out_inc).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
