@@ -213,3 +213,99 @@ class TestDetectorMaskPruning:
             for t in texts
         ]
         assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRangeJoinProperty:
+    """Chunked Arrow interval probe == brute-force nested loop on
+    random values/intervals (incl. duplicate values, point intervals,
+    negative ranges)."""
+
+    @given(
+        st.lists(st.integers(-30, 30), min_size=1, max_size=25),
+        st.lists(
+            st.tuples(st.integers(-30, 30), st.integers(0, 15)),
+            min_size=1,
+            max_size=15,
+        ),
+        st.sampled_from([3.0, 7.0, 20.0]),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_matches_bruteforce(self, values, intervals, width):
+        import ray.data as rd
+
+        import pyarrow as pa
+        from dlp_plugins_ray.stages.joins import range_join
+
+        left = rd.from_arrow(
+            pa.table(
+                {
+                    "lid": list(range(len(values))),
+                    "v": [float(v) for v in values],
+                }
+            )
+        )
+        right = rd.from_arrow(
+            pa.table(
+                {
+                    "rid": list(range(len(intervals))),
+                    "lo": [float(a) for a, _ in intervals],
+                    "hi": [float(a + w) for a, w in intervals],
+                }
+            )
+        )
+        out = range_join(
+            left, right, value_col="v", lo_col="lo", hi_col="hi",
+            right_value_cols=["rid"], bucket_width=width,
+        ).take_all()
+        got = sorted((r["lid"], r["rid"]) for r in out)
+        want = sorted(
+            (i, j)
+            for i, v in enumerate(values)
+            for j, (a, w) in enumerate(intervals)
+            if a <= v <= a + w
+        )
+        assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestConnectedComponentsProperty:
+    """Hierarchical distributed union-find == driver union-find on
+    random graphs (chains, cliques, isolated pairs all arise)."""
+
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 40), st.integers(0, 40)),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    @settings(max_examples=15, deadline=None)
+    def test_matches_union_find(self, edges):
+        import ray.data as rd
+
+        import pyarrow as pa
+        from dlp_plugins_ray.stages.dedup import (
+            _UnionFind, connected_component_labels,
+        )
+
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            return
+        pairs = rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": [a for a, _ in edges],
+                    "id_b": [b for _, b in edges],
+                }
+            )
+        ).repartition(3)
+        got = {
+            r["id"]: r["label"]
+            for r in connected_component_labels(pairs, num_buckets=4).take_all()
+        }
+        uf = _UnionFind()
+        for a, b in edges:
+            uf.union(a, b)
+        want = {x: uf.find(x) for x in uf.parent}
+        assert got == want
