@@ -479,69 +479,85 @@ def verify_pairs_jaccard(
     k: int = 5,
     threshold: float = 0.5,
 ):
-    """Exact n-gram Jaccard verification of candidate pairs: the
-    documents of each pair are co-located by ONE shuffle on pair_id and
-    verified with the true shingle-set Jaccard.
-
-    Partitioning assumption: the candidate PAIR list (not the corpus)
-    fits a broadcast map — LSH candidates are orders of magnitude fewer
-    than documents; the corpus itself ships only its candidate members,
-    each replicated once per pair it appears in."""
-    import ray
+    """Exact n-gram Jaccard verification of candidate pairs — fully
+    shuffle-based, nothing on the driver: pair_id = stable 64-bit hash
+    of (id_a, id_b); each pair emits two member rows keyed by doc id;
+    one shuffle on doc id joins the text onto members block-locally;
+    one shuffle on pair_id co-locates both texts and computes the true
+    shingle-set Jaccard. Document texts ship once per pair membership —
+    exactly the minimum the verification needs."""
+    import polars as pl
 
     from .shuffle import bucketed_group_reduce
 
-    plist = pairs.take_all()
-    doc_pairs: dict[int, list[tuple[int, int]]] = {}
-    for pid, p in enumerate(plist):
-        doc_pairs.setdefault(int(p["id_a"]), []).append((pid, 0))
-        doc_pairs.setdefault(int(p["id_b"]), []).append((pid, 1))
-    ref = ray.put(doc_pairs)
+    def pair_members(b: pa.Table) -> pa.Table:
+        a = b.column("id_a").to_numpy(zero_copy_only=False)
+        c = b.column("id_b").to_numpy(zero_copy_only=False)
+        pid = (
+            pl.DataFrame({"a": a, "b": c})
+            .select(pl.concat_str([pl.col("a"), pl.col("b")], separator=":").hash(5))
+            .to_series()
+            .to_numpy()
+            .astype(np.int64)
+        )
+        n = len(a)
+        return pa.table(
+            {
+                "key": pa.array(np.concatenate([a, c]).astype(np.int64)),
+                "pair_id": pa.array(np.tile(pid, 2)),
+                "side": pa.array(
+                    np.concatenate(
+                        [np.zeros(n, np.int8), np.ones(n, np.int8)]
+                    )
+                ),
+                text_col: pa.nulls(2 * n, pa.string()),
+            }
+        )
 
-    class Explode:
-        def __init__(self, ref):
-            self.map = ray.get(ref)
-            self.members = pa.array(sorted(self.map), pa.int64())
+    def doc_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": b.column(id_col).cast(pa.int64()),
+                "pair_id": pa.nulls(b.num_rows, pa.int64()),
+                "side": pa.nulls(b.num_rows, pa.int8()),
+                text_col: b.column(text_col),
+            }
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as _pc
-
-            batch = batch.filter(
-                _pc.is_in(batch.column(id_col), value_set=self.members)
-            )
-            ids = batch.column(id_col).to_pylist()
-            texts = batch.column(text_col).to_pylist()
-            pid_out, side_out, id_out, text_out = [], [], [], []
-            for i, t in zip(ids, texts):
-                for pid, side in self.map[int(i)]:
-                    pid_out.append(pid)
-                    side_out.append(side)
-                    id_out.append(i)
-                    text_out.append(t)
-            return pa.table(
-                {
-                    "pair_id": pa.array(pid_out, pa.int64()),
-                    "side": pa.array(side_out, pa.int8()),
-                    id_col: pa.array(id_out, pa.int64()),
-                    text_col: pa.array(text_out, pa.string()),
-                }
-            )
-
-    exploded = ds.map_batches(
-        Explode, fn_constructor_args=(ref,),
-        batch_format="pyarrow", concurrency=(1, 8),
+    mixed = pairs.map_batches(pair_members, batch_format="pyarrow").union(
+        ds.map_batches(doc_rows, batch_format="pyarrow")
     )
 
-    def per_pair_block(block: pa.Table) -> pa.Table:
-        import polars as pl
+    def attach_text(block: pa.Table) -> pa.Table:
+        df = pl.from_arrow(block)
+        members = df.filter(pl.col("pair_id").is_not_null()).select(
+            ["key", "pair_id", "side"]
+        )
+        texts = df.filter(pl.col("pair_id").is_null()).select(
+            ["key", text_col]
+        )
+        out = members.join(texts, on="key")
+        return out.to_arrow().cast(
+            pa.schema(
+                [
+                    ("key", pa.int64()),
+                    ("pair_id", pa.int64()),
+                    ("side", pa.int8()),
+                    (text_col, pa.string()),
+                ]
+            )
+        )
 
+    exploded = bucketed_group_reduce(mixed, ["key"], attach_text)
+
+    def per_pair_block(block: pa.Table) -> pa.Table:
         df = pl.from_arrow(block)
         out_a, out_b, out_j = [], [], []
         for _, sub in df.group_by("pair_id"):
             if len(sub) != 2:
                 continue
             sub = sub.sort("side")
-            a_id, b_id = sub[id_col].to_list()
+            a_id, b_id = sub["key"].to_list()
             a_t, b_t = sub[text_col].to_list()
             j = jaccard(a_t or "", b_t or "", k)
             if j >= threshold:

@@ -374,3 +374,33 @@ class TestBloom:
         b.add_hashes(hb)
         a.merge(b)
         assert a.contains_hashes(ha).all() and a.contains_hashes(hb).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestJaccardVerify:
+    def test_pairs_verified_exactly(self):
+        import ray.data as rd
+
+        base = "the quick brown fox jumps over the lazy dog runs far " * 6
+        docs = pa.table(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    base,
+                    base.replace("far", "near"),
+                    "totally different words about sql planners " * 6,
+                    base + " tail",
+                ],
+            }
+        )
+        pairs = pa.table({"id_a": [1, 1, 1], "id_b": [2, 3, 4]})
+        out = DD.verify_pairs_jaccard(
+            rd.from_arrow(docs), rd.from_arrow(pairs),
+            text_col="text", id_col="doc_id", k=5, threshold=0.5,
+        ).take_all()
+        got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+        # exact jaccard reference per pair
+        t = dict(zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()))
+        for (a, b) in [(1, 2), (1, 4)]:
+            assert got[(a, b)] == DD.jaccard(t[a], t[b], 5)
+        assert (1, 3) not in got  # below threshold
