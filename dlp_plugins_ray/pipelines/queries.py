@@ -1997,3 +1997,76 @@ ORACLE_SQL["purchases_daily_pushdown"] = r"""
     FROM events WHERE event_type = 'purchase'
     GROUP BY date_trunc('day', ts)
 """
+
+
+def q_top3_orders_per_segment(sf_dir: str):
+    """Grouped top-N (windowed rank): top-3 orders by price per market
+    segment. Per-block combiner keeps each block's local top-3 per
+    segment BEFORE the shuffle (the exchange moves <= 3 x segments x
+    blocks rows), then one bucketed reduce finishes the rank.
+    Deterministic (price desc, orderkey asc) tie-break."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from ..stages.cache import cached_task_stage
+    from ..stages.shuffle import bucketed_group_reduce
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    ).combine_chunks()
+    ref = ray.put(cust)
+
+    class Tag:
+        def __init__(self, ref):
+            small = ray.get(ref)
+            self.keys = small.column("c_custkey").combine_chunks()
+            self.seg = small.column("c_mktsegment").combine_chunks()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            idx = pc.index_in(batch.column("o_custkey"), value_set=self.keys)
+            return pa.table(
+                {
+                    "c_mktsegment": self.seg.take(idx),
+                    "o_orderkey": batch.column("o_orderkey"),
+                    "o_totalprice": batch.column("o_totalprice"),
+                }
+            )
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    tagged = ds.map_batches(cached_task_stage(Tag, ref), batch_format="pyarrow")
+
+    def local_top3(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(b)
+            .sort(
+                ["o_totalprice", "o_orderkey"], descending=[True, False]
+            )
+            .group_by("c_mktsegment", maintain_order=True)
+            .head(3)
+            .to_arrow()
+            .cast(b.schema)
+        )
+
+    partials = tagged.map_batches(
+        local_top3, batch_format="pyarrow", batch_size=None
+    )
+    return bucketed_group_reduce(
+        partials, ["c_mktsegment"], local_top3, num_buckets=4
+    )
+
+
+QUERIES["top3_orders_per_segment"] = q_top3_orders_per_segment
+ORACLE_SQL["top3_orders_per_segment"] = r"""
+    SELECT c_mktsegment, o_orderkey, o_totalprice FROM (
+      SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+             row_number() OVER (
+               PARTITION BY c.c_mktsegment
+               ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+             ) AS rn
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ) WHERE rn <= 3
+"""
