@@ -475,6 +475,20 @@ def replay(
     if key_hash_algo is None:
         if existing_meta and "key_hash" in existing_meta:
             algo = existing_meta["key_hash"]
+            # The adopted pin must still be PRODUCIBLE here: recompute
+            # the pinned identity of its base algo with the currently
+            # installed libraries and fail fast on divergence — without
+            # this, a polars upgrade silently re-keys partitions and the
+            # checkpoint filter consults the wrong partition's max_seq.
+            current = key_hash_algo_id(algo.split("+", 1)[0])
+            if current != algo:
+                raise ValueError(
+                    f"table meta mismatch for {out_dir}: pinned key_hash "
+                    f"{algo!r} cannot be reproduced by this environment "
+                    f"(current identity is {current!r}); migrate the lake "
+                    "with repartition_lake or run with the original "
+                    "library versions"
+                )
         else:
             algo = key_hash_algo_id(DEFAULT_KEY_HASH_ALGO)
     else:

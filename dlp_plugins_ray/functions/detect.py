@@ -59,8 +59,15 @@ class Detector:
                 yield Span(m.start(), m.end(), self.name)
 
 
+# All detector patterns compile with re.ASCII: \d \w \s \b then mean
+# exactly what they mean in Java's Pattern (the reference engine,
+# ASCII-by-default) and in the RE2 kernels used for vectorized pruning
+# (per_detector_masks / union_re2) and the DuckDB oracles. Without it,
+# Python's Unicode \d matches e.g. Arabic-Indic digits that RE2 never
+# does, so RE2-mask pruning could skip a row the Python detector would
+# have redacted — a silent leak (round-2 ADVICE, transforms.py:570).
 def _d(name: str, pattern: str, validate=None, flags=0) -> Detector:
-    return Detector(name, re.compile(pattern, flags), validate)
+    return Detector(name, re.compile(pattern, flags | re.ASCII), validate)
 
 
 # Common word lists for the dictionary-style detectors. Tiny on purpose:
@@ -258,7 +265,9 @@ class CustomTemplate:
     case_insensitive: bool = True
 
     def build_detectors(self) -> list[Detector]:
-        flags = re.IGNORECASE if self.case_insensitive else 0
+        # re.ASCII keeps \d \w \s \b in template regexes aligned with
+        # the RE2 pruning kernels (see _d above).
+        flags = (re.IGNORECASE if self.case_insensitive else 0) | re.ASCII
         dets = [
             Detector(name, re.compile(rx, flags))
             for name, rx in self.regexes.items()

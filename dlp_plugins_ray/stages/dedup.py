@@ -480,31 +480,29 @@ def verify_pairs_jaccard(
     threshold: float = 0.5,
 ):
     """Exact n-gram Jaccard verification of candidate pairs — fully
-    shuffle-based, nothing on the driver: pair_id = stable 64-bit hash
-    of (id_a, id_b); each pair emits two member rows keyed by doc id;
-    one shuffle on doc id joins the text onto members block-locally;
-    one shuffle on pair_id co-locates both texts and computes the true
-    shingle-set Jaccard. Document texts ship once per pair membership —
-    exactly the minimum the verification needs."""
+    shuffle-based, nothing on the driver: each pair emits two member
+    rows keyed by doc id; one shuffle on doc id joins the text onto
+    members block-locally; one shuffle on the (id_a, id_b) columns
+    THEMSELVES co-locates both texts and computes the true shingle-set
+    Jaccard. Keying co-location on the real id pair (not a 64-bit
+    pair_id hash) means hash collisions between distinct pairs are
+    impossible, and duplicate pairs in the input are deduplicated
+    rather than silently dropped (round-2 ADVICE). Document texts ship
+    once per pair membership — exactly the minimum the verification
+    needs."""
     import polars as pl
 
     from .shuffle import bucketed_group_reduce
 
     def pair_members(b: pa.Table) -> pa.Table:
-        a = b.column("id_a").to_numpy(zero_copy_only=False)
-        c = b.column("id_b").to_numpy(zero_copy_only=False)
-        pid = (
-            pl.DataFrame({"a": a, "b": c})
-            .select(pl.concat_str([pl.col("a"), pl.col("b")], separator=":").hash(5))
-            .to_series()
-            .to_numpy()
-            .astype(np.int64)
-        )
+        a = b.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(a)
         return pa.table(
             {
-                "key": pa.array(np.concatenate([a, c]).astype(np.int64)),
-                "pair_id": pa.array(np.tile(pid, 2)),
+                "key": pa.array(np.concatenate([a, c])),
+                "id_a": pa.array(np.tile(a, 2)),
+                "id_b": pa.array(np.tile(c, 2)),
                 "side": pa.array(
                     np.concatenate(
                         [np.zeros(n, np.int8), np.ones(n, np.int8)]
@@ -518,7 +516,8 @@ def verify_pairs_jaccard(
         return pa.table(
             {
                 "key": b.column(id_col).cast(pa.int64()),
-                "pair_id": pa.nulls(b.num_rows, pa.int64()),
+                "id_a": pa.nulls(b.num_rows, pa.int64()),
+                "id_b": pa.nulls(b.num_rows, pa.int64()),
                 "side": pa.nulls(b.num_rows, pa.int8()),
                 text_col: b.column(text_col),
             }
@@ -530,10 +529,10 @@ def verify_pairs_jaccard(
 
     def attach_text(block: pa.Table) -> pa.Table:
         df = pl.from_arrow(block)
-        members = df.filter(pl.col("pair_id").is_not_null()).select(
-            ["key", "pair_id", "side"]
+        members = df.filter(pl.col("id_a").is_not_null()).select(
+            ["key", "id_a", "id_b", "side"]
         )
-        texts = df.filter(pl.col("pair_id").is_null()).select(
+        texts = df.filter(pl.col("id_a").is_null()).select(
             ["key", text_col]
         )
         out = members.join(texts, on="key")
@@ -541,7 +540,8 @@ def verify_pairs_jaccard(
             pa.schema(
                 [
                     ("key", pa.int64()),
-                    ("pair_id", pa.int64()),
+                    ("id_a", pa.int64()),
+                    ("id_b", pa.int64()),
                     ("side", pa.int8()),
                     (text_col, pa.string()),
                 ]
@@ -551,13 +551,16 @@ def verify_pairs_jaccard(
     exploded = bucketed_group_reduce(mixed, ["key"], attach_text)
 
     def per_pair_block(block: pa.Table) -> pa.Table:
-        df = pl.from_arrow(block)
+        # duplicate input pairs collapse here instead of poisoning the
+        # 2-rows-per-pair expectation
+        df = pl.from_arrow(block).unique(subset=["id_a", "id_b", "side"])
         out_a, out_b, out_j = [], [], []
-        for _, sub in df.group_by("pair_id"):
+        for _, sub in df.group_by(["id_a", "id_b"]):
             if len(sub) != 2:
-                continue
+                continue  # a candidate id absent from ds — no text to verify
             sub = sub.sort("side")
-            a_id, b_id = sub["key"].to_list()
+            a_id = int(sub["id_a"][0])
+            b_id = int(sub["id_b"][0])
             a_t, b_t = sub[text_col].to_list()
             j = jaccard(a_t or "", b_t or "", k)
             if j >= threshold:
@@ -572,7 +575,7 @@ def verify_pairs_jaccard(
             }
         )
 
-    return bucketed_group_reduce(exploded, ["pair_id"], per_pair_block)
+    return bucketed_group_reduce(exploded, ["id_a", "id_b"], per_pair_block)
 
 
 # ---------------------------------------------------------------------------

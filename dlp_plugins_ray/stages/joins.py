@@ -207,21 +207,42 @@ def range_join(
     sum(interval_span / bucket_width) replicas — pick ``bucket_width``
     near the typical interval width.
     """
+    import pyarrow.types as patypes
+
     left_schema = left_ds.schema().base_schema
     left_cols = [f.name for f in left_schema]
 
+    # Integer fast path: when value/lo/hi are ALL integer columns and
+    # bucket_width is integral, bucketing AND the containment probe run
+    # in exact int64 arithmetic — a float64 cast loses precision above
+    # 2^53 (IDs, nanosecond timestamps) and can produce wrong matches
+    # (round-2 ADVICE). Mixed/float inputs keep the float64 path.
+    right_schema0 = right_ds.schema().base_schema
+    int_mode = (
+        patypes.is_integer(left_schema.field(value_col).type)
+        and patypes.is_integer(right_schema0.field(lo_col).type)
+        and patypes.is_integer(right_schema0.field(hi_col).type)
+        and float(bucket_width) == int(bucket_width)
+    )
+
+    def _bucket_of(arr: np.ndarray) -> np.ndarray:
+        if int_mode:
+            # numpy // floors (matches np.floor of exact division)
+            return arr.astype(np.int64) // np.int64(int(bucket_width))
+        return np.floor(arr.astype(np.float64) / bucket_width).astype(np.int64)
+
     def tag_left(batch: pa.Table) -> pa.Table:
-        v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
-        b = np.floor(v / bucket_width).astype(np.int64)
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        b = _bucket_of(v)
         return batch.append_column("_rbucket", pa.array(b)).append_column(
             _SIDE_COL, pa.array(np.zeros(batch.num_rows, dtype=np.int8))
         )
 
     def expand_right(batch: pa.Table) -> pa.Table:
-        lo = batch.column(lo_col).to_numpy(zero_copy_only=False).astype(np.float64)
-        hi = batch.column(hi_col).to_numpy(zero_copy_only=False).astype(np.float64)
-        b_lo = np.floor(lo / bucket_width).astype(np.int64)
-        b_hi = np.floor(hi / bucket_width).astype(np.int64)
+        lo = batch.column(lo_col).to_numpy(zero_copy_only=False)
+        hi = batch.column(hi_col).to_numpy(zero_copy_only=False)
+        b_lo = _bucket_of(lo)
+        b_hi = _bucket_of(hi)
         counts = np.maximum(0, b_hi - b_lo + 1)
         idx = np.repeat(np.arange(batch.num_rows), counts)
         buckets = np.concatenate(
@@ -292,9 +313,10 @@ def range_join(
                 [pa.array([], type=t) for _, t in out_fields],
                 names=[n for n, _ in out_fields],
             )
-        v = lf.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
-        lo = rf.column(lo_col).to_numpy(zero_copy_only=False).astype(np.float64)
-        hi = rf.column(hi_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        probe_dtype = np.int64 if int_mode else np.float64
+        v = lf.column(value_col).to_numpy(zero_copy_only=False).astype(probe_dtype)
+        lo = rf.column(lo_col).to_numpy(zero_copy_only=False).astype(probe_dtype)
+        hi = rf.column(hi_col).to_numpy(zero_copy_only=False).astype(probe_dtype)
         chunk = max(1, _MAX_CELLS // max(1, lo.size))
         li_parts, ri_parts = [], []
         for s in range(0, v.size, chunk):

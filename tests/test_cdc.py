@@ -213,6 +213,28 @@ class TestReplay:
         b = RP.read_lake_table(fast).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
 
+    def test_stale_polars_pin_rejected_on_adoption(self, events_dir, tmp_path):
+        """The DEFAULT (key_hash_algo=None) path must also fail fast
+        when the lake's pinned polars version differs from the installed
+        one — otherwise an upgraded cluster silently re-keys partitions
+        and the checkpoint filter consults the wrong partition's
+        max_seq (round-2 ADVICE, high)."""
+        import json as _json
+
+        out = str(tmp_path / "lake")
+        RP.replay(events_dir, out, num_partitions=8)
+        meta_path = os.path.join(out, MF.TABLE_META)
+        meta = _json.loads(open(meta_path).read())
+        assert meta["key_hash"].startswith("xxh64-concat-v1+polars=")
+        meta["key_hash"] = "xxh64-concat-v1+polars=0.0.1-fake"
+        MF.atomic_write_bytes(meta_path, _json.dumps(meta).encode())
+        with pytest.raises(ValueError, match="cannot be reproduced"):
+            RP.replay(events_dir, out, num_partitions=8, incremental=True)
+        # archival crc algo has no library pin: adoption always fine
+        crc = str(tmp_path / "lake_crc")
+        RP.replay(events_dir, crc, num_partitions=8, key_hash_algo="crc32-pair-v1")
+        RP.replay(events_dir, crc, num_partitions=8, incremental=True)
+
     def test_epoch_fingerprints_list_inputs(self, tmp_path):
         """compute_epoch must fingerprint file content (names+sizes)
         for LIST inputs too, not the stringified list."""

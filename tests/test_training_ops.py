@@ -404,3 +404,33 @@ class TestJaccardVerify:
         for (a, b) in [(1, 2), (1, 4)]:
             assert got[(a, b)] == DD.jaccard(t[a], t[b], 5)
         assert (1, 3) not in got  # below threshold
+
+    def test_duplicate_and_dangling_pairs_not_lost(self):
+        """Duplicate candidate pairs must dedup (not break the
+        2-rows-per-pair grouping), and a pair referencing a missing doc
+        id is skipped without poisoning other pairs — co-location keys
+        on the real (id_a, id_b) columns, so distinct pairs can never
+        collide (round-2 ADVICE)."""
+        import ray.data as rd
+
+        base = "alpha beta gamma delta epsilon zeta eta theta " * 8
+        docs = pa.table(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [base, base + " tail", base.replace("beta", "bete")],
+            }
+        )
+        # pair (1,2) duplicated 3x, (1,3) once, (2,99) dangling
+        pairs = pa.table(
+            {"id_a": [1, 1, 1, 1, 2], "id_b": [2, 2, 2, 3, 99]}
+        )
+        out = DD.verify_pairs_jaccard(
+            rd.from_arrow(docs), rd.from_arrow(pairs),
+            text_col="text", id_col="doc_id", k=5, threshold=0.5,
+        ).take_all()
+        got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+        t = dict(zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()))
+        assert set(got) == {(1, 2), (1, 3)}
+        assert len(out) == 2  # duplicates collapsed, not multiplied
+        for (a, b) in got:
+            assert got[(a, b)] == DD.jaccard(t[a], t[b], 5)
