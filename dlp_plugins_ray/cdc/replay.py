@@ -166,19 +166,50 @@ def drop_tombstones(batch: pa.Table) -> pa.Table:
     return batch.filter(pc.not_equal(pc.fill_null(batch.column("op"), ""), "delete"))
 
 
-def _row_checksum(batch: pa.Table) -> int:
-    """Order-insensitive content checksum: sum of per-row
-    sha256(repo|path|seq|content) mod 2^64."""
-    total = 0
-    for r, p, s, c in zip(
-        batch.column("repo").to_pylist(),
-        batch.column("path").to_pylist(),
-        batch.column("seq").to_pylist(),
-        batch.column("content").to_pylist(),
-    ):
-        h = hashlib.sha256(f"{r}|{p}|{s}|{c}".encode()).digest()
-        total = (total + int.from_bytes(h[:8], "big")) % (1 << 64)
-    return total
+def _row_checksum(batch: pa.Table, mode: str = "xxh64") -> int:
+    """Order-insensitive content checksum: sum of per-row 64-bit row
+    hashes mod 2^64, over (repo, path, seq, content).
+
+    ``xxh64`` (default): ONE vectorized polars hash pass — C speed, no
+    per-row Python (this runs over every final row of every partition
+    on every commit, so it was the last per-row loop in the flagship
+    path). In-run/cross-run stable for a fixed polars version.
+    ``sha256``: the archival-grade per-row loop, stable forever across
+    library versions — opt in via replay(checksum_mode=...) or
+    DLP_RAY_CHECKSUM=sha256 when manifests must be comparable across
+    cluster upgrades."""
+    if batch.num_rows == 0:
+        return 0
+    if mode == "sha256":
+        total = 0
+        for r, p, s, c in zip(
+            batch.column("repo").to_pylist(),
+            batch.column("path").to_pylist(),
+            batch.column("seq").to_pylist(),
+            batch.column("content").to_pylist(),
+        ):
+            h = hashlib.sha256(f"{r}|{p}|{s}|{c}".encode()).digest()
+            total = (total + int.from_bytes(h[:8], "big")) % (1 << 64)
+        return total
+    import polars as pl
+
+    h = (
+        pl.from_arrow(batch.select(["repo", "path", "seq", "content"]))
+        .select(
+            pl.concat_str(
+                [
+                    pl.col("repo").fill_null(""),
+                    pl.col("path").fill_null(""),
+                    pl.col("seq").cast(pl.Utf8),
+                    pl.col("content").fill_null(""),
+                ],
+                separator="|",
+            ).hash(97)
+        )
+        .to_series()
+        .to_numpy()
+    )
+    return int(h.astype(np.uint64).sum(dtype=np.uint64))
 
 
 class NormalizeStage:
@@ -291,12 +322,14 @@ class FinalizeAndCommit:
         merge_base: bool = False,
         lineage: dict | None = None,
         skip_partitions: frozenset[int] = frozenset(),
+        checksum_mode: str = "xxh64",
     ):
         self.out_dir = out_dir
         self.epoch = epoch
         self.merge_base = merge_base
         self.lineage = lineage or {}
         self.skip = skip_partitions
+        self.checksum_mode = checksum_mode
 
     def __call__(self, group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
@@ -341,7 +374,7 @@ class FinalizeAndCommit:
             epoch=self.epoch,
             max_seq=max_seq,
             row_count=final.num_rows,
-            checksum=str(_row_checksum(final)),
+            checksum=str(_row_checksum(final, self.checksum_mode)),
             lineage=self.lineage,
             metrics={"events_applied": group.num_rows},
         )
@@ -364,6 +397,22 @@ def _manifest_row_table(mans: list[mf.PartitionManifest]) -> pa.Table:
     )
 
 
+def _parquet_files(events_path: str | list) -> list[str]:
+    paths = events_path if isinstance(events_path, list) else [events_path]
+    files: list[str] = []
+    for p in paths:
+        p = str(p)
+        if os.path.isdir(p):
+            files.extend(
+                os.path.join(p, n)
+                for n in sorted(os.listdir(p))
+                if n.endswith(".parquet")
+            )
+        elif os.path.isfile(p):
+            files.append(p)
+    return files
+
+
 def _input_rows(events_path: str | list) -> int:
     """Total input rows from parquet FOOTER metadata (drives the
     adaptive coalesce decision; no data pages are read). Unreadable or
@@ -371,24 +420,43 @@ def _input_rows(events_path: str | list) -> int:
     import pyarrow.parquet as pq
 
     total = 0
-    paths = events_path if isinstance(events_path, list) else [events_path]
-    for p in paths:
-        p = str(p)
-        files = []
-        if os.path.isdir(p):
-            files = [
-                os.path.join(p, n)
-                for n in os.listdir(p)
-                if n.endswith(".parquet")
-            ]
-        elif os.path.isfile(p):
-            files = [p]
-        for f in files:
-            try:
-                total += pq.read_metadata(f).num_rows
-            except Exception:
-                return 1 << 62
+    for f in _parquet_files(events_path):
+        try:
+            total += pq.read_metadata(f).num_rows
+        except Exception:
+            return 1 << 62
     return total
+
+
+def _events_read_columns(
+    events_path: str | list,
+    registry: SchemaRegistry | None,
+    version_col: str = "schema_ver",
+) -> list[str] | None:
+    """Prune-at-the-read column list for the events scan: the
+    TARGET_SCHEMA fields, every pre-rename SOURCE name the registry can
+    map into them (so v1 files' ``body`` still arrives to become
+    ``content``), and the schema-version column — intersected with the
+    physical file schema (footer metadata only), because selecting a
+    column absent from a file errors. Any extra source column (audit
+    blobs, debug payloads, future additions) never leaves storage.
+    Returns None (no pruning) when the footers can't be read."""
+    import pyarrow.parquet as pq
+
+    reg = registry or DEFAULT_REGISTRY
+    wanted = {f.name for f in TARGET_SCHEMA}
+    wanted |= {
+        old for old, new in reg.rename_chain(0).items() if new in wanted
+    }
+    wanted.add(version_col)
+    physical: set[str] = set()
+    try:
+        for f in _parquet_files(events_path):
+            physical |= set(pq.read_schema(f).names)
+    except Exception:
+        return None
+    cols = sorted(wanted & physical)
+    return cols or None
 
 
 def compute_epoch(events_path: str | list, policy_fingerprint: str | None) -> str:
@@ -430,6 +498,7 @@ def replay(
     epoch: str | None = None,
     key_hash_algo: str | None = None,
     checkpoint_filter: bool = True,
+    checksum_mode: str | None = None,
 ):
     """Run the full replay; returns (manifest pandas DataFrame, epoch).
 
@@ -531,7 +600,8 @@ def replay(
         )
         return stage(batch)
 
-    ds = rd.read_parquet(events_path)
+    read_cols = _events_read_columns(events_path, registry)
+    ds = rd.read_parquet(events_path, columns=read_cols)
     ds = ds.map_batches(
         replay_map,
         batch_format="pyarrow",
@@ -579,6 +649,9 @@ def replay(
         merge_base=incremental,
         lineage=lineage,
         skip_partitions=skip,
+        checksum_mode=(
+            checksum_mode or os.environ.get("DLP_RAY_CHECKSUM", "xxh64")
+        ),
     )
 
     def finalize_and_commit(group: pa.Table) -> pa.Table:

@@ -1213,71 +1213,12 @@ ORACLE_SQL["range_join_values"] = r"""
 
 def q_simhash_near_dup_pairs(sf_dir: str):
     """SimHash near-dup pairs: 16-bit band buckets -> per-bucket
-    hamming-distance verification (<= 3 bits). Rows-only."""
-    from ..stages.cache import cached_task_stage
-    from ..stages.shuffle import bucketed_group_reduce
-
+    vectorized triu XOR-popcount verification (<= 3 bits), bucket-min
+    linking above the hot-bucket cap (stages/dedup.py)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    hashed = ds.map_batches(
-        cached_task_stage(DD.SimHashStage, "text"), batch_format="pyarrow"
-    ).map_batches(lambda b: b.drop_columns(["text"]), batch_format="pyarrow")
-
-    def band_rows(b: pa.Table) -> pa.Table:
-        parts = []
-        for band in range(4):
-            parts.append(
-                pa.table(
-                    {
-                        "band": pa.array([band] * b.num_rows, pa.int64()),
-                        "band_hash": b.column(f"simhash_band{band}"),
-                        "doc_id": b.column("doc_id"),
-                        "simhash": b.column("simhash"),
-                    }
-                )
-            )
-        return pa.concat_tables(parts)
-
-    banded = hashed.map_batches(band_rows, batch_format="pyarrow")
-
-    def verify_block(block: pa.Table) -> pa.Table:
-        import polars as pl
-
-        df = pl.from_arrow(block).unique(subset=["band", "band_hash", "doc_id"])
-        out_a, out_b, out_d = [], [], []
-        for _, sub in df.group_by(["band", "band_hash"]):
-            if len(sub) < 2:
-                continue
-            ids = sub["doc_id"].to_numpy()
-            hs = sub["simhash"].to_numpy().astype(np.uint64)
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    d = int(bin(int(hs[i]) ^ int(hs[j])).count("1"))
-                    if d <= 3:
-                        a, b_ = sorted((int(ids[i]), int(ids[j])))
-                        out_a.append(a)
-                        out_b.append(b_)
-                        out_d.append(d)
-        return pa.table(
-            {
-                "id_a": pa.array(out_a, pa.int64()),
-                "id_b": pa.array(out_b, pa.int64()),
-                "hamming": pa.array(out_d, pa.int64()),
-            }
-        )
-
-    pairs = bucketed_group_reduce(banded, ["band", "band_hash"], verify_block)
-
-    def unique_pairs(block: pa.Table) -> pa.Table:
-        import polars as pl
-
-        return (
-            pl.from_arrow(block)
-            .unique(subset=["id_a", "id_b"])
-            .to_arrow()
-            .cast(block.schema)
-        )
-
-    return bucketed_group_reduce(pairs, ["id_a", "id_b"], unique_pairs)
+    return DD.simhash_near_dup_pairs(
+        ds, text_col="text", id_col="doc_id", max_hamming=3
+    )
 
 
 QUERIES["simhash_near_dup_pairs"] = q_simhash_near_dup_pairs

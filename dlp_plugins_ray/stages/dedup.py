@@ -323,6 +323,128 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized population count of a uint64 array (C-level
+    unpackbits; no per-element Python)."""
+    if x.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    return (
+        np.unpackbits(np.ascontiguousarray(x).view(np.uint8))
+        .reshape(x.size, 8 * x.dtype.itemsize)
+        .sum(axis=1)
+        .astype(np.int64)
+    )
+
+
+def simhash_near_dup_pairs(
+    ds,
+    *,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    hot_bucket_cap: int = 256,
+    num_buckets: int = 64,
+):
+    """SimHash near-duplicate pairs (id_a < id_b, hamming <= k): 4x16-bit
+    band buckets -> per-bucket vectorized XOR-popcount verification ->
+    global pair dedup. Only (band, band_hash, id, simhash) rows shuffle.
+
+    The per-bucket verify is a triu XOR-popcount matrix (no Python pair
+    loop). A bucket larger than ``hot_bucket_cap`` (adversarial: many
+    near-identical docs share all four bands) degrades to bucket-min
+    LINKING — every member pairs only with the bucket's min id, O(b)
+    instead of O(b^2), which still connects the duplicate cluster for
+    any downstream connected-components decision (same trick as the
+    minhash candidate pairing above)."""
+    from .cache import cached_task_stage
+    from .shuffle import bucketed_group_reduce
+
+    hashed = ds.map_batches(
+        cached_task_stage(SimHashStage, text_col), batch_format="pyarrow"
+    ).map_batches(
+        lambda b: b.drop_columns([text_col]), batch_format="pyarrow"
+    )
+
+    def band_rows(b: pa.Table) -> pa.Table:
+        parts = []
+        for band in range(4):
+            parts.append(
+                pa.table(
+                    {
+                        "band": pa.array([band] * b.num_rows, pa.int64()),
+                        "band_hash": b.column(f"simhash_band{band}"),
+                        id_col: b.column(id_col),
+                        "simhash": b.column("simhash"),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    banded = hashed.map_batches(band_rows, batch_format="pyarrow")
+
+    pair_schema = pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()), ("hamming", pa.int64())]
+    )
+
+    def verify_block(block: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(block).unique(subset=["band", "band_hash", id_col])
+        out_a, out_b, out_d = [], [], []
+        for _, sub in df.group_by(["band", "band_hash"]):
+            n = len(sub)
+            if n < 2:
+                continue
+            ids = sub[id_col].to_numpy().astype(np.int64)
+            hs = sub["simhash"].to_numpy().astype(np.uint64)
+            if n > hot_bucket_cap:
+                k = int(np.argmin(ids))
+                sel = np.arange(n) != k
+                d = _popcount64(hs[sel] ^ hs[k])
+                keep = d <= max_hamming
+                a = np.minimum(ids[sel][keep], ids[k])
+                b_ = np.maximum(ids[sel][keep], ids[k])
+                d = d[keep]
+            else:
+                ii, jj = np.triu_indices(n, k=1)
+                d = _popcount64(hs[ii] ^ hs[jj])
+                keep = d <= max_hamming
+                a = np.minimum(ids[ii[keep]], ids[jj[keep]])
+                b_ = np.maximum(ids[ii[keep]], ids[jj[keep]])
+                d = d[keep]
+            out_a.append(a)
+            out_b.append(b_)
+            out_d.append(d)
+        if out_a:
+            return pa.table(
+                {
+                    "id_a": pa.array(np.concatenate(out_a)),
+                    "id_b": pa.array(np.concatenate(out_b)),
+                    "hamming": pa.array(np.concatenate(out_d)),
+                }
+            ).cast(pair_schema)
+        return pair_schema.empty_table()
+
+    pairs = bucketed_group_reduce(
+        banded, ["band", "band_hash"], verify_block,
+        num_buckets=num_buckets, out_schema=pair_schema,
+    )
+
+    def unique_pairs(block: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(block)
+            .unique(subset=["id_a", "id_b"])
+            .to_arrow()
+            .cast(block.schema)
+        )
+
+    return bucketed_group_reduce(
+        pairs, ["id_a", "id_b"], unique_pairs, out_schema=pair_schema
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding cosine near-dup (random hyperplane LSH)
 # ---------------------------------------------------------------------------
@@ -749,42 +871,28 @@ def connected_component_labels(pairs, *, num_buckets: int = 64):
     )
 
 
-def minhash_dedup(
-    ds,
-    *,
-    text_col: str,
-    id_col: str,
-    num_perm: int = 64,
-    bands: int = 16,
-    shingle_k: int = 5,
-):
-    """End-to-end near-dup removal: LSH candidate pairs -> distributed
-    connected components (iterated min-label propagation — the pair
-    list is never materialized on the driver) -> keep the min-id member
-    of every duplicate cluster. Returns the deduplicated Dataset.
-
-    The final drop-id set (one int per REMOVED document) is broadcast
-    via ray.put and applied as one vectorized ``pc.is_in`` filter per
-    batch — the corpus itself never shuffles. If the drop set ever
-    outgrows a broadcast, swap the filter for a hash-partitioned anti
-    join on id (one corpus shuffle)."""
+def _drop_via_broadcast(ds, drop_ds, *, id_col: str):
+    """Small drop sets: pull the ids to the driver ONCE (vectorized, no
+    row loop), ray.put, and apply one ``pc.is_in`` filter per batch —
+    the corpus never shuffles."""
     import pyarrow.compute as _pc
 
     import ray
 
-    pairs = minhash_duplicate_pairs(
-        ds, text_col=text_col, id_col=id_col,
-        num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+    # Ray's sort can emit schema-less empty blocks — skip them
+    blocks = [
+        t
+        for t in (ray.get(r) for r in drop_ds.to_arrow_refs())
+        if t.num_rows > 0 and "id" in t.column_names
+    ]
+    drop = (
+        pa.concat_arrays(
+            [t.column("id").cast(pa.int64()).combine_chunks() for t in blocks]
+        )
+        if blocks
+        else pa.array([], pa.int64())
     )
-    labels = connected_component_labels(pairs)
-    drop_ds = labels.map_batches(
-        lambda b: b.filter(_pc.not_equal(b.column("label"), b.column("id"))),
-        batch_format="pyarrow",
-    )
-    drop_ids = np.array(
-        [r["id"] for r in drop_ds.take_all()], dtype=np.int64
-    )
-    drop_ref = ray.put(pa.array(np.sort(drop_ids)))
+    drop_ref = ray.put(drop)
 
     class DropStage:
         def __init__(self, ref):
@@ -801,3 +909,93 @@ def minhash_dedup(
     return ds.map_batches(
         cached_task_stage(DropStage, drop_ref), batch_format="pyarrow"
     )
+
+
+def _drop_via_anti_join(ds, drop_ds, *, id_col: str, num_buckets: int = 128):
+    """Corpus-scale drop sets: hash-partitioned ANTI join on id — ONE
+    corpus shuffle, zero driver state. Corpus rows and drop-id rows are
+    co-located by hash(id) bucket; each bucket block filters its corpus
+    rows against its (tiny) local drop subset with ``pc.is_in``."""
+    import pyarrow.compute as _pc
+
+    from .shuffle import bucketed_group_reduce
+
+    schema = ds.schema().base_schema
+    side_col = "_anti_side"
+
+    def corpus_rows(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            side_col, pa.array(np.zeros(b.num_rows, dtype=np.int8))
+        )
+
+    def drop_rows(b: pa.Table) -> pa.Table:
+        cols = []
+        for f in schema:
+            if f.name == id_col:
+                cols.append(b.column("id").cast(f.type))
+            else:
+                cols.append(pa.nulls(b.num_rows, f.type))
+        t = pa.Table.from_arrays(cols, schema=schema)
+        return t.append_column(
+            side_col, pa.array(np.ones(b.num_rows, dtype=np.int8))
+        )
+
+    mixed = ds.map_batches(corpus_rows, batch_format="pyarrow").union(
+        drop_ds.map_batches(drop_rows, batch_format="pyarrow")
+    )
+
+    def reduce_block(block: pa.Table) -> pa.Table:
+        side = block.column(side_col)
+        corpus = block.filter(_pc.equal(side, 0)).drop_columns([side_col])
+        drops = block.filter(_pc.equal(side, 1)).column(id_col)
+        if corpus.num_rows == 0 or drops.length() == 0:
+            return corpus
+        mask = _pc.invert(
+            _pc.is_in(
+                corpus.column(id_col), value_set=drops.combine_chunks()
+            )
+        )
+        return corpus.filter(mask)
+
+    return bucketed_group_reduce(
+        mixed, [id_col], reduce_block,
+        num_buckets=num_buckets, out_schema=schema,
+    )
+
+
+def minhash_dedup(
+    ds,
+    *,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    broadcast_threshold: int = 2_000_000,
+):
+    """End-to-end near-dup removal: LSH candidate pairs -> distributed
+    connected components (hierarchical union-find — the pair list is
+    never materialized on the driver) -> drop every non-min member of
+    every duplicate cluster. Returns the deduplicated Dataset.
+
+    The drop-id set (one int64 per REMOVED document) is applied by one
+    of two paths, chosen by its measured size:
+    - ``<= broadcast_threshold`` removed docs: driver broadcast +
+      vectorized ``pc.is_in`` filter per batch (corpus never shuffles);
+    - above it: hash-partitioned ANTI join on id (one corpus shuffle,
+      zero driver state) — at 10^10 docs / 30% dups a broadcast would
+      put ~24 GB on the driver, the anti join none."""
+    import pyarrow.compute as _pc
+
+    pairs = minhash_duplicate_pairs(
+        ds, text_col=text_col, id_col=id_col,
+        num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+    )
+    labels = connected_component_labels(pairs)
+    drop_ds = labels.map_batches(
+        lambda b: b.filter(_pc.not_equal(b.column("label"), b.column("id"))),
+        batch_format="pyarrow",
+    ).materialize()
+    if drop_ds.count() <= broadcast_threshold:
+        return _drop_via_broadcast(ds, drop_ds, id_col=id_col)
+    return _drop_via_anti_join(ds, drop_ds, id_col=id_col)

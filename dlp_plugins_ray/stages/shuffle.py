@@ -51,11 +51,21 @@ def bucketed_group_reduce(
     *,
     num_buckets: int = 64,
     batch_format: str = "pyarrow",
+    out_schema: pa.Schema | None = None,
 ):
     """One shuffle on the bucket column; ``block_reduce_fn`` receives a
     bucket block (pyarrow Table or pandas DataFrame per
     ``batch_format``) WITHOUT the bucket column and must reduce every
-    key group inside it."""
+    key group inside it.
+
+    ``out_schema`` (pyarrow only): every UDF result is cast to it, and
+    a zero-row result is replaced by a typed empty table — normalizing
+    schema drift between blocks (e.g. polars narrowing an int width on
+    some inputs). NOTE this cannot touch the schema-LESS empty blocks
+    Ray's sort emits for empty partitions (sort parallelism > distinct
+    keys): Ray skips the UDF entirely for those, so consumers reading
+    raw block refs must still skip 0-row tables (see
+    dedup.connected_component_labels)."""
 
     def tag(batch: pa.Table) -> pa.Table:
         return add_hash_bucket(batch, key_cols, num_buckets)
@@ -65,7 +75,13 @@ def bucketed_group_reduce(
             block = block.drop_columns([BUCKET_COL])
         else:
             block = block.drop(columns=[BUCKET_COL])
-        return block_reduce_fn(block)
+        out = block_reduce_fn(block)
+        if out_schema is not None and isinstance(out, pa.Table):
+            if out.num_rows == 0:
+                return out_schema.empty_table()
+            if out.schema != out_schema:
+                out = out.select(out_schema.names).cast(out_schema)
+        return out
 
     tagged = ds.map_batches(tag, batch_format="pyarrow")
     return tagged.groupby(BUCKET_COL).map_groups(

@@ -140,6 +140,26 @@ def _read_all_events(events_dir):
     )
 
 
+class TestRowChecksum:
+    def test_order_insensitive_modes_and_sensitivity(self):
+        t = pa.table(
+            {
+                "repo": ["r1", "r2", "r1"],
+                "path": ["a", "b", "c"],
+                "seq": [1, 2, 3],
+                "content": ["x", "y", "z"],
+            }
+        )
+        perm = t.take([2, 0, 1])
+        changed = t.set_column(
+            3, "content", pa.array(["x", "y", "Z"], pa.string())
+        )
+        for mode in ("xxh64", "sha256"):
+            assert RP._row_checksum(t, mode) == RP._row_checksum(perm, mode)
+            assert RP._row_checksum(t, mode) != RP._row_checksum(changed, mode)
+            assert RP._row_checksum(t.slice(0, 0), mode) == 0
+
+
 @pytest.mark.usefixtures("ray_session")
 class TestReplay:
     def test_matches_oracle(self, events_dir, tmp_path):
@@ -234,6 +254,35 @@ class TestReplay:
         crc = str(tmp_path / "lake_crc")
         RP.replay(events_dir, crc, num_partitions=8, key_hash_algo="crc32-pair-v1")
         RP.replay(events_dir, crc, num_partitions=8, incremental=True)
+
+    def test_read_pruning_drops_extra_columns(self, events_dir, tmp_path):
+        """An events table carrying an extra fat column must replay to
+        the identical lake — and the fat column never leaves the scan
+        (derived columns= at read_parquet)."""
+        import glob
+
+        fat_dir = str(tmp_path / "fat_events")
+        os.makedirs(fat_dir)
+        for p in sorted(glob.glob(os.path.join(events_dir, "*.parquet"))):
+            t = pq.read_table(p)
+            t = t.append_column(
+                "fat_blob", pa.array(["x" * 2000] * t.num_rows, pa.string())
+            )
+            pq.write_table(t, os.path.join(fat_dir, os.path.basename(p)))
+
+        cols = RP._events_read_columns(fat_dir, None)
+        assert cols is not None and "fat_blob" not in cols
+        assert "content" in cols or "body" in cols
+
+        lake_a = str(tmp_path / "lake_a")
+        lake_b = str(tmp_path / "lake_b")
+        RP.replay(events_dir, lake_a, num_partitions=8)
+        RP.replay(fat_dir, lake_b, num_partitions=8)
+        a = RP.read_lake_table(lake_a).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+        b = RP.read_lake_table(lake_b).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(a, b)
 
     def test_epoch_fingerprints_list_inputs(self, tmp_path):
         """compute_epoch must fingerprint file content (names+sizes)

@@ -247,6 +247,45 @@ class TestMinhashFullDedup:
         ids = sorted(r["doc_id"] for r in kept.take_all())
         assert ids == [1, 4]  # min id per near-dup cluster
 
+    def test_anti_join_drop_path_matches_broadcast(self, monkeypatch):
+        """Above the broadcast threshold the drop set must be applied
+        via the hash-partitioned anti join — same result, and the
+        driver broadcast is provably never taken."""
+        import ray.data as rd
+
+        texts, ids = [], []
+        rng = np.random.RandomState(17)
+        for i in range(40):
+            words = [f"tok{i}_{w}" for w in rng.randint(0, 5000, 60)]
+            t = " ".join(words)                    # 40 distinct docs
+            ids += [i * 10, i * 10 + 1]            # ...each duplicated
+            texts += [t, t + " tail"]
+        docs = pa.table({"doc_id": ids, "text": texts})
+
+        def make():
+            return rd.from_arrow(docs).repartition(4)
+
+        want = sorted(
+            r["doc_id"]
+            for r in DD.minhash_dedup(
+                make(), text_col="text", id_col="doc_id"
+            ).take_all()
+        )
+        assert want == sorted(i * 10 for i in range(40))
+
+        def boom(*a, **k):
+            raise AssertionError("broadcast path must not run")
+
+        monkeypatch.setattr(DD, "_drop_via_broadcast", boom)
+        got = sorted(
+            r["doc_id"]
+            for r in DD.minhash_dedup(
+                make(), text_col="text", id_col="doc_id",
+                broadcast_threshold=0,
+            ).take_all()
+        )
+        assert got == want
+
     def test_label_propagation_matches_union_find(self):
         """Distributed min-label propagation == driver union-find on a
         chain (worst-case diameter), a triangle, and singleton pairs."""
@@ -377,6 +416,65 @@ class TestBloom:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestSimhashNearDupPairs:
+    @staticmethod
+    def _naive_pairs(texts, max_hamming=3):
+        hs = {i: DD.simhash64(t) for i, t in enumerate(texts)}
+        want = set()
+        for i in range(len(texts)):
+            for j in range(i + 1, len(texts)):
+                share_band = any(
+                    (hs[i] >> (16 * b)) & 0xFFFF == (hs[j] >> (16 * b)) & 0xFFFF
+                    for b in range(4)
+                )
+                if share_band and DD.hamming64(hs[i], hs[j]) <= max_hamming:
+                    want.add((i, j))
+        return want
+
+    def test_vectorized_matches_naive(self):
+        import ray.data as rd
+
+        base = "the quick brown fox jumps over lazy dogs and runs very far away today ".split()
+        texts = []
+        for i in range(30):
+            words = list(base) * 3
+            words[i % len(words)] = f"tok{i}"
+            texts.append(" ".join(words))
+        texts += [texts[0], texts[5]]  # exact dups -> hamming 0
+        ds = rd.from_arrow(
+            pa.table({"doc_id": list(range(len(texts))), "text": texts})
+        ).repartition(4)
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in DD.simhash_near_dup_pairs(
+                ds, text_col="text", id_col="doc_id"
+            ).take_all()
+        }
+        assert got == self._naive_pairs(texts)
+
+    def test_hot_bucket_bounded_and_linked(self):
+        """Adversarial all-identical corpus: every doc shares every band
+        bucket. Above the cap the verifier degrades to O(b) bucket-min
+        linking — bounded work, cluster still fully connected."""
+        import ray.data as rd
+
+        n = 300
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": list(range(n)),
+                    "text": ["identical words in every document here"] * n,
+                }
+            )
+        ).repartition(3)
+        out = DD.simhash_near_dup_pairs(
+            ds, text_col="text", id_col="doc_id", hot_bucket_cap=64
+        ).take_all()
+        got = {(r["id_a"], r["id_b"]) for r in out}
+        assert got == {(0, i) for i in range(1, n)}  # min-id star, O(n) pairs
+        assert all(r["hamming"] == 0 for r in out)
+
+
 class TestJaccardVerify:
     def test_pairs_verified_exactly(self):
         import ray.data as rd
