@@ -308,20 +308,208 @@ def q_dedup_exact(sf_dir: str):
     return out.map_batches(lambda b: b.select(["doc_id", "text"]), batch_format="pyarrow")
 
 
+# Planted-duplicate TEXT fixture: id offsets by clone kind. The shared
+# documents table is word salad from a ~30-word vocabulary (every doc
+# naturally shares shingles with every other), so recall invariants
+# over it would be vacuous; the fixture gives every base doc a DISJOINT
+# vocabulary, making the expected candidate/verified/dedup relations
+# exactly the planted ones.
+TEXTDUP_EXACT_OFF = 10_000_000  # identical clone (jaccard 1, hamming 0)
+TEXTDUP_NEAR_OFF = 20_000_000   # 5/80 tokens mutated (jaccard ~0.85)
+TEXTDUP_DECOY_OFF = 30_000_000  # 64/80 tokens mutated (jaccard ~0.1)
+
+
+def textdup_docs_path(sf_dir: str) -> str:
+    """Deterministic planted near-duplicate text fixture, sized by the
+    sf's documents row count, written once to tmp parquet (sorted by
+    id, atomic rename — byte-stable across runs). Base doc i draws 80
+    tokens from its OWN namespace ``w{i}x*``; every 20th doc gets an
+    exact clone, every (20k+10)th a near clone, every (20k+15)th a
+    decoy clone that exact verification must reject."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(tempfile.gettempdir(), f"dlp_ray_textdup_{sf}")
+    out = os.path.join(out_dir, "docs.parquet")
+    if os.path.exists(out):
+        return out
+    os.makedirs(out_dir, exist_ok=True)
+    n_base = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")
+    ).num_rows
+    ids: list[int] = []
+    texts: list[str] = []
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    for i in range(n_base):
+        rng = np.random.RandomState(5000 + i)
+        # per-doc random 8-letter token prefix: character 5-gram
+        # shingles then (almost) never repeat ACROSS docs — short
+        # shared prefixes like "w{i}x" leaked enough shingles for LSH
+        # to occasionally link two different bases, which broke the
+        # planted-cluster expectation
+        tag = "".join(letters[rng.randint(0, 26, 8)])
+        mtag = "".join(letters[rng.randint(0, 26, 8)])
+        dtag = "".join(letters[rng.randint(0, 26, 8)])
+        toks = [f"{tag}{v}" for v in rng.randint(0, 400, 80)]
+        ids.append(i)
+        texts.append(" ".join(toks))
+        if i % 20 == 0:
+            ids.append(i + TEXTDUP_EXACT_OFF)
+            texts.append(" ".join(toks))
+        elif i % 20 == 10:
+            m = list(toks)
+            for p in range(5, 80, 16):
+                m[p] = f"{mtag}{p}"
+            ids.append(i + TEXTDUP_NEAR_OFF)
+            texts.append(" ".join(m))
+        elif i % 20 == 15:
+            m = [f"{dtag}{p}" if p % 5 else t for p, t in enumerate(toks)]
+            ids.append(i + TEXTDUP_DECOY_OFF)
+            texts.append(" ".join(m))
+    order = np.argsort(np.asarray(ids, dtype=np.int64))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.asarray(ids, dtype=np.int64)[order]),
+            "text": pa.array([texts[j] for j in order], pa.string()),
+        }
+    )
+    tmp = out + ".tmp"
+    pq.write_table(tbl, tmp, compression="zstd")
+    os.replace(tmp, out)
+    return out
+
+
+def _textdup_n_base(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")
+    ).num_rows
+
+
+def _textdup_planted(sf_dir: str, kinds=("exact", "near")) -> pa.Table:
+    """The planted (id_a, id_b, kind) pairs — derived from the same
+    arithmetic the fixture writer and the SQL oracles use."""
+    n = _textdup_n_base(sf_dir)
+    offs = {
+        "exact": (0, TEXTDUP_EXACT_OFF),
+        "near": (10, TEXTDUP_NEAR_OFF),
+        "decoy": (15, TEXTDUP_DECOY_OFF),
+    }
+    a, b, k = [], [], []
+    for kind in kinds:
+        start, off = offs[kind]
+        for i in range(start, n, 20):
+            a.append(i)
+            b.append(i + off)
+            k.append(kind)
+    return pa.table(
+        {
+            "id_a": pa.array(a, pa.int64()),
+            "id_b": pa.array(b, pa.int64()),
+            "kind": pa.array(k, pa.string()),
+        }
+    )
+
+
 def q_dedup_minhash_pairs(sf_dir: str):
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return DD.minhash_duplicate_pairs(ds, text_col="text", id_col="doc_id")
+    """MinHash LSH candidate pairs, oracle-checked by planted
+    duplicates: emits one row per planted exact/near pair with
+    ``linked`` = the pair is connected in the candidate-pair graph.
+    Connectivity (not direct membership) is the correct invariant:
+    bucket-min pairing links duplicate CLUSTERS, not every O(b^2)
+    pair. Decoy plants are not asserted here — LSH candidates contain
+    false positives by design; exact verification rejects them (see
+    jaccard_verified_pairs)."""
+    import ray.data as rd
+
+    path = textdup_docs_path(sf_dir)
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+    pairs = DD.minhash_duplicate_pairs(ds, text_col="text", id_col="doc_id")
+    labels = DD.connected_component_labels(pairs)
+    planted = rd.from_arrow(
+        _textdup_planted(sf_dir, ("exact", "near")).select(["id_a", "id_b"])
+    )
+    return DD.pairs_same_component(labels, planted)
 
 
 def q_simhash_fingerprints(sf_dir: str):
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    from ..stages.cache import cached_task_stage
+    """SimHash fingerprints over documents, with adversarial in-query
+    invariant flags (the fingerprint VALUES are pinned by the
+    scalar/batch property test in pytest):
 
-    out = ds.map_batches(
-        cached_task_stage(DD.SimHashStage, "text"), batch_format="pyarrow"
+    - ``perm_ok``: the fingerprint of the token-REVERSED text equals
+      the original — simhash is an order-invariant token-multiset
+      statistic, so any np.add.reduceat segmentation bug flips this;
+    - ``stable_ok``: fingerprints computed in a SECOND independent pass
+      under different partitioning agree per doc — cross-worker
+      determinism of the vectorized kernel (token hashing must not
+      depend on process or block layout)."""
+    import ray.data as rd  # noqa: F401
+
+    from ..stages.shuffle import bucketed_group_reduce
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def pass_a(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        h1 = DD.simhash_batch(texts)
+        h2 = DD.simhash_batch(
+            [" ".join(reversed((t or "").split())) for t in texts]
+        )
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "simhash": pa.array(h1.view(np.int64)),
+                "perm_ok": pa.array(h1 == h2),
+                "side": pa.array(np.zeros(b.num_rows, np.int8)),
+            }
+        )
+
+    def pass_b(b: pa.Table) -> pa.Table:
+        h = DD.simhash_batch(b.column("text").to_pylist())
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "simhash": pa.array(h.view(np.int64)),
+                "perm_ok": pa.nulls(b.num_rows, pa.bool_()),
+                "side": pa.array(np.ones(b.num_rows, np.int8)),
+            }
+        )
+
+    mixed = ds.map_batches(pass_a, batch_format="pyarrow").union(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .repartition(7)
+        .map_batches(pass_b, batch_format="pyarrow")
     )
-    return out.map_batches(
-        lambda b: b.select(["doc_id", "simhash"]), batch_format="pyarrow"
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("perm_ok", pa.bool_()),
+            ("stable_ok", pa.bool_()),
+        ]
+    )
+
+    def combine(block: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(block)
+        g = df.group_by("doc_id").agg(
+            pl.col("simhash").filter(pl.col("side") == 0).min().alias("ha"),
+            pl.col("simhash").filter(pl.col("side") == 1).min().alias("hb"),
+            pl.col("perm_ok").filter(pl.col("side") == 0).min().alias("perm_ok"),
+        )
+        g = g.with_columns(
+            (pl.col("ha") == pl.col("hb")).fill_null(False).alias("stable_ok"),
+            pl.col("perm_ok").fill_null(False),
+        )
+        return g.select(out_schema.names).to_arrow().cast(out_schema)
+
+    return bucketed_group_reduce(
+        mixed, ["doc_id"], combine, out_schema=out_schema
     )
 
 
@@ -898,11 +1086,36 @@ ORACLE_SQL["schema_evolution"] = (
 
 
 def q_minhash_dedup_keep(sf_dir: str):
-    """Full near-dup removal decision over documents (rows-only: LSH
-    clustering is not SQL-expressible)."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    """Full near-dup removal decision, oracle-checked by planted
+    duplicates: run end-to-end minhash_dedup over the planted fixture,
+    then for every planted exact/near pair assert the KEEP decision —
+    ``dedup_ok`` = the base (min id of its cluster) survived AND its
+    clone was dropped. The membership check is itself shuffle-based
+    (pair_membership), no driver state."""
+    import ray.data as rd
+
+    path = textdup_docs_path(sf_dir)
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
     kept = DD.minhash_dedup(ds, text_col="text", id_col="doc_id")
-    return kept.map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow")
+    kept_ids = kept.map_batches(
+        lambda b: b.select(["doc_id"]), batch_format="pyarrow"
+    )
+    planted = rd.from_arrow(
+        _textdup_planted(sf_dir, ("exact", "near")).select(["id_a", "id_b"])
+    )
+    flags = DD.pair_membership(kept_ids, planted, id_col="doc_id")
+
+    def finish(b: pa.Table) -> pa.Table:
+        ok = pc.and_(b.column("a_in"), pc.invert(b.column("b_in")))
+        return pa.table(
+            {
+                "id_a": b.column("id_a"),
+                "id_b": b.column("id_b"),
+                "dedup_ok": ok,
+            }
+        )
+
+    return flags.map_batches(finish, batch_format="pyarrow")
 
 
 QUERIES["minhash_dedup_keep"] = q_minhash_dedup_keep
@@ -1212,13 +1425,25 @@ ORACLE_SQL["range_join_values"] = r"""
 
 
 def q_simhash_near_dup_pairs(sf_dir: str):
-    """SimHash near-dup pairs: 16-bit band buckets -> per-bucket
-    vectorized triu XOR-popcount verification (<= 3 bits), bucket-min
-    linking above the hot-bucket cap (stages/dedup.py)."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return DD.simhash_near_dup_pairs(
+    """SimHash near-dup pairs (16-bit band buckets -> vectorized triu
+    XOR-popcount verify, bucket-min linking above the hot cap),
+    oracle-checked by planted EXACT duplicates: an identical clone has
+    hamming distance 0 and shares every band, so it MUST be linked in
+    the emitted pair graph. (Near plants mutate whole tokens, which
+    can flip >3 simhash bits — simhash's recall on them is a tuning
+    property, not an invariant, so they are not asserted.)"""
+    import ray.data as rd
+
+    path = textdup_docs_path(sf_dir)
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+    pairs = DD.simhash_near_dup_pairs(
         ds, text_col="text", id_col="doc_id", max_hamming=3
     )
+    labels = DD.connected_component_labels(pairs)
+    planted = rd.from_arrow(
+        _textdup_planted(sf_dir, ("exact",)).select(["id_a", "id_b"])
+    )
+    return DD.pairs_same_component(labels, planted)
 
 
 QUERIES["simhash_near_dup_pairs"] = q_simhash_near_dup_pairs
@@ -1505,14 +1730,57 @@ ORACLE_SQL["events_sliding"] = r"""
 
 def q_jaccard_verified_pairs(sf_dir: str):
     """MinHash LSH candidates verified with EXACT n-gram Jaccard (the
-    ngram_jaccard dedup flavor): one shuffle on pair_id co-locates both
-    documents of each candidate. Rows-only: shingle-set Jaccard is not
-    SQL-expressible."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    pairs = DD.minhash_duplicate_pairs(ds, text_col="text", id_col="doc_id")
-    return DD.verify_pairs_jaccard(
-        ds, pairs, text_col="text", id_col="doc_id", k=5, threshold=0.5
+    ngram_jaccard dedup flavor), oracle-checked with BOTH recall and
+    precision teeth over the planted fixture: exact/near plants
+    (jaccard 1 / ~0.85) must be linked in the VERIFIED pair graph;
+    decoy plants (~0.1, deliberately below the 0.5 threshold) must NOT
+    be — a verifier that passes candidates through unverified turns
+    the decoy rows red. Emits (id_a, id_b, kind, ok)."""
+    import ray.data as rd
+
+    path = textdup_docs_path(sf_dir)
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+    cands = DD.minhash_duplicate_pairs(ds, text_col="text", id_col="doc_id")
+    # include the decoy pairs as candidates explicitly: LSH rarely
+    # surfaces them (that's its job), but the PRECISION invariant is
+    # about the verifier — feed them in adversarially and require
+    # rejection
+    decoys = rd.from_arrow(
+        _textdup_planted(sf_dir, ("decoy",)).select(["id_a", "id_b"])
     )
+    verified = DD.verify_pairs_jaccard(
+        ds, cands.union(decoys), text_col="text", id_col="doc_id",
+        k=5, threshold=0.5,
+    )
+    labels = DD.connected_component_labels(
+        verified.map_batches(
+            lambda b: b.select(["id_a", "id_b"]), batch_format="pyarrow"
+        )
+    )
+    planted = _textdup_planted(sf_dir, ("exact", "near", "decoy"))
+    flags = DD.pairs_same_component(
+        labels, rd.from_arrow(planted.select(["id_a", "id_b"]))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        ib = b.column("id_b").to_numpy(zero_copy_only=False)
+        kind = np.where(
+            ib < TEXTDUP_NEAR_OFF,
+            "exact",
+            np.where(ib < TEXTDUP_DECOY_OFF, "near", "decoy"),
+        )
+        linked = b.column("linked").to_numpy(zero_copy_only=False).astype(bool)
+        ok = np.where(kind == "decoy", ~linked, linked)
+        return pa.table(
+            {
+                "id_a": b.column("id_a"),
+                "id_b": b.column("id_b"),
+                "kind": pa.array(kind, pa.string()),
+                "ok": pa.array(ok),
+            }
+        )
+
+    return flags.map_batches(finish, batch_format="pyarrow")
 
 
 QUERIES["jaccard_verified_pairs"] = q_jaccard_verified_pairs
@@ -1536,6 +1804,9 @@ ORACLE_SQL["approx_distinct_users"] = (
 ORACLE_SQL["media_features"] = (
     "SELECT CAST(range AS BIGINT) AS media_id, CAST(64 AS BIGINT) AS feat_dim"
     " FROM range(256)"
+)
+ORACLE_SQL["simhash_fingerprints"] = (
+    "SELECT doc_id, true AS perm_ok, true AS stable_ok FROM documents"
 )
 
 
@@ -1625,7 +1896,44 @@ def tmp_oracle_sql(sf: str = "sf0.01") -> dict[str, str]:
     tmp = tempfile.gettempdir()
     ev = os.path.join(tmp, f"dlp_ray_cdc_{sf}", "events", "events-*.parquet")
     vec = os.path.join(tmp, f"dlp_ray_neardup_{sf}", "vectors.parquet")
+    fix = os.path.join(tmp, f"dlp_ray_textdup_{sf}", "docs.parquet")
+    base = f"SELECT doc_id FROM read_parquet('{fix}') WHERE doc_id < {TEXTDUP_EXACT_OFF}"
     return {
+        # planted-duplicate invariants: every row the Ray side emits is
+        # a planted pair with an all-true flag; the oracle enumerates
+        # the same pairs from the fixture arithmetic
+        "dedup_minhash_pairs": f"""
+            SELECT doc_id AS id_a, doc_id + {TEXTDUP_EXACT_OFF} AS id_b,
+                   true AS linked
+            FROM ({base}) WHERE doc_id % 20 = 0
+            UNION ALL
+            SELECT doc_id, doc_id + {TEXTDUP_NEAR_OFF}, true
+            FROM ({base}) WHERE doc_id % 20 = 10
+        """,
+        "simhash_near_dup_pairs": f"""
+            SELECT doc_id AS id_a, doc_id + {TEXTDUP_EXACT_OFF} AS id_b,
+                   true AS linked
+            FROM ({base}) WHERE doc_id % 20 = 0
+        """,
+        "jaccard_verified_pairs": f"""
+            SELECT doc_id AS id_a, doc_id + {TEXTDUP_EXACT_OFF} AS id_b,
+                   'exact' AS kind, true AS ok
+            FROM ({base}) WHERE doc_id % 20 = 0
+            UNION ALL
+            SELECT doc_id, doc_id + {TEXTDUP_NEAR_OFF}, 'near', true
+            FROM ({base}) WHERE doc_id % 20 = 10
+            UNION ALL
+            SELECT doc_id, doc_id + {TEXTDUP_DECOY_OFF}, 'decoy', true
+            FROM ({base}) WHERE doc_id % 20 = 15
+        """,
+        "minhash_dedup_keep": f"""
+            SELECT doc_id AS id_a, doc_id + {TEXTDUP_EXACT_OFF} AS id_b,
+                   true AS dedup_ok
+            FROM ({base}) WHERE doc_id % 20 = 0
+            UNION ALL
+            SELECT doc_id, doc_id + {TEXTDUP_NEAR_OFF}, true
+            FROM ({base}) WHERE doc_id % 20 = 10
+        """,
         "cdc_full_replay": f"""
             WITH last AS (
               SELECT repo, path, max(seq) AS seq,
@@ -1660,6 +1968,7 @@ def prepare_oracle_fixtures(sf_dir: str = "/root/testdata/sf0.01") -> None:
     so the DuckDB side can run even if it runs before the queries."""
     cdc_events_dir(sf_dir)
     neardup_vectors_path(sf_dir)
+    textdup_docs_path(sf_dir)
 
 
 # ---------------------------------------------------------------------------

@@ -700,6 +700,200 @@ def verify_pairs_jaccard(
     return bucketed_group_reduce(exploded, ["id_a", "id_b"], per_pair_block)
 
 
+def pairs_same_component(labels, pairs, *, num_buckets: int = 64):
+    """For each pair (id_a, id_b): ``linked`` = both ids carry the SAME
+    non-null component label in ``labels`` (a Dataset of (id, label),
+    e.g. from ``connected_component_labels``). Fully shuffle-based: each
+    pair emits two member rows keyed by doc id; one shuffle LEFT-joins
+    the label onto members (ids absent from labels stay null = not in
+    any component); one shuffle on (id_a, id_b) combines the sides.
+    Zero driver state — the conformance-flag primitive for the planted
+    near-duplicate oracles."""
+    import polars as pl
+
+    from .shuffle import bucketed_group_reduce
+
+    def pair_members(b: pa.Table) -> pa.Table:
+        a = b.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(a)
+        return pa.table(
+            {
+                "key": pa.array(np.concatenate([a, c])),
+                "id_a": pa.array(np.tile(a, 2)),
+                "id_b": pa.array(np.tile(c, 2)),
+                "side": pa.array(
+                    np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)])
+                ),
+                "label": pa.nulls(2 * n, pa.int64()),
+            }
+        )
+
+    def label_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": b.column("id").cast(pa.int64()),
+                "id_a": pa.nulls(b.num_rows, pa.int64()),
+                "id_b": pa.nulls(b.num_rows, pa.int64()),
+                "side": pa.nulls(b.num_rows, pa.int8()),
+                "label": b.column("label").cast(pa.int64()),
+            }
+        )
+
+    mixed = pairs.map_batches(pair_members, batch_format="pyarrow").union(
+        labels.map_batches(label_rows, batch_format="pyarrow")
+    )
+
+    mid_schema = pa.schema(
+        [
+            ("key", pa.int64()),
+            ("id_a", pa.int64()),
+            ("id_b", pa.int64()),
+            ("side", pa.int8()),
+            ("label", pa.int64()),
+        ]
+    )
+
+    def attach(block: pa.Table) -> pa.Table:
+        df = pl.from_arrow(block)
+        members = df.filter(pl.col("id_a").is_not_null()).select(
+            ["key", "id_a", "id_b", "side"]
+        )
+        labs = (
+            df.filter(pl.col("id_a").is_null())
+            .select(["key", "label"])
+            .unique(subset=["key"])
+        )
+        out = members.join(labs, on="key", how="left")
+        return out.select(mid_schema.names).to_arrow().cast(mid_schema)
+
+    exploded = bucketed_group_reduce(
+        mixed, ["key"], attach, num_buckets=num_buckets, out_schema=mid_schema
+    )
+
+    out_schema = pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()), ("linked", pa.bool_())]
+    )
+
+    def combine(block: pa.Table) -> pa.Table:
+        df = pl.from_arrow(block).unique(subset=["id_a", "id_b", "side"])
+        g = df.group_by(["id_a", "id_b"]).agg(
+            pl.col("label").filter(pl.col("side") == 0).min().alias("la"),
+            pl.col("label").filter(pl.col("side") == 1).min().alias("lb"),
+        )
+        g = g.with_columns(
+            (
+                pl.col("la").is_not_null()
+                & pl.col("lb").is_not_null()
+                & (pl.col("la") == pl.col("lb"))
+            )
+            .fill_null(False)
+            .alias("linked")
+        )
+        return g.select(out_schema.names).to_arrow().cast(out_schema)
+
+    return bucketed_group_reduce(
+        exploded, ["id_a", "id_b"], combine,
+        num_buckets=num_buckets, out_schema=out_schema,
+    )
+
+
+def pair_membership(ids_ds, pairs, *, id_col: str = "id", num_buckets: int = 64):
+    """For each pair (id_a, id_b): whether each endpoint appears in
+    ``ids_ds`` (a Dataset carrying ``id_col``). Returns (id_a, id_b,
+    a_in, b_in). Same shuffle-only shape as ``pairs_same_component`` —
+    used to oracle-check kept/dropped decisions of a full dedup."""
+    import polars as pl
+
+    from .shuffle import bucketed_group_reduce
+
+    def pair_members(b: pa.Table) -> pa.Table:
+        a = b.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(a)
+        return pa.table(
+            {
+                "key": pa.array(np.concatenate([a, c])),
+                "id_a": pa.array(np.tile(a, 2)),
+                "id_b": pa.array(np.tile(c, 2)),
+                "side": pa.array(
+                    np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)])
+                ),
+                "present": pa.nulls(2 * n, pa.bool_()),
+            }
+        )
+
+    def id_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": b.column(id_col).cast(pa.int64()),
+                "id_a": pa.nulls(b.num_rows, pa.int64()),
+                "id_b": pa.nulls(b.num_rows, pa.int64()),
+                "side": pa.nulls(b.num_rows, pa.int8()),
+                "present": pa.array(np.ones(b.num_rows, dtype=bool)),
+            }
+        )
+
+    mixed = pairs.map_batches(pair_members, batch_format="pyarrow").union(
+        ids_ds.map_batches(id_rows, batch_format="pyarrow")
+    )
+
+    mid_schema = pa.schema(
+        [
+            ("key", pa.int64()),
+            ("id_a", pa.int64()),
+            ("id_b", pa.int64()),
+            ("side", pa.int8()),
+            ("present", pa.bool_()),
+        ]
+    )
+
+    def attach(block: pa.Table) -> pa.Table:
+        df = pl.from_arrow(block)
+        members = df.filter(pl.col("id_a").is_not_null()).select(
+            ["key", "id_a", "id_b", "side"]
+        )
+        found = (
+            df.filter(pl.col("id_a").is_null())
+            .select(["key"])
+            .unique()
+            .with_columns(pl.lit(True).alias("present"))
+        )
+        out = members.join(found, on="key", how="left").with_columns(
+            pl.col("present").fill_null(False)
+        )
+        return out.select(mid_schema.names).to_arrow().cast(mid_schema)
+
+    exploded = bucketed_group_reduce(
+        mixed, ["key"], attach, num_buckets=num_buckets, out_schema=mid_schema
+    )
+
+    out_schema = pa.schema(
+        [
+            ("id_a", pa.int64()),
+            ("id_b", pa.int64()),
+            ("a_in", pa.bool_()),
+            ("b_in", pa.bool_()),
+        ]
+    )
+
+    def combine(block: pa.Table) -> pa.Table:
+        df = pl.from_arrow(block).unique(subset=["id_a", "id_b", "side"])
+        g = df.group_by(["id_a", "id_b"]).agg(
+            pl.col("present").filter(pl.col("side") == 0).any().alias("a_in"),
+            pl.col("present").filter(pl.col("side") == 1).any().alias("b_in"),
+        )
+        g = g.with_columns(
+            pl.col("a_in").fill_null(False), pl.col("b_in").fill_null(False)
+        )
+        return g.select(out_schema.names).to_arrow().cast(out_schema)
+
+    return bucketed_group_reduce(
+        exploded, ["id_a", "id_b"], combine,
+        num_buckets=num_buckets, out_schema=out_schema,
+    )
+
+
 # ---------------------------------------------------------------------------
 # full near-dup dedup decision: pairs -> clusters -> kept set
 # ---------------------------------------------------------------------------
