@@ -113,6 +113,75 @@ def run_headline(n_events: int) -> dict:
     }
 
 
+def _sliced_events_dirs(ev_dir: str, n_events: int, n_slices: int) -> list[str]:
+    """Split a cached log into ``n_slices`` seq-range directories — the
+    same stream delivered as a tailed WAL in slices (duplicates ride
+    with their original seq's slice; out-of-order within a slice is
+    preserved). Cached alongside the full log."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    base = f"{ev_dir}_slices{n_slices}"
+    dirs = [os.path.join(base, f"slice{i}") for i in range(n_slices)]
+    marker = os.path.join(base, "_COMPLETE")
+    if os.path.exists(marker):
+        return dirs
+    shutil.rmtree(base, ignore_errors=True)
+    for d in dirs:
+        os.makedirs(d, exist_ok=True)
+    bounds = [round(i * n_events / n_slices) for i in range(n_slices + 1)]
+    for fname in sorted(os.listdir(ev_dir)):
+        if not fname.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(ev_dir, fname))
+        seq = t.column("seq")
+        for i, d in enumerate(dirs):
+            sl = t.filter(
+                pc.and_(
+                    pc.greater_equal(seq, bounds[i]), pc.less(seq, bounds[i + 1])
+                )
+            )
+            if sl.num_rows:
+                pq.write_table(sl, os.path.join(d, fname), compression="zstd")
+    with open(marker, "w") as f:
+        f.write("ok")
+    return dirs
+
+
+def run_incremental(n_events: int, n_slices: int = 3) -> dict:
+    """Incremental tailing: the SAME total event stream applied as
+    ``n_slices`` checkpointed incremental replays onto one lake.
+    Evidence that checkpoint/resume carries no per-slice penalty — the
+    summed slice wall time should stay within ~1.2x of the one-shot
+    total (each slice re-pays fixed session/exchange costs, so exact
+    parity is not expected)."""
+    from dlp_plugins_ray.cdc import replay as RP
+
+    ev_dir = _events_dir(n_events)
+    slice_dirs = _sliced_events_dirs(ev_dir, n_events, n_slices)
+    lake = os.path.join(tempfile.gettempdir(), "dlp_ray_bench_inc_lake")
+    shutil.rmtree(lake, ignore_errors=True)
+    times, rows = [], 0
+    for i, d in enumerate(slice_dirs):
+        t0 = time.time()
+        mpdf, _ = RP.replay(
+            d,
+            lake,
+            policy=POLICY,
+            num_partitions=64,
+            batch_size=32768,
+            incremental=i > 0,
+        )
+        times.append(round(time.time() - t0, 3))
+        rows = int(mpdf["row_count"].sum())
+    return {
+        "n_slices": n_slices,
+        "slice_seconds": times,
+        "total_seconds": round(sum(times), 3),
+        "final_rows": rows,
+    }
+
+
 def run_queries(result: dict) -> dict[str, float]:
     """Times every conformance query, updating ``result['queries']`` in
     place after each one so a crash mid-way loses only the remaining
@@ -190,6 +259,17 @@ def main() -> None:
     # shutdown) can die without losing the headline measurement; the
     # consumer parses the LAST JSON line it sees
     _emit(result)
+    if "--headline-only" not in sys.argv:
+        try:
+            inc = run_incremental(n_events)
+            inc["vs_one_shot"] = round(
+                inc["total_seconds"] / max(headline["seconds"], 1e-9), 3
+            )
+            inc["rows_match"] = inc["final_rows"] == headline["final_rows"]
+            result["incremental_slices"] = inc
+            _emit(result)
+        except Exception as e:  # pragma: no cover
+            print(f"incremental bench failed: {e}", file=sys.stderr)
     if "--headline-only" in sys.argv:
         try:
             ray.shutdown()

@@ -204,6 +204,43 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             MM.real_decoder_unavailable(b"x", "image")
 
+    @pytest.mark.skipif(MM._PILImage is None, reason="PIL not installed")
+    def test_pil_decoder_real_png(self):
+        """Runs wherever PIL exists: decode the vendored 2x2 grayscale
+        PNG (pixels 0/85/170/255) and check exact normalized values."""
+        import pathlib
+
+        png = (pathlib.Path(__file__).parent / "fixtures" / "gray_2x2.png").read_bytes()
+        arr = MM.pil_image_decoder(png, "image")
+        assert arr.shape == (2, 2)
+        expect = np.array([[0, 85], [170, 255]], dtype=np.float32) / 255.0
+        assert np.allclose(arr, expect)
+        # the stage end-to-end uses the real decoder via best_decoder
+        t = pa.table(
+            {
+                "media_id": pa.array([0], pa.int64()),
+                "kind": pa.array(["image"]),
+                "payload": pa.array([png], pa.binary()),
+            }
+        )
+        out = MM.MediaFeatureStage(decoder=MM.best_decoder("image"))(t)
+        feats = out.column("features").to_pylist()[0]
+        assert feats[:4] == pytest.approx([0.0, 85 / 255, 170 / 255, 1.0])
+
+    def test_best_decoder_selection(self):
+        """best_decoder returns the PIL path iff PIL is importable; the
+        fixture PNG is valid either way (decoded here only when PIL is
+        present; otherwise pil_image_decoder must raise, never fake)."""
+        dec = MM.best_decoder("image")
+        if MM._PILImage is None:
+            assert dec is MM.deterministic_fake_decoder
+            with pytest.raises(NotImplementedError):
+                MM.pil_image_decoder(b"\x89PNG", "image")
+        else:
+            assert dec is MM.pil_image_decoder
+        # non-image hints always use the fake in this container
+        assert MM.best_decoder("audio") is MM.deterministic_fake_decoder
+
     def test_resize_metadata(self):
         t = MM.generate_media_table(10)
         out = MM.ImageResizeStage(max_side=128)(t)
