@@ -1,0 +1,89 @@
+"""SCD2 version history from a CDC log — the audit-table counterpart
+of the LWW replay (replay keeps only the final state; history keeps
+every version with its validity interval).
+
+Reference scope note: the reference (CDAP dlp-plugins) transforms
+records in flight and has no temporal table layer; history semantics
+follow the standard slowly-changing-dimension type-2 shape.
+
+Scale shape: ONE bucketed exchange on the key (rows of a key never
+span bucket blocks — the same invariant the replay finalizer uses),
+then a single vectorized polars pass per bucket block: dedup exact
+duplicate deliveries, order by seq within key, and derive each
+version's successor with a windowed shift. No driver state; output
+streams from the reduce tasks.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..stages.shuffle import bucketed_group_reduce
+
+HISTORY_SCHEMA = pa.schema(
+    [
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("seq", pa.int64()),
+        ("op", pa.string()),
+        ("next_seq", pa.int64()),  # null => current version
+        ("is_current", pa.bool_()),
+    ]
+)
+
+
+def scd2_history(ds, *, keys: tuple[str, str] = ("repo", "path"), num_buckets: int = 64):
+    """Every surviving (deduped) event becomes one history row with its
+    validity interval in sequence space: ``[seq, next_seq)``, where
+    ``next_seq`` is the key's next version (null for the current one).
+    Delete events appear as their own closed/open versions (op records
+    it), so downstream can reconstruct state as of ANY seq with a
+    single range predicate."""
+    key_cols = list(keys)
+
+    def per_bucket(block: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (
+            pl.from_arrow(block)
+            .unique(subset=[*key_cols, "seq"], keep="any")  # exact dup deliveries
+            .sort([*key_cols, "seq"])
+            .with_columns(
+                pl.col("seq").shift(-1).over(key_cols).alias("next_seq")
+            )
+            .with_columns(pl.col("next_seq").is_null().alias("is_current"))
+        )
+        return df.to_arrow()
+
+    return bucketed_group_reduce(
+        ds.map_batches(
+            lambda b: b.select([*key_cols, "seq", "op"]),
+            batch_format="pyarrow",
+        ),
+        key_cols,
+        per_bucket,
+        num_buckets=num_buckets,
+        out_schema=HISTORY_SCHEMA,
+    )
+
+
+def state_as_of(history_ds, as_of_seq: int):
+    """Point-in-time reconstruction from the history table: the version
+    live at ``as_of_seq`` is the row with seq <= as_of < next_seq
+    (open-ended for current) whose op is not a delete — one vectorized
+    filter, no shuffle."""
+    import pyarrow.compute as pc
+
+    def pick(b: pa.Table) -> pa.Table:
+        seq = b.column("seq")
+        nxt = b.column("next_seq")
+        live = pc.and_(
+            pc.less_equal(seq, as_of_seq),
+            # or_kleene: plain or_ propagates the null from
+            # greater(null, x) and the filter would DROP current rows
+            pc.or_kleene(pc.is_null(nxt), pc.greater(nxt, as_of_seq)),
+        )
+        keep = pc.and_(live, pc.not_equal(b.column("op"), "delete"))
+        return b.filter(keep)
+
+    return history_ds.map_batches(pick, batch_format="pyarrow")

@@ -1897,6 +1897,7 @@ def tmp_oracle_sql(sf: str = "sf0.01") -> dict[str, str]:
     ev = os.path.join(tmp, f"dlp_ray_cdc_{sf}", "events", "events-*.parquet")
     vec = os.path.join(tmp, f"dlp_ray_neardup_{sf}", "vectors.parquet")
     fix = os.path.join(tmp, f"dlp_ray_textdup_{sf}", "docs.parquet")
+    cent = os.path.join(tmp, f"dlp_ray_kmeans_{sf}", "centroids.parquet")
     base = f"SELECT doc_id FROM read_parquet('{fix}') WHERE doc_id < {TEXTDUP_EXACT_OFF}"
     return {
         # planted-duplicate invariants: every row the Ray side emits is
@@ -1956,6 +1957,30 @@ def tmp_oracle_sql(sf: str = "sf0.01") -> dict[str, str]:
                   GROUP BY repo)
             WHERE c > (SELECT count(*) FROM read_parquet('{ev}')) / 8.0
         """,
+        # independent recomputation of every cluster assignment from
+        # the centroid fixture: cosine argmax, ties to lowest id —
+        # exactly np.argmax's first-max rule
+        "kmeans_clusters": f"""
+            SELECT vec_id, centroid_id AS cluster FROM (
+              SELECT e.vec_id, c.centroid_id,
+                     row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(
+                         CAST(e.embedding AS DOUBLE[]), c.vector) DESC,
+                         c.centroid_id ASC
+                     ) AS rn
+              FROM embeddings e CROSS JOIN read_parquet('{cent}') c
+            ) WHERE rn = 1
+        """,
+        "cdc_scd2_history": f"""
+            WITH d AS (
+              SELECT DISTINCT repo, path, seq, op FROM read_parquet('{ev}')
+            )
+            SELECT repo, path, seq, op,
+                   lead(seq) OVER w AS next_seq,
+                   (lead(seq) OVER w) IS NULL AS is_current
+            FROM d WINDOW w AS (PARTITION BY repo, path ORDER BY seq)
+        """,
     }
 
 
@@ -1969,6 +1994,7 @@ def prepare_oracle_fixtures(sf_dir: str = "/root/testdata/sf0.01") -> None:
     cdc_events_dir(sf_dir)
     neardup_vectors_path(sf_dir)
     textdup_docs_path(sf_dir)
+    kmeans_centroids_path(sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -2320,3 +2346,305 @@ ORACLE_SQL["top3_orders_per_segment"] = r"""
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     ) WHERE rn <= 3
 """
+
+
+# ---------------------------------------------------------------------------
+# round 3: shuffle hash join (large x large), composed analytics join,
+# semantic k-means clustering, SCD2 version history
+# ---------------------------------------------------------------------------
+
+
+def q_hash_join_revenue(sf_dir: str):
+    """Distributed shuffle hash join — LARGE x LARGE, no broadcast:
+    lineitem x orders co-partitioned on the order key in ONE exchange
+    (stages/joins.py hash_join), then revenue per order priority via a
+    per-block partial aggregate + tiny bucketed reduce. Revenue is
+    summed in exact integer cents (floor(x*100 + 0.5) per row — the
+    identical float64 expression DuckDB evaluates) so the distributed
+    sum is order-insensitive and matches the oracle bit-exactly."""
+    from ..stages.joins import hash_join
+    from ..stages.shuffle import bucketed_group_reduce
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = hash_join(
+        li,
+        orders,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        right_value_cols=["o_orderpriority"],
+        how="inner",
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(b)
+            .with_columns(
+                (
+                    pl.col("l_extendedprice") * (1 - pl.col("l_discount")) * 100
+                    + 0.5
+                )
+                .floor()
+                .cast(pl.Int64)
+                .alias("cents")
+            )
+            .group_by("o_orderpriority")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_items"),
+                pl.col("cents").sum().alias("revenue_cents"),
+            )
+        )
+        return out.to_arrow()
+
+    partials = joined.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    )
+
+    def final(block: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(block)
+            .group_by("o_orderpriority")
+            .agg(
+                pl.col("n_items").sum().alias("n_items"),
+                pl.col("revenue_cents").sum().alias("revenue_cents"),
+            )
+            .to_arrow()
+        )
+
+    return bucketed_group_reduce(
+        partials,
+        ["o_orderpriority"],
+        final,
+        num_buckets=4,
+        out_schema=pa.schema(
+            [
+                ("o_orderpriority", pa.string()),
+                ("n_items", pa.int64()),
+                ("revenue_cents", pa.int64()),
+            ]
+        ),
+    )
+
+
+QUERIES["hash_join_revenue"] = q_hash_join_revenue
+ORACLE_SQL["hash_join_revenue"] = r"""
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+               AS BIGINT)) AS revenue_cents
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+"""
+
+
+def q_tpch_q3_lite(sf_dir: str):
+    """TPC-H Q3-shaped composition: broadcast SEMI join (customer
+    segment filter — small side ships once), date filters pushed to the
+    scans, shuffle hash join lineitem x orders (large x large), grouped
+    revenue in exact cents, then global top-10 via per-bucket top-10
+    combiners + one tiny driver merge. Ties at the boundary break on
+    l_orderkey ASC in both engines."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    from ..stages.joins import broadcast_semi_anti, hash_join
+    from ..stages.shuffle import bucketed_group_reduce
+
+    cutoff = datetime.datetime(1998, 6, 1)
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    seg_keys = set(
+        cust.filter(pc.equal(cust.column("c_mktsegment"), "BUILDING"))
+        .column("c_custkey")
+        .to_pylist()
+    )
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.less(b.column("o_orderdate"), pa.scalar(cutoff, pa.timestamp("us")))
+        ),
+        batch_format="pyarrow",
+    )
+    orders = broadcast_semi_anti(orders, seg_keys, key="o_custkey")
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.greater(b.column("l_shipdate"), pa.scalar(cutoff, pa.timestamp("us")))
+        ),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(
+        li,
+        orders,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        right_value_cols=["o_orderdate", "o_orderpriority"],
+        how="inner",
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(b)
+            .with_columns(
+                (
+                    pl.col("l_extendedprice") * (1 - pl.col("l_discount")) * 100
+                    + 0.5
+                )
+                .floor()
+                .cast(pl.Int64)
+                .alias("cents")
+            )
+            .group_by(["l_orderkey", "o_orderdate", "o_orderpriority"])
+            .agg(pl.col("cents").sum().alias("revenue_cents"))
+            .to_arrow()
+        )
+
+    grouped_schema = pa.schema(
+        [
+            ("l_orderkey", pa.int64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("o_orderpriority", pa.string()),
+            ("revenue_cents", pa.int64()),
+        ]
+    )
+
+    def final(block: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(block)
+            .group_by(["l_orderkey", "o_orderdate", "o_orderpriority"])
+            .agg(pl.col("revenue_cents").sum().alias("revenue_cents"))
+            .sort(["revenue_cents", "l_orderkey"], descending=[True, False])
+            .head(10)
+            .to_arrow()
+        )
+
+    top_per_bucket = bucketed_group_reduce(
+        joined.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["l_orderkey"],
+        final,
+        num_buckets=16,
+        out_schema=grouped_schema,
+    )
+    # global merge: <= 10 x num_buckets candidate rows
+    import polars as pl
+
+    cand = pa.Table.from_pylist(
+        top_per_bucket.take_all(), schema=grouped_schema
+    )
+    return (
+        pl.from_arrow(cand)
+        .sort(["revenue_cents", "l_orderkey"], descending=[True, False])
+        .head(10)
+        .to_arrow()
+        .cast(grouped_schema)
+    )
+
+
+QUERIES["tpch_q3_lite"] = q_tpch_q3_lite
+ORACLE_SQL["tpch_q3_lite"] = r"""
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+               AS BIGINT)) AS revenue_cents
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue_cents DESC, l_orderkey ASC
+    LIMIT 10
+"""
+
+
+KMEANS_K = 8
+KMEANS_MOD = 2  # sample = vec_id % MOD == 0; at 100 TB pick MOD so the
+# sample is ~100k rows — the corpus itself never moves for training
+
+
+def kmeans_centroids_path(sf_dir: str) -> str:
+    """Deterministic centroid fixture for the DuckDB argmax oracle:
+    driver-side modular sample (vec_id % KMEANS_MOD == 0, sorted by
+    vec_id) + the SAME seeded spherical k-means the query's distributed
+    path runs (stages/kmeans.train). Identical row set, order, and
+    float math => bit-identical centroids, so the oracle independently
+    recomputes every assignment from this fixture."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..stages import kmeans as KM
+
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(tempfile.gettempdir(), f"dlp_ray_kmeans_{sf}")
+    out = os.path.join(out_dir, "centroids.parquet")
+    if os.path.exists(out):
+        return out
+    os.makedirs(out_dir, exist_ok=True)
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    emb = [v for i, v in zip(ids, t.column("embedding").to_pylist()) if i % KMEANS_MOD == 0]
+    order = np.argsort(ids[ids % KMEANS_MOD == 0], kind="stable")
+    sample = np.asarray(emb, dtype=np.float64)[order]
+    cent = KM.train(sample, KMEANS_K)
+    tbl = pa.table(
+        {
+            "centroid_id": pa.array(np.arange(len(cent), dtype=np.int64)),
+            "vector": pa.array([row.tolist() for row in cent], pa.list_(pa.float64())),
+        }
+    )
+    tmp = out + ".tmp"
+    pq.write_table(tbl, tmp, compression="zstd")
+    os.replace(tmp, out)
+    return out
+
+
+def q_kmeans_clusters(sf_dir: str):
+    """Semantic k-means clustering over the embedding column: the
+    distributed modular sample trains seeded spherical centroids
+    (driver-side over the tiny sample), then every vector is assigned
+    by ONE broadcast float64 matmul per batch — no shuffle, no per-row
+    Python. Oracle: DuckDB recomputes every assignment as the cosine
+    argmax against the centroid fixture (row_number over sim DESC,
+    centroid_id ASC — the same first-max tie-break as np.argmax)."""
+    from ..stages import kmeans as KM
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    sample = KM.modular_sample(ds, id_col="vec_id", emb_col="embedding", mod=KMEANS_MOD)
+    cent = KM.train(sample, KMEANS_K)
+    return KM.assign_clusters(ds, cent, id_col="vec_id", emb_col="embedding")
+
+
+QUERIES["kmeans_clusters"] = q_kmeans_clusters
+
+
+def q_cdc_scd2_history(sf_dir: str):
+    """SCD2 version history over the generated CDC log: per-key version
+    intervals [seq, next_seq) with dup-delivery dedup, one bucketed
+    exchange + one windowed polars pass per bucket (cdc/history.py).
+    Oracle: DuckDB lead() window over the DISTINCT events."""
+    import ray.data as rd
+
+    from ..cdc.history import scd2_history
+
+    ev_dir = cdc_events_dir(sf_dir)
+    ds = rd.read_parquet(ev_dir, columns=["repo", "path", "seq", "op"])
+    return scd2_history(ds)
+
+
+QUERIES["cdc_scd2_history"] = q_cdc_scd2_history

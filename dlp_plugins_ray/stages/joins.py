@@ -81,6 +81,147 @@ def broadcast_semi_anti(ds, key_set: set, *, key: str, anti: bool = False):
     )
 
 
+def hash_join(
+    left_ds,
+    right_ds,
+    *,
+    on: list[str] | str,
+    right_on: list[str] | str | None = None,
+    right_value_cols: list[str] | None = None,
+    how: str = "inner",
+    num_buckets: int = 64,
+):
+    """Distributed hash join for LARGE x LARGE inputs — the shuffle
+    join ``broadcast_join`` cannot do (its small side must fit one
+    worker heap; reference join semantics: CDAP BigQuery/Spark joins,
+    behavior only).
+
+    Both sides are tagged, conformed to a union schema, unioned, and
+    co-partitioned with ONE ``bucketed_group_reduce`` exchange on the
+    join key(s); every bucket block holds all rows of its keys from
+    BOTH sides, so a block-local polars join IS the global join. No
+    broadcast, no driver state — each side streams through exactly one
+    exchange, which is the minimum for a repartition join.
+
+    ``how``: 'inner' | 'left' | 'semi' | 'anti' (semi/anti return left
+    rows only, at most once each — the shuffle counterpart of
+    ``broadcast_semi_anti`` for build sides too big to broadcast).
+
+    Skew note (100 TB): a single hot key lands in one bucket; polars
+    handles many-to-many within the block, but a key whose row product
+    exceeds worker memory needs a salted pre-split upstream (same
+    contract as asof_join / any keyed reduce).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    rkeys = (
+        keys
+        if right_on is None
+        else ([right_on] if isinstance(right_on, str) else list(right_on))
+    )
+    key_rename = dict(zip(rkeys, keys))
+    l_schema = left_ds.schema().base_schema
+    left_cols = [f.name for f in l_schema]
+    r_schema0 = right_ds.schema().base_schema
+    if right_value_cols is None:
+        right_value_cols = [
+            f.name for f in r_schema0 if f.name not in rkeys
+        ]
+    if how in ("semi", "anti"):
+        right_value_cols = []
+    out_right = [
+        c if c not in left_cols else f"{c}_right" for c in right_value_cols
+    ]
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            _SIDE_COL, pa.array(np.zeros(batch.num_rows, dtype=np.int8))
+        )
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        batch = batch.select(rkeys + right_value_cols)
+        if key_rename:
+            batch = batch.rename_columns(
+                [key_rename.get(n, n) for n in batch.column_names]
+            )
+        # semi/anti need only distinct build keys — shrink pre-shuffle
+        if how in ("semi", "anti"):
+            batch = batch.group_by(keys).aggregate([])
+        return batch.append_column(
+            _SIDE_COL, pa.array(np.ones(batch.num_rows, dtype=np.int8))
+        )
+
+    lt = left_ds.map_batches(tag_left, batch_format="pyarrow")
+    rt = right_ds.map_batches(tag_right, batch_format="pyarrow")
+    l_tagged_schema = lt.schema().base_schema
+    r_tagged_schema = rt.schema().base_schema
+    union_schema = pa.unify_schemas(
+        [l_tagged_schema, r_tagged_schema], promote_options="permissive"
+    )
+
+    def conform(batch: pa.Table) -> pa.Table:
+        cols = []
+        for fld in union_schema:
+            i = batch.schema.get_field_index(fld.name)
+            if i >= 0:
+                c = batch.column(i)
+                if c.type != fld.type:
+                    c = c.cast(fld.type)
+                cols.append(c)
+            else:
+                cols.append(pa.nulls(batch.num_rows, fld.type))
+        return pa.Table.from_arrays(cols, schema=union_schema)
+
+    unioned = lt.map_batches(conform, batch_format="pyarrow").union(
+        rt.map_batches(conform, batch_format="pyarrow")
+    )
+
+    out_schema = pa.schema(
+        [(f.name, union_schema.field(f.name).type) for f in l_schema]
+        + [
+            (o, union_schema.field(c).type)
+            for c, o in zip(right_value_cols, out_right)
+        ]
+    )
+
+    def per_bucket(block: pa.Table) -> pa.Table:
+        import polars as pl
+
+        side = block.column(_SIDE_COL)
+        lf = block.filter(pc.equal(side, 0)).select(left_cols)
+        rf = block.filter(pc.equal(side, 1)).select(keys + right_value_cols)
+        if lf.num_rows == 0:
+            return out_schema.empty_table()
+        pl_how = {"inner": "inner", "left": "left", "semi": "semi", "anti": "anti"}[how]
+        if rf.num_rows == 0:
+            if how == "anti":
+                out = lf
+            elif how == "left":
+                out = lf
+                for c, o in zip(right_value_cols, out_right):
+                    out = out.append_column(
+                        o, pa.nulls(lf.num_rows, union_schema.field(c).type)
+                    )
+            else:
+                return out_schema.empty_table()
+            return out.select(out_schema.names).cast(out_schema)
+        ldf = pl.from_arrow(lf)
+        rdf = pl.from_arrow(rf).rename(dict(zip(right_value_cols, out_right)))
+        kw = {"coalesce": True} if pl_how in ("inner", "left") else {}
+        joined = ldf.join(rdf, on=keys, how=pl_how, **kw)
+        out = joined.to_arrow()
+        return out.select(out_schema.names).cast(out_schema)
+
+    from .shuffle import bucketed_group_reduce
+
+    return bucketed_group_reduce(
+        unioned,
+        keys,
+        per_bucket,
+        num_buckets=num_buckets,
+        out_schema=out_schema,
+    )
+
+
 def asof_join(
     left_ds,
     right_ds,

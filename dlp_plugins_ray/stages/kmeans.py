@@ -1,0 +1,151 @@
+"""Distributed k-means over an embedding column — semantic clustering
+for training-data pipelines (cluster-balanced sampling, semantic
+near-dup bucketing, diversity filtering).
+
+Reference scope note: the reference (CDAP dlp-plugins) has no vector
+ops at all; this is part of the LLM-data layer this engine adds.
+
+100 TB shape:
+1. ``modular_sample`` — deterministic no-RNG corpus sample
+   (``id % mod == 0``, the same pure-modular trick as
+   ``stratified_sample``): only the sampled rows travel to the driver,
+   the corpus never moves. Pick ``mod`` so the sample is ~100k rows.
+2. ``train`` on the driver over the id-sorted sample (seeded spherical
+   k-means, deterministic — reuses ``ann.train_centroids``).
+3. ``assign_clusters`` — centroids broadcast ONCE via ``ray.put``; one
+   float64 matmul per batch, no shuffle, no per-row Python.
+4. ``refine_centroids`` (optional) — Lloyd iterations over the FULL
+   corpus: each pass ships one (k x dim sums, k counts) partial per
+   block (a few KB), never rows. Partial merge order makes refined
+   centroids deterministic only up to float-summation order, so the
+   oracle-checked query pins the sample-trained centroids and the
+   refinement is pinned by pytest invariants (inertia non-increasing).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from .ann import _as_matrix, _normalize, train_centroids
+
+
+def modular_sample(ds, *, id_col: str, emb_col: str, mod: int) -> np.ndarray:
+    """Deterministic sample: rows with ``id % mod == 0``, returned as a
+    float64 matrix sorted by id (set- and order-deterministic
+    regardless of block layout)."""
+
+    def pick(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        mask = pa.array(ids % mod == 0)
+        return b.filter(mask).select([id_col, emb_col])
+
+    rows = ds.map_batches(pick, batch_format="pyarrow", batch_size=None).take_all()
+    rows.sort(key=lambda r: r[id_col])
+    if not rows:
+        return np.zeros((0, 0), dtype=np.float64)
+    return np.asarray([r[emb_col] for r in rows], dtype=np.float64)
+
+
+def train(sample: np.ndarray, k: int, *, iters: int = 10, seed: int = 5) -> np.ndarray:
+    """Spherical k-means on the driver-side sample (cosine geometry,
+    matching the ANN/IVF stack). Deterministic for a fixed sample."""
+    return np.asarray(
+        train_centroids(sample, n_centroids=k, iters=iters, seed=seed),
+        dtype=np.float64,
+    )
+
+
+class AssignStage:
+    """map_batches stage: nearest-centroid assignment by cosine
+    similarity, computed in float64 so an independent float64 oracle
+    (DuckDB ``list_cosine_similarity``) lands on the same argmax.
+    Ties break to the LOWEST centroid id (np.argmax takes the first)."""
+
+    def __init__(self, centroids_ref, id_col: str, emb_col: str):
+        c = (
+            ray.get(centroids_ref)
+            if not isinstance(centroids_ref, np.ndarray)
+            else centroids_ref
+        )
+        self.cent = _normalize(np.asarray(c, dtype=np.float64))
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = _as_matrix(batch.column(self.emb_col)).astype(np.float64)
+        emb = _normalize(emb)
+        assign = (emb @ self.cent.T).argmax(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "cluster": pa.array(assign),
+            }
+        )
+
+
+def assign_clusters(ds, centroids: np.ndarray, *, id_col: str = "vec_id",
+                    emb_col: str = "embedding"):
+    """(id, cluster) for every row — centroids travel once, corpus
+    never shuffles."""
+    from .cache import cached_task_stage
+
+    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+    return ds.map_batches(
+        cached_task_stage(AssignStage, ref, id_col, emb_col),
+        batch_format="pyarrow",
+    )
+
+
+def refine_centroids(
+    ds, centroids: np.ndarray, *, emb_col: str = "embedding", iters: int = 2
+) -> tuple[np.ndarray, list[float]]:
+    """Lloyd refinement over the full corpus. Per iteration, each block
+    emits ONE partial row (per-cluster float64 vector sums + counts +
+    inertia contribution); the driver merges the tiny partials and
+    re-normalizes. Returns (refined centroids, per-iteration inertia) —
+    inertia here = mean(1 - cosine(x, centroid(x))), non-increasing
+    under spherical Lloyd steps (pytest pins this)."""
+    cent = _normalize(np.asarray(centroids, dtype=np.float64))
+    k, dim = cent.shape
+    inertias: list[float] = []
+    for _ in range(iters):
+        cref = ray.put(cent)
+
+        def partial(b: pa.Table, cref=cref) -> pa.Table:
+            c = ray.get(cref)
+            emb = _normalize(_as_matrix(b.column(emb_col)).astype(np.float64))
+            sims = emb @ c.T
+            a = sims.argmax(axis=1)
+            best = sims[np.arange(len(a)), a] if len(a) else np.zeros(0)
+            sums = np.zeros((k, dim), dtype=np.float64)
+            np.add.at(sums, a, emb)
+            counts = np.bincount(a, minlength=k).astype(np.int64)
+            return pa.table(
+                {
+                    "sums": pa.array([sums.ravel().tolist()], pa.list_(pa.float64())),
+                    "counts": pa.array([counts.tolist()], pa.list_(pa.int64())),
+                    "loss": pa.array([float((1.0 - best).sum())], pa.float64()),
+                    "n": pa.array([int(len(a))], pa.int64()),
+                }
+            )
+
+        sums = np.zeros((k, dim), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.int64)
+        loss, n = 0.0, 0
+        for r in ds.map_batches(
+            partial, batch_format="pyarrow", batch_size=None
+        ).take_all():
+            sums += np.asarray(r["sums"], dtype=np.float64).reshape(k, dim)
+            counts += np.asarray(r["counts"], dtype=np.int64)
+            loss += r["loss"]
+            n += r["n"]
+        inertias.append(loss / max(1, n))
+        nz = counts > 0
+        new = cent.copy()
+        new[nz] = sums[nz] / counts[nz, None]
+        cent = _normalize(new)
+    return cent, inertias

@@ -1,0 +1,265 @@
+"""Round-3 operators: shuffle hash join, distributed k-means,
+SCD2 version history."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _pdf(ds):
+    t = ds.to_pandas() if hasattr(ds, "to_pandas") else pd.DataFrame(ds.take_all())
+    return t
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHashJoin:
+    def _sides(self, n_left=500, n_right=200, seed=7):
+        rng = np.random.RandomState(seed)
+        left = pa.table(
+            {
+                "k": pa.array(rng.randint(0, 100, n_left)),
+                "lv": pa.array(np.arange(n_left, dtype=np.int64)),
+            }
+        )
+        right = pa.table(
+            {
+                "k": pa.array(rng.randint(50, 150, n_right)),
+                "rv": pa.array(rng.randint(0, 1000, n_right)),
+            }
+        )
+        return left, right
+
+    def _run(self, how, **kw):
+        import ray.data as rd
+
+        from dlp_plugins_ray.stages.joins import hash_join
+
+        left, right = self._sides()
+        out = _pdf(
+            hash_join(
+                rd.from_arrow(left),
+                rd.from_arrow(right),
+                on="k",
+                how=how,
+                num_buckets=8,
+                **kw,
+            )
+        )
+        lp, rp = left.to_pandas(), right.to_pandas()
+        return out, lp, rp
+
+    @staticmethod
+    def _canon(df):
+        return (
+            df[sorted(df.columns)]
+            .sort_values(by=sorted(df.columns))
+            .reset_index(drop=True)
+        )
+
+    def test_inner_matches_pandas(self):
+        out, lp, rp = self._run("inner")
+        expect = lp.merge(rp, on="k", how="inner")
+        pd.testing.assert_frame_equal(
+            self._canon(out), self._canon(expect), check_dtype=False
+        )
+
+    def test_left_matches_pandas(self):
+        out, lp, rp = self._run("left")
+        expect = lp.merge(rp, on="k", how="left")
+        pd.testing.assert_frame_equal(
+            self._canon(out), self._canon(expect), check_dtype=False
+        )
+
+    def test_semi_anti_partition_left(self):
+        semi, lp, rp = self._run("semi")
+        anti, _, _ = self._run("anti")
+        rk = set(rp["k"])
+        expect_semi = lp[lp["k"].isin(rk)]
+        expect_anti = lp[~lp["k"].isin(rk)]
+        assert len(semi) == len(expect_semi)
+        assert len(anti) == len(expect_anti)
+        assert set(semi["lv"]) == set(expect_semi["lv"])
+        assert set(anti["lv"]) == set(expect_anti["lv"])
+        # semi + anti = left, disjoint
+        assert len(semi) + len(anti) == len(lp)
+
+    def test_right_on_rename(self):
+        import ray.data as rd
+
+        from dlp_plugins_ray.stages.joins import hash_join
+
+        left = pa.table({"a": pa.array([1, 2, 3, 4]), "x": pa.array([10, 20, 30, 40])})
+        right = pa.table({"b": pa.array([2, 4, 9]), "y": pa.array(["p", "q", "r"])})
+        out = _pdf(
+            hash_join(
+                rd.from_arrow(left),
+                rd.from_arrow(right),
+                on="a",
+                right_on="b",
+                how="inner",
+                num_buckets=4,
+            )
+        ).sort_values("a")
+        assert out["a"].tolist() == [2, 4]
+        assert out["y"].tolist() == ["p", "q"]
+
+    def test_many_to_many(self):
+        import ray.data as rd
+
+        from dlp_plugins_ray.stages.joins import hash_join
+
+        left = pa.table({"k": pa.array([1, 1, 2]), "lv": pa.array([0, 1, 2])})
+        right = pa.table({"k": pa.array([1, 1]), "rv": pa.array([7, 8])})
+        out = _pdf(
+            hash_join(
+                rd.from_arrow(left), rd.from_arrow(right), on="k", num_buckets=2
+            )
+        )
+        assert len(out) == 4  # 2x2 product for key 1, none for 2
+
+    def test_column_collision_suffix(self):
+        import ray.data as rd
+
+        from dlp_plugins_ray.stages.joins import hash_join
+
+        left = pa.table({"k": pa.array([1, 2]), "v": pa.array([10, 20])})
+        right = pa.table({"k": pa.array([1, 2]), "v": pa.array([7, 8])})
+        out = _pdf(
+            hash_join(
+                rd.from_arrow(left), rd.from_arrow(right), on="k", num_buckets=2
+            )
+        ).sort_values("k")
+        assert "v_right" in out.columns
+        assert out["v"].tolist() == [10, 20]
+        assert out["v_right"].tolist() == [7, 8]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKmeans:
+    def _emb_ds(self, n=200, dim=16, k=4, seed=3):
+        import ray.data as rd
+
+        rng = np.random.RandomState(seed)
+        centers = rng.randn(k, dim) * 5
+        pts = centers[np.arange(n) % k] + rng.randn(n, dim) * 0.1
+        t = pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(
+                    [r.tolist() for r in pts.astype(np.float32)],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+        return rd.from_arrow(t), pts
+
+    def test_assignment_is_argmax_and_deterministic(self):
+        from dlp_plugins_ray.stages import kmeans as KM
+
+        ds, pts = self._emb_ds()
+        sample = KM.modular_sample(ds, id_col="vec_id", emb_col="embedding", mod=2)
+        assert sample.shape[0] == 100
+        cent = KM.train(sample, 4)
+        out1 = _pdf(KM.assign_clusters(ds, cent)).sort_values("vec_id")
+        out2 = _pdf(KM.assign_clusters(ds, cent)).sort_values("vec_id")
+        assert out1["cluster"].tolist() == out2["cluster"].tolist()
+        # independent numpy argmax verification
+        def norm(m):
+            n = np.linalg.norm(m, axis=1, keepdims=True)
+            n[n == 0] = 1
+            return m / n
+
+        sims = norm(pts.astype(np.float64)) @ norm(cent).T
+        assert out1["cluster"].tolist() == sims.argmax(axis=1).tolist()
+
+    def test_well_separated_clusters_recovered(self):
+        from dlp_plugins_ray.stages import kmeans as KM
+
+        ds, pts = self._emb_ds()
+        sample = KM.modular_sample(ds, id_col="vec_id", emb_col="embedding", mod=1)
+        cent = KM.train(sample, 4)
+        out = _pdf(KM.assign_clusters(ds, cent)).sort_values("vec_id")
+        # points planted from the same center must co-cluster
+        truth = np.arange(len(pts)) % 4
+        lab = out["cluster"].to_numpy()
+        for g in range(4):
+            members = lab[truth == g]
+            assert (members == members[0]).all()
+
+    def test_refine_inertia_non_increasing(self):
+        from dlp_plugins_ray.stages import kmeans as KM
+
+        ds, _ = self._emb_ds(n=300)
+        sample = KM.modular_sample(ds, id_col="vec_id", emb_col="embedding", mod=5)
+        cent = KM.train(sample, 4, iters=1)  # under-trained on purpose
+        refined, inertias = KM.refine_centroids(ds, cent, iters=3)
+        assert refined.shape == cent.shape
+        assert all(
+            b <= a + 1e-9 for a, b in zip(inertias, inertias[1:])
+        ), inertias
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestScd2History:
+    def test_history_matches_duckdb_window(self, tmp_path):
+        import duckdb
+        import ray.data as rd
+
+        from dlp_plugins_ray.cdc import events as EV
+        from dlp_plugins_ray.cdc.history import scd2_history
+
+        ev_dir = str(tmp_path / "ev")
+        EV.write_events_parquet(ev_dir, 4000, n_shards=4)
+        ds = rd.read_parquet(ev_dir, columns=["repo", "path", "seq", "op"])
+        got = (
+            _pdf(scd2_history(ds, num_buckets=8))
+            .sort_values(["repo", "path", "seq"])
+            .reset_index(drop=True)
+        )
+        want = (
+            duckdb.sql(
+                f"""
+            WITH d AS (SELECT DISTINCT repo, path, seq, op
+                       FROM read_parquet('{ev_dir}/events-*.parquet'))
+            SELECT repo, path, seq, op,
+                   lead(seq) OVER w AS next_seq,
+                   (lead(seq) OVER w) IS NULL AS is_current
+            FROM d WINDOW w AS (PARTITION BY repo, path ORDER BY seq)
+            ORDER BY repo, path, seq
+        """
+            )
+            .df()
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_state_as_of_matches_replay_prefix(self, tmp_path):
+        """Point-in-time reconstruction at seq S == LWW replay of the
+        log truncated to seq <= S."""
+        import ray.data as rd
+
+        from dlp_plugins_ray.cdc import events as EV
+        from dlp_plugins_ray.cdc.history import scd2_history, state_as_of
+
+        ev_dir = str(tmp_path / "ev")
+        EV.write_events_parquet(ev_dir, 3000, n_shards=4)
+        tbl = EV.generate_change_events(3000)
+        as_of = 1500
+        ds = rd.read_parquet(ev_dir, columns=["repo", "path", "seq", "op"])
+        hist = scd2_history(ds, num_buckets=8)
+        got = (
+            _pdf(state_as_of(hist, as_of))
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)
+        )
+        import pyarrow.compute as pc
+
+        truncated = tbl.filter(pc.less_equal(tbl.column("seq"), as_of))
+        oracle = EV.oracle_replay(truncated)
+        assert set(zip(got["repo"], got["path"])) == set(oracle.keys())
+        seqs = {(r, p): s for r, p, s in zip(got["repo"], got["path"], got["seq"])}
+        for k, (s, _content) in oracle.items():
+            assert seqs[k] == s
