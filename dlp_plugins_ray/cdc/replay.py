@@ -166,6 +166,77 @@ def drop_tombstones(batch: pa.Table) -> pa.Table:
     return batch.filter(pc.not_equal(pc.fill_null(batch.column("op"), ""), "delete"))
 
 
+# --- commit wire packing -----------------------------------------------------
+# The 40-char lowercase hex commit is ~23% of every exchanged byte (the
+# widest non-content column). Through the shuffle it travels as the
+# 20-byte packed binary instead: fixed-length lowercase hex is order-
+# isomorphic to its packed bytes, so the LWW (seq, commit) tie-break
+# sorts identically either way; the finalize task unpacks before any
+# merge with base data, so lake files and manifests still hold hex.
+
+
+def _pack_commit(batch: pa.Table) -> pa.Table:
+    import polars as pl
+
+    packed = (
+        pl.from_arrow(batch.select(["commit"]))
+        .select(pl.col("commit").str.decode("hex"))
+        .to_series()
+        .to_arrow()
+    )
+    i = batch.schema.get_field_index("commit")
+    return batch.set_column(
+        i, pa.field("commit", pa.binary()), packed.cast(pa.binary())
+    )
+
+
+def _unpack_commit(batch: pa.Table) -> pa.Table:
+    ctype = batch.column("commit").type
+    if not (pa.types.is_binary(ctype) or pa.types.is_large_binary(ctype)):
+        return batch  # already hex (or packing disabled)
+    import polars as pl
+
+    hexed = (
+        pl.from_arrow(batch.select(["commit"]))
+        .select(pl.col("commit").bin.encode("hex"))
+        .to_series()
+        .to_arrow()
+    )
+    i = batch.schema.get_field_index("commit")
+    return batch.set_column(
+        i, pa.field("commit", pa.string()), hexed.cast(pa.string())
+    )
+
+
+def _commit_wire_packable(events_path: str | list) -> bool:
+    """Driver-side probe: pack only when the commit column is uniformly
+    40-char lowercase hex (the probe samples one row group from up to 8
+    files; heterogeneous sources keep plain strings — pass
+    ``pack_commit=False`` explicitly for mixed data the probe missed)."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    files = _parquet_files(events_path)[:8]
+    if not files:
+        return False
+    pat = re.compile(r"[0-9a-f]{40}\Z")
+    seen = 0
+    try:
+        for f in files:
+            pf = pq.ParquetFile(f)
+            if "commit" not in pf.schema_arrow.names:
+                return False
+            vals = pf.read_row_group(0, columns=["commit"]).column("commit").to_pylist()
+            for v in vals[:1000]:
+                if v is None or not pat.fullmatch(v):
+                    return False
+            seen += min(len(vals), 1000)
+    except Exception:
+        return False
+    return seen > 0
+
+
 def _row_checksum(batch: pa.Table, mode: str = "xxh64") -> int:
     """Order-insensitive content checksum: sum of per-row 64-bit row
     hashes mod 2^64, over (repo, path, seq, content).
@@ -261,6 +332,7 @@ class ReplayMapStage:
         num_partitions: int = 32,
         checkpoint: dict[int, int] | None = None,
         key_hash_algo: str = KEY_HASH_ALGO,
+        pack_commit: bool = False,
     ):
         self.normalize = NormalizeStage(registry)
         self.ckpt = (
@@ -271,6 +343,7 @@ class ReplayMapStage:
         self.redact = RedactionStage(policy_json) if policy_json else None
         self.num_partitions = num_partitions
         self.key_hash_algo = key_hash_algo
+        self.pack_commit = pack_commit
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         batch = self.normalize(batch)
@@ -279,7 +352,10 @@ class ReplayMapStage:
         if self.redact is not None:
             batch = self.redact(batch)
         batch = lww_reduce(batch)
-        return add_pkey(batch, self.num_partitions, self.key_hash_algo)
+        batch = add_pkey(batch, self.num_partitions, self.key_hash_algo)
+        if self.pack_commit:
+            batch = _pack_commit(batch)
+        return batch
 
 
 class CheckpointFilter:
@@ -338,6 +414,9 @@ class FinalizeAndCommit:
         if pkey in self.skip:
             return _manifest_row_table([])  # already committed this epoch
         group = group.drop_columns([PKEY_COL])
+        # wire-packed commits become hex again BEFORE any base merge or
+        # LWW pass — lake files, checksums and manifests only see hex
+        group = _unpack_commit(group)
 
         if self.merge_base:
             base_path = mf.partition_data_path(self.out_dir, pkey)
@@ -499,6 +578,7 @@ def replay(
     key_hash_algo: str | None = None,
     checkpoint_filter: bool = True,
     checksum_mode: str | None = None,
+    pack_commit: bool | None = None,
 ):
     """Run the full replay; returns (manifest pandas DataFrame, epoch).
 
@@ -573,6 +653,9 @@ def replay(
         if incremental and checkpoint_filter:
             checkpoint = mf.table_checkpoint(out_dir)
 
+    if pack_commit is None:
+        pack_commit = _commit_wire_packable(events_path)
+
     policy_json = pol.to_json() if pol else None
     cache_key = json.dumps(
         [
@@ -582,6 +665,7 @@ def replay(
             epoch,
             (registry or DEFAULT_REGISTRY).fingerprint(),
             algo,
+            pack_commit,
         ],
         sort_keys=True,
         default=str,
@@ -596,6 +680,7 @@ def replay(
                 num_partitions=num_partitions,
                 checkpoint=checkpoint or None,
                 key_hash_algo=algo,
+                pack_commit=pack_commit,
             ),
         )
         return stage(batch)
