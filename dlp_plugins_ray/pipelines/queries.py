@@ -2141,12 +2141,7 @@ def q_bloom_semi_orders(sf_dir: str):
     orders prefiltered by the bloom (no false negatives), then the
     exact membership verify removes the ~fp-rate survivors. Result ==
     the exact semi join, checked by the oracle."""
-    import pyarrow.parquet as pq
-
-    from ..stages.joins import broadcast_semi_anti
     from ..stages.sketches import bloom_prefilter, build_bloom
-
-    import ray.data as rd
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     building = cust.map_batches(
@@ -2158,12 +2153,15 @@ def q_bloom_semi_orders(sf_dir: str):
     bloom = build_bloom(building, "c_custkey", n_bits=1 << 18)
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     pruned = bloom_prefilter(orders, bloom, "o_custkey")
-    # exact verify of the bloom survivors (at real scale this is the
-    # shuffle join the bloom just shrank; here the exact set fits)
-    keys = {
-        r["c_custkey"] for r in building.take_all()
-    }
-    return broadcast_semi_anti(pruned, keys, key="o_custkey")
+    # exact verify of the bloom survivors via the SHUFFLE semi join the
+    # bloom just shrank — no driver key-set materialization; both sides
+    # stream through one co-partitioning exchange (stages/joins.py)
+    from ..stages.joins import hash_join
+
+    return hash_join(
+        pruned, building, on="o_custkey", right_on="c_custkey",
+        how="semi", num_buckets=16,
+    )
 
 
 QUERIES["bloom_semi_orders"] = q_bloom_semi_orders
@@ -2648,3 +2646,126 @@ def q_cdc_scd2_history(sf_dir: str):
 
 
 QUERIES["cdc_scd2_history"] = q_cdc_scd2_history
+
+
+def q_running_total(sf_dir: str):
+    """Ordered window aggregate (running total per key): orders per
+    customer ordered by (o_orderdate, o_orderkey), cumulative sum in
+    exact integer cents — integers make the sequential sum identical
+    under ANY engine's accumulation scheme (DuckDB's windowed sum uses
+    a segment tree; float cumsum would drift). One bucketed exchange on
+    the key, one sorted polars cum_sum pass per bucket block."""
+    from ..stages.shuffle import bucketed_group_reduce
+
+    ds = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    out_schema = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("running_cents", pa.int64()),
+        ]
+    )
+
+    def per_bucket(block: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(block)
+            .with_columns(
+                (pl.col("o_totalprice") * 100 + 0.5)
+                .floor()
+                .cast(pl.Int64)
+                .alias("cents")
+            )
+            .sort(["o_custkey", "o_orderdate", "o_orderkey"])
+            .with_columns(
+                pl.col("cents").cum_sum().over("o_custkey").alias("running_cents")
+            )
+            .select(["o_orderkey", "o_custkey", "running_cents"])
+            .to_arrow()
+        )
+
+    return bucketed_group_reduce(
+        ds, ["o_custkey"], per_bucket, num_buckets=16, out_schema=out_schema
+    )
+
+
+QUERIES["running_total"] = q_running_total
+ORACLE_SQL["running_total"] = r"""
+    SELECT o_orderkey, o_custkey,
+           sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS running_cents
+    FROM orders
+"""
+
+
+def q_grouped_quantiles(sf_dir: str):
+    """EXACT grouped quantiles (discrete: the element at rank
+    ceil(q*n), no interpolation arithmetic — immune to float-formula
+    drift between engines): p50/p90 of o_totalprice per order
+    priority. Requires each group co-located (one bucketed exchange;
+    any single group must fit a reduce task — the standard exact-
+    quantile contract; ``sketches.approx_quantiles`` is the sketch
+    path when it doesn't)."""
+    from ..stages.shuffle import bucketed_group_reduce
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    out_schema = pa.schema(
+        [
+            ("o_orderpriority", pa.string()),
+            ("p50", pa.float64()),
+            ("p90", pa.float64()),
+        ]
+    )
+
+    def per_bucket(block: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(block)
+        rows = []
+        for key, sub in df.group_by("o_orderpriority"):
+            vals = np.sort(sub["o_totalprice"].to_numpy())
+            n = vals.size
+            # ceil(q*n) computed in the SAME float expression the SQL
+            # oracle uses, so boundary behavior is identical
+            p50 = vals[int(np.ceil(0.5 * n)) - 1]
+            p90 = vals[int(np.ceil(0.9 * n)) - 1]
+            rows.append((key[0], float(p50), float(p90)))
+        rows.sort()
+        return pa.table(
+            {
+                "o_orderpriority": pa.array([r[0] for r in rows], pa.string()),
+                "p50": pa.array([r[1] for r in rows], pa.float64()),
+                "p90": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        )
+
+    return bucketed_group_reduce(
+        ds, ["o_orderpriority"], per_bucket, num_buckets=4, out_schema=out_schema
+    )
+
+
+QUERIES["grouped_quantiles"] = q_grouped_quantiles
+ORACLE_SQL["grouped_quantiles"] = r"""
+    WITH ranked AS (
+      SELECT o_orderpriority, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_orderpriority ORDER BY o_totalprice
+             ) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           max(CASE WHEN rn <= CAST(ceil(0.5 * n) AS BIGINT)
+               THEN o_totalprice END) AS p50,
+           max(CASE WHEN rn <= CAST(ceil(0.9 * n) AS BIGINT)
+               THEN o_totalprice END) AS p90
+    FROM ranked GROUP BY o_orderpriority
+"""
