@@ -1898,6 +1898,8 @@ def tmp_oracle_sql(sf: str = "sf0.01") -> dict[str, str]:
     vec = os.path.join(tmp, f"dlp_ray_neardup_{sf}", "vectors.parquet")
     fix = os.path.join(tmp, f"dlp_ray_textdup_{sf}", "docs.parquet")
     cent = os.path.join(tmp, f"dlp_ray_kmeans_{sf}", "centroids.parquet")
+    snap_a = os.path.join(tmp, f"dlp_ray_snapdiff_{sf}", "state_a.parquet")
+    snap_b = os.path.join(tmp, f"dlp_ray_snapdiff_{sf}", "state_b.parquet")
     base = f"SELECT doc_id FROM read_parquet('{fix}') WHERE doc_id < {TEXTDUP_EXACT_OFF}"
     return {
         # planted-duplicate invariants: every row the Ray side emits is
@@ -1981,6 +1983,18 @@ def tmp_oracle_sql(sf: str = "sf0.01") -> dict[str, str]:
                    (lead(seq) OVER w) IS NULL AS is_current
             FROM d WINDOW w AS (PARTITION BY repo, path ORDER BY seq)
         """,
+        "snapshot_diff": f"""
+            SELECT coalesce(a.repo, b.repo) AS repo,
+                   coalesce(a.path, b.path) AS path,
+                   a.seq_a, b.seq_b,
+                   CASE WHEN a.seq_a IS NULL THEN 'insert'
+                        WHEN b.seq_b IS NULL THEN 'delete'
+                        ELSE 'update' END AS change
+            FROM read_parquet('{snap_a}') a
+            FULL JOIN read_parquet('{snap_b}') b
+              ON a.repo = b.repo AND a.path = b.path
+            WHERE a.seq_a IS NULL OR b.seq_b IS NULL OR a.seq_a <> b.seq_b
+        """,
     }
 
 
@@ -1995,6 +2009,7 @@ def prepare_oracle_fixtures(sf_dir: str = "/root/testdata/sf0.01") -> None:
     neardup_vectors_path(sf_dir)
     textdup_docs_path(sf_dir)
     kmeans_centroids_path(sf_dir)
+    snapshot_states_path(sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -2769,3 +2784,104 @@ ORACLE_SQL["grouped_quantiles"] = r"""
                THEN o_totalprice END) AS p90
     FROM ranked GROUP BY o_orderpriority
 """
+
+
+def snapshot_states_path(sf_dir: str) -> tuple[str, str]:
+    """Two point-in-time snapshots (60% / 100% of the seq range) of the
+    generated CDC log, computed by the single-process REFERENCE replay
+    (``events.oracle_replay``) — deliberately independent of the Ray
+    engine, so the snapshot-diff oracle is non-circular."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..cdc import events as EV
+
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(tempfile.gettempdir(), f"dlp_ray_snapdiff_{sf}")
+    pa_, pb_ = (
+        os.path.join(out_dir, "state_a.parquet"),
+        os.path.join(out_dir, "state_b.parquet"),
+    )
+    if os.path.exists(pa_) and os.path.exists(pb_):
+        return pa_, pb_
+    os.makedirs(out_dir, exist_ok=True)
+    ev_dir = cdc_events_dir(sf_dir)
+    import glob
+
+    tbl = pa.concat_tables(
+        [pq.read_table(f) for f in sorted(glob.glob(os.path.join(ev_dir, "*.parquet")))]
+    )
+    max_seq = pc.max(tbl.column("seq")).as_py()
+    cut = int(max_seq * 0.6)
+    for path, upto, col in ((pa_, cut, "seq_a"), (pb_, max_seq, "seq_b")):
+        state = EV.oracle_replay(tbl.filter(pc.less_equal(tbl.column("seq"), upto)))
+        rows = sorted((r, p, s) for (r, p), (s, _c) in state.items())
+        out = pa.table(
+            {
+                "repo": pa.array([r[0] for r in rows], pa.string()),
+                "path": pa.array([r[1] for r in rows], pa.string()),
+                col: pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+        tmp = path + ".tmp"
+        pq.write_table(out, tmp, compression="zstd")
+        os.replace(tmp, path)
+    return pa_, pb_
+
+
+def q_snapshot_diff(sf_dir: str):
+    """Snapshot diff -> change events (the CDC inverse: given two lake
+    states, emit the insert/update/delete set that turns A into B).
+    Distributed FULL shuffle join on the key (stages/joins.py
+    hash_join how='full', keys coalesced), then one vectorized
+    classify+filter pass. Oracle: DuckDB FULL JOIN over the
+    reference-replayed snapshot fixtures."""
+    import ray.data as rd
+
+    from ..stages.joins import hash_join
+
+    a_path, b_path = snapshot_states_path(sf_dir)
+    a = rd.read_parquet(a_path)
+    b = rd.read_parquet(b_path)
+    joined = hash_join(
+        a, b, on=["repo", "path"], right_value_cols=["seq_b"], how="full",
+        num_buckets=16,
+    )
+
+    def classify(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(batch)
+            .filter(
+                pl.col("seq_a").is_null()
+                | pl.col("seq_b").is_null()
+                | (pl.col("seq_a") != pl.col("seq_b"))
+            )
+            .with_columns(
+                pl.when(pl.col("seq_a").is_null())
+                .then(pl.lit("insert"))
+                .when(pl.col("seq_b").is_null())
+                .then(pl.lit("delete"))
+                .otherwise(pl.lit("update"))
+                .alias("change")
+            )
+            .to_arrow()
+            .cast(
+                pa.schema(
+                    [
+                        ("repo", pa.string()),
+                        ("path", pa.string()),
+                        ("seq_a", pa.int64()),
+                        ("seq_b", pa.int64()),
+                        ("change", pa.string()),
+                    ]
+                )
+            )
+        )
+
+    return joined.map_batches(classify, batch_format="pyarrow")
+
+
+QUERIES["snapshot_diff"] = q_snapshot_diff

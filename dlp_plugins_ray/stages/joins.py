@@ -103,9 +103,10 @@ def hash_join(
     broadcast, no driver state — each side streams through exactly one
     exchange, which is the minimum for a repartition join.
 
-    ``how``: 'inner' | 'left' | 'semi' | 'anti' (semi/anti return left
-    rows only, at most once each — the shuffle counterpart of
-    ``broadcast_semi_anti`` for build sides too big to broadcast).
+    ``how``: 'inner' | 'left' | 'full' | 'semi' | 'anti' (semi/anti
+    return left rows only, at most once each — the shuffle counterpart
+    of ``broadcast_semi_anti`` for build sides too big to broadcast;
+    'full' coalesces the key columns across sides).
 
     Skew note (100 TB): a single hot key lands in one bucket; polars
     handles many-to-many within the block, but a key whose row product
@@ -152,8 +153,18 @@ def hash_join(
 
     lt = left_ds.map_batches(tag_left, batch_format="pyarrow")
     rt = right_ds.map_batches(tag_right, batch_format="pyarrow")
-    l_tagged_schema = lt.schema().base_schema
-    r_tagged_schema = rt.schema().base_schema
+    # tagged schemas built structurally (executing rt.schema() returns
+    # None on an empty side and costs a partial execution otherwise)
+    side_field = pa.field(_SIDE_COL, pa.int8())
+    l_tagged_schema = pa.schema(list(l_schema) + [side_field])
+    r_tagged_schema = pa.schema(
+        [
+            pa.field(key_rename.get(f.name, f.name), f.type)
+            for f in r_schema0
+            if f.name in rkeys or f.name in right_value_cols
+        ]
+        + [side_field]
+    )
     union_schema = pa.unify_schemas(
         [l_tagged_schema, r_tagged_schema], promote_options="permissive"
     )
@@ -189,24 +200,40 @@ def hash_join(
         side = block.column(_SIDE_COL)
         lf = block.filter(pc.equal(side, 0)).select(left_cols)
         rf = block.filter(pc.equal(side, 1)).select(keys + right_value_cols)
+        if lf.num_rows == 0 and how == "full" and rf.num_rows:
+            # right-only bucket: keys from the right, left-only cols null
+            out = rf.rename_columns(
+                [
+                    dict(zip(right_value_cols, out_right)).get(n, n)
+                    for n in rf.column_names
+                ]
+            )
+            for name in out_schema.names:
+                if name not in out.column_names:
+                    out = out.append_column(
+                        name, pa.nulls(rf.num_rows, out_schema.field(name).type)
+                    )
+            return out.select(out_schema.names).cast(out_schema)
         if lf.num_rows == 0:
             return out_schema.empty_table()
-        pl_how = {"inner": "inner", "left": "left", "semi": "semi", "anti": "anti"}[how]
+        pl_how = {
+            "inner": "inner", "left": "left", "full": "full",
+            "semi": "semi", "anti": "anti",
+        }[how]
         if rf.num_rows == 0:
-            if how == "anti":
+            if how in ("anti", "left", "full"):
                 out = lf
-            elif how == "left":
-                out = lf
-                for c, o in zip(right_value_cols, out_right):
-                    out = out.append_column(
-                        o, pa.nulls(lf.num_rows, union_schema.field(c).type)
-                    )
+                if how != "anti":
+                    for c, o in zip(right_value_cols, out_right):
+                        out = out.append_column(
+                            o, pa.nulls(lf.num_rows, union_schema.field(c).type)
+                        )
             else:
                 return out_schema.empty_table()
             return out.select(out_schema.names).cast(out_schema)
         ldf = pl.from_arrow(lf)
         rdf = pl.from_arrow(rf).rename(dict(zip(right_value_cols, out_right)))
-        kw = {"coalesce": True} if pl_how in ("inner", "left") else {}
+        kw = {"coalesce": True} if pl_how in ("inner", "left", "full") else {}
         joined = ldf.join(rdf, on=keys, how=pl_how, **kw)
         out = joined.to_arrow()
         return out.select(out_schema.names).cast(out_schema)

@@ -713,3 +713,71 @@ class TestLateEvents:
         a = RP.read_lake_table(out_full).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
         b = RP.read_lake_table(out_inc).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestCommitWirePacking:
+    """Wire packing of the hex commit through the exchange: order
+    isomorphism, round-trip, and the driver-side probe's refusal of
+    heterogeneous data."""
+
+    def test_pack_unpack_roundtrip_and_order(self):
+        import hashlib
+
+        from dlp_plugins_ray.cdc.replay import _pack_commit, _unpack_commit
+
+        hexes = sorted(
+            hashlib.sha256(str(i).encode()).hexdigest()[:40] for i in range(50)
+        )
+        t = pa.table({"commit": pa.array(hexes, pa.string())})
+        packed = _pack_commit(t)
+        assert pa.types.is_binary(packed.column("commit").type)
+        # fixed-length lowercase hex sorts identically packed or not
+        vals = packed.column("commit").to_pylist()
+        assert vals == sorted(vals)
+        back = _unpack_commit(packed)
+        assert back.column("commit").to_pylist() == hexes
+        # unpack is a no-op on already-hex batches
+        assert _unpack_commit(t).column("commit").to_pylist() == hexes
+
+    def test_probe_rejects_non_hex(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from dlp_plugins_ray.cdc.replay import _commit_wire_packable
+
+        good = pa.table(
+            {"commit": pa.array(["a" * 40, "0123456789" * 4], pa.string())}
+        )
+        bad = pa.table(
+            {"commit": pa.array(["not-hex-at-all", "b" * 40], pa.string())}
+        )
+        gdir, bdir = tmp_path / "good", tmp_path / "bad"
+        gdir.mkdir(), bdir.mkdir()
+        pq.write_table(good, str(gdir / "e.parquet"))
+        pq.write_table(bad, str(bdir / "e.parquet"))
+        assert _commit_wire_packable(str(gdir)) is True
+        assert _commit_wire_packable(str(bdir)) is False
+        assert _commit_wire_packable(str(tmp_path / "missing")) is False
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReplayPackedEqualsUnpacked:
+    def test_byte_identical_lakes(self, tmp_path):
+        import glob
+        import hashlib
+
+        from dlp_plugins_ray.cdc import events as EV
+        from dlp_plugins_ray.cdc import replay as RP
+
+        ev = str(tmp_path / "ev")
+        EV.write_events_parquet(ev, 5000, n_shards=4)
+
+        def lake_hash(lake):
+            h = hashlib.sha256()
+            for f in sorted(glob.glob(os.path.join(lake, "part-*/data.parquet"))):
+                h.update(open(f, "rb").read())
+            return h.hexdigest()
+
+        la, lb = str(tmp_path / "la"), str(tmp_path / "lb")
+        RP.replay(ev, la, num_partitions=8, pack_commit=True)
+        RP.replay(ev, lb, num_partitions=8, pack_commit=False)
+        assert lake_hash(la) == lake_hash(lb)

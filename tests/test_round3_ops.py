@@ -106,6 +106,31 @@ class TestHashJoin:
         assert out["a"].tolist() == [2, 4]
         assert out["y"].tolist() == ["p", "q"]
 
+    def test_full_matches_pandas(self):
+        out, lp, rp = self._run("full")
+        expect = lp.merge(rp, on="k", how="outer")
+        pd.testing.assert_frame_equal(
+            self._canon(out), self._canon(expect), check_dtype=False
+        )
+
+    def test_full_one_empty_side(self):
+        import ray.data as rd
+
+        from dlp_plugins_ray.stages.joins import hash_join
+
+        left = pa.table({"k": pa.array([1, 2]), "lv": pa.array([10, 20])})
+        right = pa.table(
+            {"k": pa.array([], pa.int64()), "rv": pa.array([], pa.int64())}
+        )
+        out = _pdf(
+            hash_join(
+                rd.from_arrow(left), rd.from_arrow(right), on="k", how="full",
+                num_buckets=2,
+            )
+        ).sort_values("k")
+        assert out["k"].tolist() == [1, 2]
+        assert out["rv"].isna().all()
+
     def test_many_to_many(self):
         import ray.data as rd
 
