@@ -1900,6 +1900,7 @@ def tmp_oracle_sql(sf: str = "sf0.01") -> dict[str, str]:
     cent = os.path.join(tmp, f"dlp_ray_kmeans_{sf}", "centroids.parquet")
     snap_a = os.path.join(tmp, f"dlp_ray_snapdiff_{sf}", "state_a.parquet")
     snap_b = os.path.join(tmp, f"dlp_ray_snapdiff_{sf}", "state_b.parquet")
+    bench_fix = os.path.join(tmp, f"dlp_ray_decontam_{sf}", "benchmark.parquet")
     base = f"SELECT doc_id FROM read_parquet('{fix}') WHERE doc_id < {TEXTDUP_EXACT_OFF}"
     return {
         # planted-duplicate invariants: every row the Ray side emits is
@@ -1995,6 +1996,13 @@ def tmp_oracle_sql(sf: str = "sf0.01") -> dict[str, str]:
               ON a.repo = b.repo AND a.path = b.path
             WHERE a.seq_a IS NULL OR b.seq_b IS NULL OR a.seq_a <> b.seq_b
         """,
+        # exact substring-containment join — independent of the n-gram
+        # prefilter the Ray side uses for pruning
+        "decontaminate": f"""
+            SELECT DISTINCT d.doc_id, true AS contaminated
+            FROM documents d JOIN read_parquet('{bench_fix}') b
+              ON position(b.btext IN d.text) > 0
+        """,
     }
 
 
@@ -2010,6 +2018,7 @@ def prepare_oracle_fixtures(sf_dir: str = "/root/testdata/sf0.01") -> None:
     textdup_docs_path(sf_dir)
     kmeans_centroids_path(sf_dir)
     snapshot_states_path(sf_dir)
+    decontam_bench_path(sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -2885,3 +2894,182 @@ def q_snapshot_diff(sf_dir: str):
 
 
 QUERIES["snapshot_diff"] = q_snapshot_diff
+
+
+def q_doc_chunks(sf_dir: str):
+    """Document chunking for training prep (flat-map shape: one record
+    -> many): fixed 200-char windows with stride 150, derived fully
+    vectorized (polars int_ranges + explode + char slice — no Python
+    per row). Oracle: DuckDB generate_series + substr with the same
+    start arithmetic."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    CHUNK, STRIDE = 200, 150
+
+    def chunker(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(b)
+            .filter(pl.col("text").is_not_null() & (pl.col("text").str.len_chars() > 0))
+            .with_columns(
+                ((pl.col("text").str.len_chars().cast(pl.Int64) - 1) // STRIDE)
+                .alias("_max_idx")
+            )
+            .with_columns(
+                pl.int_ranges(0, pl.col("_max_idx") + 1).alias("chunk_idx")
+            )
+            .explode("chunk_idx")
+            .with_columns(
+                pl.col("text")
+                .str.slice(pl.col("chunk_idx") * STRIDE, CHUNK)
+                .alias("chunk_text")
+            )
+            .with_columns(
+                pl.col("chunk_text").str.len_chars().cast(pl.Int64).alias("chunk_len")
+            )
+            .select(["doc_id", "chunk_idx", "chunk_text", "chunk_len"])
+            .to_arrow()
+            .cast(
+                pa.schema(
+                    [
+                        ("doc_id", pa.int64()),
+                        ("chunk_idx", pa.int64()),
+                        ("chunk_text", pa.string()),
+                        ("chunk_len", pa.int64()),
+                    ]
+                )
+            )
+        )
+
+    return ds.map_batches(chunker, batch_format="pyarrow")
+
+
+QUERIES["doc_chunks"] = q_doc_chunks
+ORACLE_SQL["doc_chunks"] = r"""
+    WITH idx AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, CAST((length(text) - 1) // 150 AS BIGINT)))
+               AS chunk_idx
+      FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    )
+    SELECT doc_id, chunk_idx,
+           substr(text, chunk_idx * 150 + 1, 200) AS chunk_text,
+           length(substr(text, chunk_idx * 150 + 1, 200)) AS chunk_len
+    FROM idx
+"""
+
+
+DECONTAM_NGRAM = 8  # words per shingle
+DECONTAM_BENCH_TOKENS = 12
+
+
+def decontam_bench_path(sf_dir: str) -> str:
+    """Benchmark-passage fixture for decontamination: the raw prefix of
+    the first 12 whitespace-delimited tokens of every 25th document
+    (verbatim substrings, so token-stream containment is guaranteed and
+    the n-gram prefilter can never miss a true hit)."""
+    import re
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(tempfile.gettempdir(), f"dlp_ray_decontam_{sf}")
+    out = os.path.join(out_dir, "benchmark.parquet")
+    if os.path.exists(out):
+        return out
+    os.makedirs(out_dir, exist_ok=True)
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids, texts = t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+    rows = []
+    tok = re.compile(r"\S+")
+    for i, txt in sorted(zip(ids, texts)):
+        if i % 25 != 7 or not txt:
+            continue
+        ms = list(tok.finditer(txt))
+        if len(ms) < DECONTAM_BENCH_TOKENS:
+            continue
+        rows.append((i, txt[: ms[DECONTAM_BENCH_TOKENS - 1].end()]))
+    tbl = pa.table(
+        {
+            "bench_id": pa.array([r[0] for r in rows], pa.int64()),
+            "btext": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    tmp = out + ".tmp"
+    pq.write_table(tbl, tmp, compression="zstd")
+    os.replace(tmp, out)
+    return out
+
+
+def q_decontaminate(sf_dir: str):
+    """Train/test decontamination: flag corpus documents containing any
+    benchmark passage. The benchmark's word-8-gram hash set is
+    broadcast ONCE (ray.put); each batch prunes to candidate docs by
+    rolling shingle intersection (a verbatim passage of >= 8 tokens
+    shares all its 8-grams with the doc — zero false negatives), then
+    only candidates pay the exact substring verify against only the
+    benchmarks whose shingles matched. At 100 TB the corpus never
+    shuffles; only the (small) benchmark set travels. Oracle: exact
+    DuckDB substring-containment join."""
+    import ray
+
+    import pyarrow.parquet as pq
+
+    bench_path = decontam_bench_path(sf_dir)
+    bt = pq.read_table(bench_path)
+    bench = list(
+        zip(bt.column("bench_id").to_pylist(), bt.column("btext").to_pylist())
+    )
+    import zlib
+
+    # zlib.crc32: process-independent (Python's str hash() is seeded
+    # per process — a driver-built map would never match worker hashes)
+    shingle_map: dict[int, list[int]] = {}
+    for bi, (bid, btext) in enumerate(bench):
+        toks = btext.split()
+        for j in range(len(toks) - DECONTAM_NGRAM + 1):
+            h = zlib.crc32(" ".join(toks[j : j + DECONTAM_NGRAM]).encode())
+            shingle_map.setdefault(h, []).append(bi)
+    ref = ray.put((bench, shingle_map))
+
+    class Decontam:
+        def __init__(self, ref):
+            self.bench, self.shingles = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            import zlib
+
+            ids = b.column("doc_id").to_pylist()
+            texts = b.column("text").to_pylist()
+            out = []
+            for did, txt in zip(ids, texts):
+                if not txt:
+                    continue
+                toks = txt.split()
+                cands: set[int] = set()
+                for j in range(len(toks) - DECONTAM_NGRAM + 1):
+                    hit = self.shingles.get(
+                        zlib.crc32(" ".join(toks[j : j + DECONTAM_NGRAM]).encode())
+                    )
+                    if hit:
+                        cands.update(hit)
+                if cands and any(self.bench[bi][1] in txt for bi in cands):
+                    out.append(did)
+            return pa.table(
+                {
+                    "doc_id": pa.array(out, pa.int64()),
+                    "contaminated": pa.array([True] * len(out), pa.bool_()),
+                }
+            )
+
+    from ..stages.cache import cached_task_stage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(cached_task_stage(Decontam, ref), batch_format="pyarrow")
+
+
+QUERIES["decontaminate"] = q_decontaminate
