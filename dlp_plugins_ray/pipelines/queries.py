@@ -2960,15 +2960,16 @@ ORACLE_SQL["doc_chunks"] = r"""
 """
 
 
-DECONTAM_NGRAM = 8  # words per shingle
-DECONTAM_BENCH_TOKENS = 12
+DECONTAM_WINDOW = 16  # char window for the rolling-hash prefilter
+DECONTAM_BENCH_TOKENS = 12  # benchmark passages are >= 23 chars, > WINDOW
 
 
 def decontam_bench_path(sf_dir: str) -> str:
     """Benchmark-passage fixture for decontamination: the raw prefix of
     the first 12 whitespace-delimited tokens of every 25th document
-    (verbatim substrings, so token-stream containment is guaranteed and
-    the n-gram prefilter can never miss a true hit)."""
+    (verbatim substrings, so every 16-char window of a passage appears
+    verbatim in its source doc and the rolling-hash prefilter can never
+    miss a true hit)."""
     import re
     import tempfile
 
@@ -3007,14 +3008,16 @@ def decontam_bench_path(sf_dir: str) -> str:
 
 def q_decontaminate(sf_dir: str):
     """Train/test decontamination: flag corpus documents containing any
-    benchmark passage. The benchmark's word-8-gram hash set is
-    broadcast ONCE (ray.put); each batch prunes to candidate docs by
-    rolling shingle intersection (a verbatim passage of >= 8 tokens
-    shares all its 8-grams with the doc — zero false negatives), then
-    only candidates pay the exact substring verify against only the
-    benchmarks whose shingles matched. At 100 TB the corpus never
-    shuffles; only the (small) benchmark set travels. Oracle: exact
-    DuckDB substring-containment join."""
+    benchmark passage. The benchmark's 16-char rolling-window hash set
+    (dedup._shingle_hashes — the vectorized polynomial hash, process-
+    stable) is broadcast ONCE; each doc's window hashes are computed in
+    one numpy pass and probed with one sorted np.isin — a verbatim
+    passage (>= 23 chars > 16) shares ALL its windows with the doc, so
+    the prune has zero false negatives. Only candidate docs pay the
+    exact substring verify, and only against the benchmarks whose
+    windows matched. At 100 TB the corpus never shuffles; only the
+    (small) benchmark window table travels. Oracle: exact DuckDB
+    substring-containment join."""
     import ray
 
     import pyarrow.parquet as pq
@@ -3024,40 +3027,38 @@ def q_decontaminate(sf_dir: str):
     bench = list(
         zip(bt.column("bench_id").to_pylist(), bt.column("btext").to_pylist())
     )
-    import zlib
-
-    # zlib.crc32: process-independent (Python's str hash() is seeded
-    # per process — a driver-built map would never match worker hashes)
-    shingle_map: dict[int, list[int]] = {}
-    for bi, (bid, btext) in enumerate(bench):
-        toks = btext.split()
-        for j in range(len(toks) - DECONTAM_NGRAM + 1):
-            h = zlib.crc32(" ".join(toks[j : j + DECONTAM_NGRAM]).encode())
-            shingle_map.setdefault(h, []).append(bi)
-    ref = ray.put((bench, shingle_map))
+    pairs = []
+    for bi, (_bid, btext) in enumerate(bench):
+        for h in DD._shingle_hashes(btext, DECONTAM_WINDOW):
+            pairs.append((int(h), bi))
+    pairs.sort()
+    bh = np.array([p[0] for p in pairs], dtype=np.uint64)
+    bids = np.array([p[1] for p in pairs], dtype=np.int64)
+    ref = ray.put((bench, bh, bids))
 
     class Decontam:
         def __init__(self, ref):
-            self.bench, self.shingles = ray.get(ref)
+            self.bench, self.bh, self.bids = ray.get(ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            import zlib
-
             ids = b.column("doc_id").to_pylist()
             texts = b.column("text").to_pylist()
             out = []
             for did, txt in zip(ids, texts):
-                if not txt:
+                if not txt or len(txt) < DECONTAM_WINDOW:
                     continue
-                toks = txt.split()
-                cands: set[int] = set()
-                for j in range(len(toks) - DECONTAM_NGRAM + 1):
-                    hit = self.shingles.get(
-                        zlib.crc32(" ".join(toks[j : j + DECONTAM_NGRAM]).encode())
-                    )
-                    if hit:
-                        cands.update(hit)
-                if cands and any(self.bench[bi][1] in txt for bi in cands):
+                h = DD._shingle_hashes(txt, DECONTAM_WINDOW)
+                matched = h[np.isin(h, self.bh)]
+                if matched.size == 0:
+                    continue
+                lo = np.searchsorted(self.bh, matched, side="left")
+                hi = np.searchsorted(self.bh, matched, side="right")
+                cands = {
+                    int(x)
+                    for a, b_ in zip(lo, hi)
+                    for x in self.bids[a:b_]
+                }
+                if any(self.bench[bi][1] in txt for bi in cands):
                     out.append(did)
             return pa.table(
                 {
