@@ -2511,11 +2511,43 @@ def q_tpch_q3_lite(sf_dir: str):
         right_on="o_orderkey",
         right_value_cols=["o_orderdate", "o_orderpriority"],
         how="inner",
+        left_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("l_extendedprice", pa.float64()),
+                ("l_discount", pa.float64()),
+                ("l_shipdate", pa.timestamp("us")),
+            ]
+        ),
+        right_schema=pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("o_custkey", pa.int64()),
+                ("o_orderdate", pa.timestamp("us")),
+                ("o_orderpriority", pa.string()),
+            ]
+        ),
     )
 
-    def partial(b: pa.Table) -> pa.Table:
+    grouped_schema = pa.schema(
+        [
+            ("l_orderkey", pa.int64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("o_orderpriority", pa.string()),
+            ("revenue_cents", pa.int64()),
+        ]
+    )
+
+    # the join's output blocks are per-bucket (groupby(bucket).map_groups),
+    # so every block already holds ALL lineitems of its order keys —
+    # block-local grouped revenue + block-local top-10 is globally
+    # correct per key, and no second exchange is needed before the
+    # tiny driver merge (batch_size=None keeps batches = whole blocks)
+    def block_top10(b: pa.Table) -> pa.Table:
         import polars as pl
 
+        if b.num_rows == 0:
+            return grouped_schema.empty_table()
         return (
             pl.from_arrow(b)
             .with_columns(
@@ -2529,42 +2561,21 @@ def q_tpch_q3_lite(sf_dir: str):
             )
             .group_by(["l_orderkey", "o_orderdate", "o_orderpriority"])
             .agg(pl.col("cents").sum().alias("revenue_cents"))
-            .to_arrow()
-        )
-
-    grouped_schema = pa.schema(
-        [
-            ("l_orderkey", pa.int64()),
-            ("o_orderdate", pa.timestamp("us")),
-            ("o_orderpriority", pa.string()),
-            ("revenue_cents", pa.int64()),
-        ]
-    )
-
-    def final(block: pa.Table) -> pa.Table:
-        import polars as pl
-
-        return (
-            pl.from_arrow(block)
-            .group_by(["l_orderkey", "o_orderdate", "o_orderpriority"])
-            .agg(pl.col("revenue_cents").sum().alias("revenue_cents"))
             .sort(["revenue_cents", "l_orderkey"], descending=[True, False])
             .head(10)
             .to_arrow()
+            .select(grouped_schema.names)
+            .cast(grouped_schema)
         )
 
-    top_per_bucket = bucketed_group_reduce(
-        joined.map_batches(partial, batch_format="pyarrow", batch_size=None),
-        ["l_orderkey"],
-        final,
-        num_buckets=16,
-        out_schema=grouped_schema,
+    top_per_block = joined.map_batches(
+        block_top10, batch_format="pyarrow", batch_size=None
     )
-    # global merge: <= 10 x num_buckets candidate rows
+    # global merge: <= 10 x num_blocks candidate rows
     import polars as pl
 
     cand = pa.Table.from_pylist(
-        top_per_bucket.take_all(), schema=grouped_schema
+        top_per_block.take_all(), schema=grouped_schema
     )
     return (
         pl.from_arrow(cand)

@@ -90,6 +90,8 @@ def hash_join(
     right_value_cols: list[str] | None = None,
     how: str = "inner",
     num_buckets: int = 64,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ):
     """Distributed hash join for LARGE x LARGE inputs — the shuffle
     join ``broadcast_join`` cannot do (its small side must fit one
@@ -120,9 +122,11 @@ def hash_join(
         else ([right_on] if isinstance(right_on, str) else list(right_on))
     )
     key_rename = dict(zip(rkeys, keys))
-    l_schema = left_ds.schema().base_schema
+    # ds.schema() on a mapped dataset triggers a partial execution —
+    # callers that know their schemas statically should pass them
+    l_schema = left_schema or left_ds.schema().base_schema
     left_cols = [f.name for f in l_schema]
-    r_schema0 = right_ds.schema().base_schema
+    r_schema0 = right_schema or right_ds.schema().base_schema
     if right_value_cols is None:
         right_value_cols = [
             f.name for f in r_schema0 if f.name not in rkeys
