@@ -185,3 +185,78 @@ def ivf_topk(
         batch_format="pyarrow",
     )
     return brute_force_topk(pruned, queries, id_col=id_col, emb_col=emb_col, k=k)
+
+
+# --- partition-pruned-at-read IVF layout (the 100 TB path) -------------------
+
+
+def ivf_write_partitioned(
+    ds,
+    centroids: np.ndarray,
+    out_dir: str,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """Materialize the corpus hive-partitioned by coarse centroid
+    (``centroid=<c>/``). A search probing ``nprobe`` centroids then
+    READS only those directories — pruning happens at the storage
+    layer before any byte leaves disk, which is the real IVF layout at
+    100 TB (the in-batch filter in ``ivf_topk`` scans everything
+    once)."""
+    cref = ray.put(np.asarray(centroids, dtype=np.float32))
+    assigned = ds.map_batches(
+        IvfAssignStage,
+        fn_constructor_args=(cref, emb_col),
+        batch_format="pyarrow",
+        concurrency=(1, 16),
+    )
+    assigned.write_parquet(out_dir, partition_cols=["centroid"])
+    return out_dir
+
+
+def ivf_topk_partitioned(
+    layout_dir: str,
+    queries: np.ndarray,
+    centroids: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+):
+    """Search a partitioned IVF layout: pick the ``nprobe`` closest
+    centroids per query, read ONLY those partition directories, and
+    brute-force the survivors. Identical candidate set to ``ivf_topk``
+    with the same centroids/nprobe — pytest pins the equality."""
+    import os
+
+    import ray.data as rd
+
+    queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+    cent = np.asarray(centroids, dtype=np.float32)
+    q_cent = _normalize(queries) @ cent.T
+    probe = set()
+    for qi in range(q_cent.shape[0]):
+        probe.update(np.argsort(-q_cent[qi])[:nprobe].tolist())
+    import glob
+
+    paths = [
+        f
+        for c in sorted(probe)
+        for f in sorted(
+            glob.glob(os.path.join(layout_dir, f"centroid={c}", "*.parquet"))
+        )
+    ]
+    if not paths:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "query_idx": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        )
+    ds = rd.read_parquet(paths, columns=[id_col, emb_col])
+    return brute_force_topk(ds, queries, id_col=id_col, emb_col=emb_col, k=k)
