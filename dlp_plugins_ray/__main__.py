@@ -49,6 +49,13 @@ def main(argv=None) -> int:
     qp.add_argument("--partitions", type=int, required=True)
     qp.add_argument("--num-cpus", type=int, default=None)
 
+    vp = sub.add_parser(
+        "vacuum",
+        help="retire superseded per-partition manifests of a lake",
+    )
+    vp.add_argument("--lake", required=True)
+    vp.add_argument("--keep-epochs", type=int, default=2)
+
     args = p.parse_args(argv)
 
     if args.cmd == "gen":
@@ -73,6 +80,12 @@ def main(argv=None) -> int:
                 }
             )
         )
+        return 0
+
+    if args.cmd == "vacuum":
+        from .state.manifest import vacuum_manifests
+
+        print(json.dumps(vacuum_manifests(args.lake, keep_epochs=args.keep_epochs)))
         return 0
 
     # replay / repartition (both need a Ray session)

@@ -183,3 +183,53 @@ def ensure_table_meta(root: str, meta: dict) -> None:
             "committed with different partitioning; rerun with the "
             "original settings or use a fresh output directory"
         )
+
+
+def vacuum_manifests(root: str, *, keep_epochs: int = 2) -> dict:
+    """Retire superseded per-partition manifests. A long-tailed
+    incremental lake accrues one manifest file per (partition, epoch)
+    and EVERY run's checkpoint read scans all of them — at 4k
+    partitions x 10k applied slices that is 40M tiny files. Safe to
+    drop: a partition's older-epoch manifests are strictly superseded
+    by its max_seq manifest (``committed_partitions`` keeps the max
+    anyway). Kept: each partition's current (max_seq) manifest, plus
+    every manifest of the ``keep_epochs`` most recent epochs (recency =
+    the epoch's max committed max_seq) so an in-flight or just-resumed
+    epoch never loses its skip-set. Run-level ``run-*.json`` files of
+    retired epochs are removed with them. Returns counts."""
+    mdir = os.path.join(root, MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return {"removed": 0, "kept": 0}
+    part_files: list[tuple[str, PartitionManifest]] = []
+    epoch_max: dict[str, int] = {}
+    for name in sorted(os.listdir(mdir)):
+        if not name.endswith(".json") or name.startswith((".", "run-")):
+            continue
+        try:
+            m = PartitionManifest.from_json(open(os.path.join(mdir, name)).read())
+        except (json.JSONDecodeError, TypeError):
+            continue
+        part_files.append((name, m))
+        epoch_max[m.epoch] = max(epoch_max.get(m.epoch, -1), m.max_seq)
+    recent = {
+        e
+        for e, _ in sorted(epoch_max.items(), key=lambda kv: -kv[1])[:keep_epochs]
+    }
+    current = committed_partitions(root)  # partition -> max_seq manifest
+    current_keys = {(m.partition, m.epoch) for m in current.values()}
+    removed = kept = 0
+    for name, m in part_files:
+        if m.epoch in recent or (m.partition, m.epoch) in current_keys:
+            kept += 1
+            continue
+        os.unlink(os.path.join(mdir, name))
+        removed += 1
+    for name in sorted(os.listdir(mdir)):
+        if name.startswith("run-") and name.endswith(".json"):
+            epoch = name[len("run-"):-len(".json")]
+            if epoch not in recent and epoch not in {
+                m.epoch for m in current.values()
+            }:
+                os.unlink(os.path.join(mdir, name))
+                removed += 1
+    return {"removed": removed, "kept": kept}

@@ -781,3 +781,35 @@ class TestReplayPackedEqualsUnpacked:
         RP.replay(ev, la, num_partitions=8, pack_commit=True)
         RP.replay(ev, lb, num_partitions=8, pack_commit=False)
         assert lake_hash(la) == lake_hash(lb)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestVacuumManifests:
+    def test_checkpoint_preserved_and_resume_intact(self, tmp_path):
+        import glob
+
+        from dlp_plugins_ray.cdc import events as EV
+        from dlp_plugins_ray.cdc import replay as RP
+        from dlp_plugins_ray.state import manifest as mf
+
+        # 3 incremental epochs onto one lake
+        full = str(tmp_path / "full")
+        EV.write_events_parquet(full, 6000, n_shards=3)
+        files = sorted(glob.glob(os.path.join(full, "events-*.parquet")))
+        lake = str(tmp_path / "lake")
+        for i, f in enumerate(files):
+            RP.replay([f], lake, num_partitions=8, incremental=i > 0)
+
+        mdir = os.path.join(lake, mf.MANIFEST_DIR)
+        n_before = len(os.listdir(mdir))
+        ckpt_before = mf.table_checkpoint(lake)
+        stats = mf.vacuum_manifests(lake, keep_epochs=1)
+        assert stats["removed"] > 0
+        assert len(os.listdir(mdir)) < n_before
+        # the checkpoint (partition -> max_seq) is untouched
+        assert mf.table_checkpoint(lake) == ckpt_before
+        # resuming the LATEST epoch still skips all its partitions
+        mpdf, _ = RP.replay([files[-1]], lake, num_partitions=8, incremental=True)
+        assert len(mpdf) == 0  # everything skipped — manifests intact
+        # vacuum is idempotent
+        assert mf.vacuum_manifests(lake, keep_epochs=1)["removed"] == 0
