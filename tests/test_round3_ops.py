@@ -145,6 +145,53 @@ class TestHashJoin:
         )
         assert len(out) == 4  # 2x2 product for key 1, none for 2
 
+    def test_hot_key_many_to_many_bounded(self):
+        """One key holding most rows lands in a single bucket; the
+        block-local polars join must complete without memory blowup
+        (100k x 5 product) and produce the exact row count."""
+        import ray.data as rd
+
+        from dlp_plugins_ray.stages.joins import hash_join
+
+        n = 100_000
+        left = pa.table(
+            {
+                "k": pa.array(np.zeros(n, dtype=np.int64)),
+                "lv": pa.array(np.arange(n, dtype=np.int64)),
+            }
+        )
+        right = pa.table(
+            {"k": pa.array([0] * 5, pa.int64()), "rv": pa.array(range(5))}
+        )
+        out = hash_join(
+            rd.from_arrow(left), rd.from_arrow(right), on="k", num_buckets=8
+        )
+        assert out.count() == n * 5
+
+    def test_null_keys_never_match(self):
+        import ray.data as rd
+
+        from dlp_plugins_ray.stages.joins import hash_join
+
+        left = pa.table(
+            {"k": pa.array([1, None, 2], pa.int64()), "lv": pa.array([0, 1, 2])}
+        )
+        right = pa.table(
+            {"k": pa.array([None, 2], pa.int64()), "rv": pa.array([7, 8])}
+        )
+        inner = _pdf(
+            hash_join(rd.from_arrow(left), rd.from_arrow(right), on="k", num_buckets=4)
+        )
+        assert inner["lv"].tolist() == [2]  # SQL semantics: null != null
+        lp = _pdf(
+            hash_join(
+                rd.from_arrow(left), rd.from_arrow(right), on="k", how="left",
+                num_buckets=4,
+            )
+        ).sort_values("lv")
+        assert len(lp) == 3
+        assert lp["rv"].isna().sum() == 2  # null-key and unmatched rows
+
     def test_column_collision_suffix(self):
         import ray.data as rd
 
