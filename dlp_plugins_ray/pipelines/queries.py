@@ -3085,3 +3085,96 @@ def q_decontaminate(sf_dir: str):
 
 
 QUERIES["decontaminate"] = q_decontaminate
+
+
+PACK_BUDGET = 256  # tokens per pack window
+PACK_RANGE = 64  # docs per deterministic packing range
+
+
+def q_sequence_packing(sf_dir: str):
+    """Sequence packing for training (concatenated-token sharding, the
+    GPT-style pack-and-split layout): documents are concatenated in
+    doc_id order within fixed doc_id ranges — deterministic regardless
+    of block layout or read parallelism — and the token stream is cut
+    into PACK_BUDGET windows; each doc reports its token span and the
+    first/last pack it lands in. ONE bucketed exchange on range_id, one
+    sorted cumsum pass per bucket. Oracle: SQL window cumsum with the
+    IDENTICAL token expression as the token_count oracle (keep in sync
+    with functions/text.whitespace_token_count)."""
+    from ..stages.shuffle import bucketed_group_reduce
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("range_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("start_tok", pa.int64()),
+            ("first_pack", pa.int64()),
+            ("last_pack", pa.int64()),
+        ]
+    )
+
+    def tag_range(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.append_column("range_id", pa.array(ids // PACK_RANGE))
+
+    def per_bucket(block: pa.Table) -> pa.Table:
+        import polars as pl
+
+        stripped = pl.col("text").str.strip_chars()
+        return (
+            pl.from_arrow(block)
+            .filter(pl.col("text").is_not_null())
+            .with_columns(
+                pl.when(stripped == "")
+                .then(0)
+                .otherwise(stripped.str.count_matches(r"\s+") + 1)
+                .cast(pl.Int64)
+                .alias("n_tokens")
+            )
+            .filter(pl.col("n_tokens") > 0)
+            .sort(["range_id", "doc_id"])
+            .with_columns(
+                (pl.col("n_tokens").cum_sum().over("range_id") - pl.col("n_tokens"))
+                .alias("start_tok")
+            )
+            .with_columns(
+                (pl.col("start_tok") // PACK_BUDGET).alias("first_pack"),
+                (
+                    (pl.col("start_tok") + pl.col("n_tokens") - 1) // PACK_BUDGET
+                ).alias("last_pack"),
+            )
+            .select(out_schema.names)
+            .to_arrow()
+        )
+
+    return bucketed_group_reduce(
+        ds.map_batches(tag_range, batch_format="pyarrow"),
+        ["range_id"],
+        per_bucket,
+        num_buckets=16,
+        out_schema=out_schema,
+    )
+
+
+QUERIES["sequence_packing"] = q_sequence_packing
+ORACLE_SQL["sequence_packing"] = r"""
+    WITH t AS (
+      SELECT doc_id, doc_id // 64 AS range_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+      FROM documents WHERE text IS NOT NULL
+    ), c AS (
+      SELECT doc_id, range_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY range_id ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+      FROM t WHERE n_tokens > 0
+    )
+    SELECT doc_id, range_id, n_tokens, start_tok,
+           start_tok // 256 AS first_pack,
+           (start_tok + n_tokens - 1) // 256 AS last_pack
+    FROM c
+"""
