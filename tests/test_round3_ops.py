@@ -378,3 +378,113 @@ class TestScd2History:
         seqs = {(r, p): s for r, p, s in zip(got["repo"], got["path"], got["seq"])}
         for k, (s, _content) in oracle.items():
             assert seqs[k] == s
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRound3Properties:
+    """Property tests pinning the distributed round-3 operators to
+    naive single-process references on random inputs."""
+
+    def test_scd2_property_random_logs(self):
+        from hypothesis import given, settings, strategies as st
+
+        import ray.data as rd
+
+        from dlp_plugins_ray.cdc.history import scd2_history
+
+        @given(
+            st.lists(
+                st.tuples(
+                    st.integers(0, 5),  # key
+                    st.integers(0, 60),  # seq
+                    st.sampled_from(["insert", "update", "delete"]),
+                ),
+                min_size=1,
+                max_size=40,
+            )
+        )
+        @settings(max_examples=20, deadline=None)
+        def check(events):
+            # dedup (key, seq) like exact duplicate deliveries
+            t = pa.table(
+                {
+                    "repo": pa.array([f"r{k}" for k, _, _ in events]),
+                    "path": pa.array([f"p{k}" for k, _, _ in events]),
+                    "seq": pa.array([s for _, s, _ in events], pa.int64()),
+                    "op": pa.array([o for _, _, o in events]),
+                }
+            )
+            got = {
+                (r["repo"], r["seq"]): (r["next_seq"], r["is_current"])
+                for r in scd2_history(rd.from_arrow(t), num_buckets=4).take_all()
+            }
+            # naive reference
+            byk: dict = {}
+            seen = set()
+            for k, s, o in events:
+                if (k, s) in seen:
+                    continue
+                seen.add((k, s))
+                byk.setdefault(k, []).append(s)
+            want = {}
+            for k, seqs in byk.items():
+                seqs.sort()
+                for i, s in enumerate(seqs):
+                    nxt = seqs[i + 1] if i + 1 < len(seqs) else None
+                    want[(f"r{k}", s)] = (nxt, nxt is None)
+            assert got == want
+
+        check()
+
+    def test_hash_join_property_random(self):
+        from hypothesis import given, settings, strategies as st
+
+        import ray.data as rd
+
+        from dlp_plugins_ray.stages.joins import hash_join
+
+        @given(
+            st.lists(st.integers(0, 8), min_size=0, max_size=25),
+            st.lists(st.integers(0, 8), min_size=0, max_size=25),
+            st.sampled_from(["inner", "left", "semi", "anti", "full"]),
+        )
+        @settings(max_examples=15, deadline=None)
+        def check(lkeys, rkeys, how):
+            if not lkeys:  # empty left: skip (schema inference needs rows)
+                return
+            left = pa.table(
+                {
+                    "k": pa.array(lkeys, pa.int64()),
+                    "lv": pa.array(range(len(lkeys)), pa.int64()),
+                }
+            )
+            right = pa.table(
+                {
+                    "k": pa.array(rkeys, pa.int64()),
+                    "rv": pa.array(range(len(rkeys)), pa.int64()),
+                }
+            )
+            out = hash_join(
+                rd.from_arrow(left),
+                rd.from_arrow(right),
+                on="k",
+                how=how,
+                num_buckets=4,
+                left_schema=left.schema,
+                right_schema=right.schema,
+            ).take_all()
+            lp, rp = left.to_pandas(), right.to_pandas()
+            rset = set(rkeys)
+            if how == "inner":
+                want = len(lp.merge(rp, on="k"))
+            elif how == "left":
+                want = len(lp.merge(rp, on="k", how="left"))
+            elif how == "full":
+                want = len(lp.merge(rp, on="k", how="outer"))
+            elif how == "semi":
+                want = int(lp["k"].isin(rset).sum())
+            else:  # anti
+                want = int((~lp["k"].isin(rset)).sum())
+            assert len(out) == want
+
+        check()
