@@ -2185,6 +2185,10 @@ def q_bloom_semi_orders(sf_dir: str):
     return hash_join(
         pruned, building, on="o_custkey", right_on="c_custkey",
         how="semi", num_buckets=16,
+        left_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]
+        ),
+        right_schema=pa.schema([("c_custkey", pa.int64())]),
     )
 
 
