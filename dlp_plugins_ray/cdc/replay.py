@@ -13,6 +13,8 @@ Dataflow (all streaming, one all-to-all exchange):
       -> map_batches(RedactionStage, cached/worker) # policy transforms
       -> map_batches(partial LWW combiner)          # per-block pre-reduce:
                                                     #   <=1 row per key per block
+      -> pack (pkey, zstd arrow blob) per block     # exchange moves ~#blocks x P
+                                                    #   fat rows, not millions thin
       -> groupby(_pkey).map_groups(finalize+write)  # ONE shuffle, partition-
                                                     #   aligned reduce + commit
       -> small manifest dataset -> driver
@@ -208,6 +210,60 @@ def _unpack_commit(batch: pa.Table) -> pa.Table:
     )
 
 
+# --- block packing through the exchange --------------------------------------
+# The sort exchange pays per ROW (compare + copy 8.5M thin rows in the
+# 8.4M-event bench). The map stage already knows each row's partition,
+# so it can pack each (input block, pkey) sub-table into ONE
+# zstd-compressed Arrow IPC blob: the exchange then moves ~#blocks x
+# #partitions fat rows (~600-row, ~100 KB objects — the object-store
+# sweet spot) instead of millions of thin ones, and ships ~2.5x fewer
+# bytes. The finalize task unpacks, concats, and proceeds unchanged —
+# partition files stay byte-identical (deterministic sort before
+# write). Disabled under salt_buckets (the salted phase reduces raw
+# rows between two exchanges).
+
+PACKED_COL = "_packed"
+
+
+def _pack_block_by_pkey(batch: pa.Table) -> pa.Table:
+    if batch.num_rows == 0:
+        return pa.table(
+            {
+                PKEY_COL: pa.array([], pa.int64()),
+                PACKED_COL: pa.array([], pa.binary()),
+            }
+        )
+    pk = batch.column(PKEY_COL).to_numpy(zero_copy_only=False)
+    order = np.argsort(pk, kind="stable")
+    sorted_batch = batch.take(pa.array(order))
+    pks, starts = np.unique(pk[order], return_index=True)
+    bounds = list(starts) + [len(pk)]
+    opts = pa.ipc.IpcWriteOptions(compression="zstd")
+    blobs = []
+    for i in range(len(pks)):
+        sub = sorted_batch.slice(
+            bounds[i], bounds[i + 1] - bounds[i]
+        ).drop_columns([PKEY_COL])
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, sub.schema, options=opts) as w:
+            w.write_table(sub)
+        blobs.append(sink.getvalue().to_pybytes())
+    return pa.table(
+        {
+            PKEY_COL: pa.array(pks.astype(np.int64)),
+            PACKED_COL: pa.array(blobs, pa.binary()),
+        }
+    )
+
+
+def _unpack_group(group: pa.Table) -> pa.Table:
+    tables = [
+        pa.ipc.open_stream(blob).read_all()
+        for blob in group.column(PACKED_COL).to_pylist()
+    ]
+    return pa.concat_tables(tables)
+
+
 def _commit_wire_packable(events_path: str | list) -> bool:
     """Driver-side probe: pack only when the commit column is uniformly
     40-char lowercase hex (the probe samples one row group from up to 8
@@ -333,6 +389,7 @@ class ReplayMapStage:
         checkpoint: dict[int, int] | None = None,
         key_hash_algo: str = KEY_HASH_ALGO,
         pack_commit: bool = False,
+        pack_blocks: bool = False,
     ):
         self.normalize = NormalizeStage(registry)
         self.ckpt = (
@@ -344,6 +401,7 @@ class ReplayMapStage:
         self.num_partitions = num_partitions
         self.key_hash_algo = key_hash_algo
         self.pack_commit = pack_commit
+        self.pack_blocks = pack_blocks
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         batch = self.normalize(batch)
@@ -355,6 +413,8 @@ class ReplayMapStage:
         batch = add_pkey(batch, self.num_partitions, self.key_hash_algo)
         if self.pack_commit:
             batch = _pack_commit(batch)
+        if self.pack_blocks:
+            batch = _pack_block_by_pkey(batch)
         return batch
 
 
@@ -414,6 +474,8 @@ class FinalizeAndCommit:
         if pkey in self.skip:
             return _manifest_row_table([])  # already committed this epoch
         group = group.drop_columns([PKEY_COL])
+        if PACKED_COL in group.column_names:
+            group = _unpack_group(group)
         # wire-packed commits become hex again BEFORE any base merge or
         # LWW pass — lake files, checksums and manifests only see hex
         group = _unpack_commit(group)
@@ -579,6 +641,7 @@ def replay(
     checkpoint_filter: bool = True,
     checksum_mode: str | None = None,
     pack_commit: bool | None = None,
+    pack_blocks: bool | None = None,
 ):
     """Run the full replay; returns (manifest pandas DataFrame, epoch).
 
@@ -655,6 +718,11 @@ def replay(
 
     if pack_commit is None:
         pack_commit = _commit_wire_packable(events_path)
+    if pack_blocks is None:
+        env = os.environ.get("DLP_RAY_PACK_BLOCKS", "auto")
+        # salted two-phase reduces RAW rows between two exchanges —
+        # incompatible with packed blobs, so salt wins
+        pack_blocks = env != "never" and salt_buckets <= 1
 
     policy_json = pol.to_json() if pol else None
     cache_key = json.dumps(
@@ -666,6 +734,7 @@ def replay(
             (registry or DEFAULT_REGISTRY).fingerprint(),
             algo,
             pack_commit,
+            pack_blocks,
         ],
         sort_keys=True,
         default=str,
@@ -681,6 +750,7 @@ def replay(
                 checkpoint=checkpoint or None,
                 key_hash_algo=algo,
                 pack_commit=pack_commit,
+                pack_blocks=pack_blocks,
             ),
         )
         return stage(batch)
@@ -704,6 +774,8 @@ def replay(
     coalesce = os.environ.get("DLP_RAY_COALESCE", "auto")
     if coalesce == "auto":
         coalesce = "always" if _input_rows(events_path) < 4_000_000 else "never"
+    if pack_blocks:
+        coalesce = "never"  # packed rows are already dense fat objects
     if coalesce == "always":
         ds = ds.repartition(max(8, num_partitions // 4))
     if salt_buckets > 1:

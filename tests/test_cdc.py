@@ -813,3 +813,66 @@ class TestVacuumManifests:
         assert len(mpdf) == 0  # everything skipped — manifests intact
         # vacuum is idempotent
         assert mf.vacuum_manifests(lake, keep_epochs=1)["removed"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBlockPacking:
+    def test_byte_identical_and_incremental(self, tmp_path):
+        import glob
+        import hashlib
+
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq_
+
+        from dlp_plugins_ray.cdc import events as EV
+        from dlp_plugins_ray.cdc import replay as RP
+
+        ev = str(tmp_path / "ev")
+        EV.write_events_parquet(ev, 8000, n_shards=4)
+
+        def lake_hash(lake):
+            h = hashlib.sha256()
+            for f in sorted(glob.glob(os.path.join(lake, "part-*/data.parquet"))):
+                h.update(open(f, "rb").read())
+            return h.hexdigest()
+
+        on, off = str(tmp_path / "on"), str(tmp_path / "off")
+        RP.replay(ev, on, num_partitions=8, pack_blocks=True)
+        RP.replay(ev, off, num_partitions=8, pack_blocks=False)
+        assert lake_hash(on) == lake_hash(off)
+
+        # incremental slices through the packed exchange == one-shot
+        s1, s2 = tmp_path / "s1", tmp_path / "s2"
+        s1.mkdir(), s2.mkdir()
+        for f in sorted(glob.glob(os.path.join(ev, "events-*.parquet"))):
+            t = pq_.read_table(f)
+            m = pc.less(t.column("seq"), 4000)
+            a, b = t.filter(m), t.filter(pc.invert(m))
+            if a.num_rows:
+                pq_.write_table(a, str(s1 / os.path.basename(f)))
+            if b.num_rows:
+                pq_.write_table(b, str(s2 / os.path.basename(f)))
+        inc = str(tmp_path / "inc")
+        RP.replay(str(s1), inc, num_partitions=8, pack_blocks=True)
+        RP.replay(str(s2), inc, num_partitions=8, incremental=True, pack_blocks=True)
+        assert lake_hash(inc) == lake_hash(on)
+
+    def test_pack_roundtrip_unit(self):
+        from dlp_plugins_ray.cdc.replay import (
+            PKEY_COL,
+            _pack_block_by_pkey,
+            _unpack_group,
+        )
+
+        t = pa.table(
+            {
+                "a": pa.array([1, 2, 3, 4], pa.int64()),
+                "s": pa.array(["w", "x", "y", "z"]),
+                PKEY_COL: pa.array([1, 0, 1, 0], pa.int64()),
+            }
+        )
+        packed = _pack_block_by_pkey(t)
+        assert packed.num_rows == 2  # one blob per pkey
+        back = _unpack_group(packed)
+        assert back.column("a").to_pylist() == [2, 4, 1, 3]  # pkey-grouped
+        assert "s" in back.column_names and PKEY_COL not in back.column_names
