@@ -44,6 +44,54 @@ def add_hash_bucket(
     )
 
 
+PACKED_COL = "_packed"
+
+
+def pack_by_bucket(batch: pa.Table, key_col: str = BUCKET_COL) -> pa.Table:
+    """Pack each ``key_col`` sub-group of a block into ONE
+    zstd-compressed Arrow IPC blob. The exchange then moves ~#blocks x
+    #buckets fat rows instead of every raw row — the same trick the
+    replay exchange uses (cdc/replay.py); ~100 KB compressed objects
+    are the object-store sweet spot and the sort compares thousands of
+    rows, not millions."""
+    if batch.num_rows == 0:
+        return pa.table(
+            {
+                key_col: pa.array([], pa.int64()),
+                PACKED_COL: pa.array([], pa.binary()),
+            }
+        )
+    k = batch.column(key_col).to_numpy(zero_copy_only=False)
+    order = np.argsort(k, kind="stable")
+    sorted_batch = batch.take(pa.array(order))
+    keys, starts = np.unique(k[order], return_index=True)
+    bounds = list(starts) + [len(k)]
+    opts = pa.ipc.IpcWriteOptions(compression="zstd")
+    blobs = []
+    for i in range(len(keys)):
+        sub = sorted_batch.slice(bounds[i], bounds[i + 1] - bounds[i]).drop_columns(
+            [key_col]
+        )
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, sub.schema, options=opts) as w:
+            w.write_table(sub)
+        blobs.append(sink.getvalue().to_pybytes())
+    return pa.table(
+        {
+            key_col: pa.array(keys.astype(np.int64)),
+            PACKED_COL: pa.array(blobs, pa.binary()),
+        }
+    )
+
+
+def unpack_group(group: pa.Table) -> pa.Table:
+    tables = [
+        pa.ipc.open_stream(blob).read_all()
+        for blob in group.column(PACKED_COL).to_pylist()
+    ]
+    return pa.concat_tables(tables)
+
+
 def bucketed_group_reduce(
     ds,
     key_cols: list[str],
@@ -52,6 +100,7 @@ def bucketed_group_reduce(
     num_buckets: int = 64,
     batch_format: str = "pyarrow",
     out_schema: pa.Schema | None = None,
+    pack: bool = False,
 ):
     """One shuffle on the bucket column; ``block_reduce_fn`` receives a
     bucket block (pyarrow Table or pandas DataFrame per
@@ -65,13 +114,32 @@ def bucketed_group_reduce(
     Ray's sort emits for empty partitions (sort parallelism > distinct
     keys): Ray skips the UDF entirely for those, so consumers reading
     raw block refs must still skip 0-row tables (see
-    dedup.connected_component_labels)."""
+    dedup.connected_component_labels).
+
+    ``pack=True``: ship each (input block, bucket) sub-table through
+    the exchange as one zstd Arrow blob (see ``pack_by_bucket``) —
+    opt in for wide-payload rows (document text, joined strings) where
+    the exchange dominates; costs one compress/decompress pass."""
+
+    import os
+
+    if os.environ.get("DLP_RAY_PACK_SHUFFLE", "1") == "0":
+        pack = False  # kill-switch / A-B lever
 
     def tag(batch: pa.Table) -> pa.Table:
-        return add_hash_bucket(batch, key_cols, num_buckets)
+        out = add_hash_bucket(batch, key_cols, num_buckets)
+        if pack:
+            out = pack_by_bucket(out)
+        return out
 
     def reduce_block(block):
-        if batch_format == "pyarrow":
+        if pack:
+            block = unpack_group(
+                block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+            )
+            if batch_format == "pandas":
+                block = block.to_pandas()
+        elif batch_format == "pyarrow":
             block = block.drop_columns([BUCKET_COL])
         else:
             block = block.drop(columns=[BUCKET_COL])
@@ -85,5 +153,5 @@ def bucketed_group_reduce(
 
     tagged = ds.map_batches(tag, batch_format="pyarrow")
     return tagged.groupby(BUCKET_COL).map_groups(
-        reduce_block, batch_format=batch_format
+        reduce_block, batch_format="pyarrow" if pack else batch_format
     )

@@ -483,3 +483,45 @@ class TestPayloadCap:
         stage = RedactionStage(whole, max_cell_bytes=0)
         out = stage(pa.table({"notes": [big]})).column("notes").to_pylist()
         assert out[0] == "#" * len(big)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPackedBucketedReduce:
+    def test_pack_equals_raw(self):
+        import ray.data as rd
+
+        from dlp_plugins_ray.stages.shuffle import bucketed_group_reduce
+
+        t = pa.table(
+            {
+                "k": pa.array([1, 2, 1, 3, 2, 1], pa.int64()),
+                "v": pa.array([10, 20, 30, 40, 50, 60], pa.int64()),
+            }
+        )
+
+        def reduce_fn(block: pa.Table) -> pa.Table:
+            import polars as pl
+
+            return (
+                pl.from_arrow(block)
+                .group_by("k")
+                .agg(pl.col("v").sum().alias("s"))
+                .to_arrow()
+            )
+
+        schema = pa.schema([("k", pa.int64()), ("s", pa.int64())])
+        a = sorted(
+            (r["k"], r["s"])
+            for r in bucketed_group_reduce(
+                rd.from_arrow(t), ["k"], reduce_fn, num_buckets=4,
+                out_schema=schema, pack=True,
+            ).take_all()
+        )
+        b = sorted(
+            (r["k"], r["s"])
+            for r in bucketed_group_reduce(
+                rd.from_arrow(t), ["k"], reduce_fn, num_buckets=4,
+                out_schema=schema, pack=False,
+            ).take_all()
+        )
+        assert a == b == [(1, 100), (2, 70), (3, 40)]
