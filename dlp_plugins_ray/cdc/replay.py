@@ -238,7 +238,13 @@ def _pack_block_by_pkey(batch: pa.Table) -> pa.Table:
     sorted_batch = batch.take(pa.array(order))
     pks, starts = np.unique(pk[order], return_index=True)
     bounds = list(starts) + [len(pk)]
-    opts = pa.ipc.IpcWriteOptions(compression="zstd")
+    # lz4 beats zstd HERE at every core count (tight A/B, 8.4M events:
+    # 8 CPUs 191k vs 124k ev/s, 32 CPUs 518-571k vs 475k): the exchange
+    # only needs the bytes small enough, and lz4's ~3x cheaper
+    # compress/decompress matters on the compute-bound low end
+    opts = pa.ipc.IpcWriteOptions(
+        compression=os.environ.get("DLP_RAY_PACK_CODEC", "lz4")
+    )
     blobs = []
     for i in range(len(pks)):
         sub = sorted_batch.slice(

@@ -66,7 +66,11 @@ def pack_by_bucket(batch: pa.Table, key_col: str = BUCKET_COL) -> pa.Table:
     sorted_batch = batch.take(pa.array(order))
     keys, starts = np.unique(k[order], return_index=True)
     bounds = list(starts) + [len(k)]
-    opts = pa.ipc.IpcWriteOptions(compression="zstd")
+    import os
+
+    opts = pa.ipc.IpcWriteOptions(
+        compression=os.environ.get("DLP_RAY_PACK_CODEC", "lz4")
+    )
     blobs = []
     for i in range(len(keys)):
         sub = sorted_batch.slice(bounds[i], bounds[i + 1] - bounds[i]).drop_columns(
