@@ -13,7 +13,7 @@ Dataflow (all streaming, one all-to-all exchange):
       -> map_batches(RedactionStage, cached/worker) # policy transforms
       -> map_batches(partial LWW combiner)          # per-block pre-reduce:
                                                     #   <=1 row per key per block
-      -> pack (pkey, zstd arrow blob) per block     # exchange moves ~#blocks x P
+      -> pack (pkey, lz4 arrow blob) per block     # exchange moves ~#blocks x P
                                                     #   fat rows, not millions thin
       -> groupby(_pkey).map_groups(finalize+write)  # ONE shuffle, partition-
                                                     #   aligned reduce + commit
@@ -214,7 +214,7 @@ def _unpack_commit(batch: pa.Table) -> pa.Table:
 # The sort exchange pays per ROW (compare + copy 8.5M thin rows in the
 # 8.4M-event bench). The map stage already knows each row's partition,
 # so it can pack each (input block, pkey) sub-table into ONE
-# zstd-compressed Arrow IPC blob: the exchange then moves ~#blocks x
+# lz4-compressed Arrow IPC blob: the exchange then moves ~#blocks x
 # #partitions fat rows (~600-row, ~100 KB objects — the object-store
 # sweet spot) instead of millions of thin ones, and ships ~2.5x fewer
 # bytes. The finalize task unpacks, concats, and proceeds unchanged —
