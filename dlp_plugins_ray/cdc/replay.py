@@ -631,6 +631,30 @@ def compute_epoch(events_path: str | list, policy_fingerprint: str | None) -> st
     return h.hexdigest()[:16]
 
 
+PACK_BLOCKS_MIN_ROWS = 4_000_000
+
+
+def _pack_blocks_auto(env: str, salt_buckets: int, input_rows) -> bool:
+    """Decide block packing when the caller didn't.
+
+    Packing trades the exchange's per-row cost for pack/unpack CPU — a
+    1.38x win once the exchange dominates (8.4M events, 32 CPUs), but a
+    net LOSS on small jobs, where it also forfeits the coalesce fast
+    path (2M-event interleaved A/B: packed consistently slower). Auto
+    therefore uses the same ~4M footer-metadata row threshold as the
+    coalesce rule (``input_rows`` is a thunk so footers are only read
+    when the decision needs them). Salted two-phase reduces RAW rows
+    between two exchanges — incompatible with packed blobs, so salt
+    always wins. ``DLP_RAY_PACK_BLOCKS=always|never`` overrides the
+    threshold (but never the salt guard).
+    """
+    if env == "never" or salt_buckets > 1:
+        return False
+    if env == "always":
+        return True
+    return input_rows() >= PACK_BLOCKS_MIN_ROWS
+
+
 def replay(
     events_path: str | list[str],
     out_dir: str,
@@ -725,10 +749,11 @@ def replay(
     if pack_commit is None:
         pack_commit = _commit_wire_packable(events_path)
     if pack_blocks is None:
-        env = os.environ.get("DLP_RAY_PACK_BLOCKS", "auto")
-        # salted two-phase reduces RAW rows between two exchanges —
-        # incompatible with packed blobs, so salt wins
-        pack_blocks = env != "never" and salt_buckets <= 1
+        pack_blocks = _pack_blocks_auto(
+            os.environ.get("DLP_RAY_PACK_BLOCKS", "auto"),
+            salt_buckets,
+            lambda: _input_rows(events_path),
+        )
 
     policy_json = pol.to_json() if pol else None
     cache_key = json.dumps(

@@ -857,6 +857,28 @@ class TestBlockPacking:
         RP.replay(str(s2), inc, num_partitions=8, incremental=True, pack_blocks=True)
         assert lake_hash(inc) == lake_hash(on)
 
+    def test_pack_auto_rule(self):
+        from dlp_plugins_ray.cdc.replay import (
+            PACK_BLOCKS_MIN_ROWS,
+            _pack_blocks_auto,
+        )
+
+        big, small = PACK_BLOCKS_MIN_ROWS, PACK_BLOCKS_MIN_ROWS - 1
+        # auto: pack only when the exchange dominates (>= threshold);
+        # below it, packing forfeits the coalesce fast path and loses
+        assert _pack_blocks_auto("auto", 0, lambda: big) is True
+        assert _pack_blocks_auto("auto", 0, lambda: small) is False
+        # explicit overrides beat the threshold...
+        assert _pack_blocks_auto("always", 0, lambda: small) is True
+        assert _pack_blocks_auto("never", 0, lambda: big) is False
+        # ...but salted two-phase always wins (raw rows between the
+        # two exchanges are incompatible with packed blobs)
+        assert _pack_blocks_auto("always", 8, lambda: big) is False
+        # footers are read lazily: never/always never touch the thunk
+        boom = lambda: (_ for _ in ()).throw(AssertionError)  # noqa: E731
+        assert _pack_blocks_auto("never", 0, boom) is False
+        assert _pack_blocks_auto("always", 0, boom) is True
+
     def test_pack_roundtrip_unit(self):
         from dlp_plugins_ray.cdc.replay import (
             PKEY_COL,
