@@ -3182,3 +3182,178 @@ ORACLE_SQL["sequence_packing"] = r"""
            (start_tok + n_tokens - 1) // 256 AS last_pack
     FROM c
 """
+
+
+def q_distinct_users_by_type(sf_dir: str):
+    """Exact grouped count-distinct at scale (distinct users per event
+    type): per-block distinct-pair combiner, ONE pair-keyed exchange
+    (every copy of a (type, user) pair lands in one bucket, so
+    bucket-local dedup+count is a correct partial), then a tiny
+    partial-sum exchange. The full rowset never shuffles and no
+    distinct set ever materializes on the driver."""
+    from ..stages.shuffle import grouped_count_distinct
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return grouped_count_distinct(
+        ds, ["event_type"], "user_id", "n_users", num_buckets=16
+    )
+
+
+QUERIES["distinct_users_by_type"] = q_distinct_users_by_type
+ORACLE_SQL["distinct_users_by_type"] = r"""
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+"""
+
+
+def q_inverted_index(sf_dir: str):
+    """Inverted index (token -> sorted posting list of doc ids): the
+    search/training-corpus primitive. Per-block combiner reduces each
+    block to its DISTINCT (word, doc_id) pairs before the exchange;
+    the exchange is keyed on the word so a bucket holds every posting
+    of its words, and the block-local reduce emits the globally
+    deduped, sorted, comma-joined posting list + document frequency in
+    one vectorized polars pass. Postings ship as strings so the result
+    is directly SQL-comparable."""
+    import polars as pl
+
+    from ..stages.shuffle import bucketed_group_reduce
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(b)
+            .select(
+                pl.col("doc_id"),
+                pl.col("text")
+                .str.to_lowercase()
+                .str.extract_all(r"[a-z]+")
+                .alias("word"),
+            )
+            .explode("word")
+            .drop_nulls()
+            .unique()
+            .to_arrow()
+        )
+
+    pair_ds = ds.map_batches(pairs, batch_format="pyarrow", batch_size=None)
+
+    out_schema = pa.schema(
+        [
+            ("word", pa.string()),
+            ("df", pa.int64()),
+            ("postings", pa.string()),
+        ]
+    )
+
+    def build_postings(block: pa.Table) -> pa.Table:
+        out = (
+            pl.from_arrow(block)
+            .unique()
+            .sort(["word", "doc_id"])
+            .group_by("word", maintain_order=True)
+            .agg(
+                pl.col("doc_id").len().cast(pl.Int64).alias("df"),
+                pl.col("doc_id")
+                .cast(pl.Utf8)
+                .str.join(",")
+                .alias("postings"),
+            )
+        )
+        return out.to_arrow()
+
+    return bucketed_group_reduce(
+        pair_ds,
+        ["word"],
+        build_postings,
+        num_buckets=16,
+        out_schema=out_schema,
+    )
+
+
+QUERIES["inverted_index"] = q_inverted_index
+ORACLE_SQL["inverted_index"] = r"""
+    WITH pairs AS (
+      SELECT DISTINCT word, doc_id FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word,
+               doc_id
+        FROM documents
+      )
+    )
+    SELECT word, count(*) AS df,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+    FROM pairs GROUP BY word
+"""
+
+
+def q_value_gate_p90(sf_dir: str):
+    """Corpus-percentile gate (the quality-threshold filter of a
+    training-data pipeline, on the events value column): phase 1
+    computes the EXACT p90 threshold as a global order statistic — one
+    distributed sort, then only the block holding rank ceil(0.9*n) is
+    read (`nth_ordered`); phase 2 broadcasts that one scalar into a
+    vectorized filter + per-type partial-count combiner. Rank-based
+    selection involves no interpolation arithmetic, so both engines
+    pick the identical stored double (CLAUDE.md float-parity rule)."""
+    import math
+
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import bucketed_group_reduce
+    from ..stages.sketches import nth_ordered
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    n = ds.count()  # parquet metadata, no scan
+    rank = max(1, math.ceil(0.9 * n))  # 1-based rank of the threshold
+    thr_row = nth_ordered(ds, ["value", "event_id"], rank - 1)
+    thr = thr_row["value"]
+
+    kept = ds.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("value"), pa.scalar(thr))),
+        batch_format="pyarrow",
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(b.select(["event_type"]))
+            .group_by("event_type")
+            .len(name="n_kept")
+            .with_columns(pl.col("n_kept").cast(pl.Int64))
+            .to_arrow()
+        )
+
+    partials = kept.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    )
+
+    def final(block: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(block)
+            .group_by("event_type")
+            .agg(pl.col("n_kept").sum().cast(pl.Int64))
+            .to_arrow()
+        )
+
+    return bucketed_group_reduce(partials, ["event_type"], final, num_buckets=8)
+
+
+QUERIES["value_gate_p90"] = q_value_gate_p90
+ORACLE_SQL["value_gate_p90"] = r"""
+    WITH ranked AS (
+      SELECT value,
+             row_number() OVER (ORDER BY value, event_id) AS rn,
+             count(*) OVER () AS n
+      FROM events
+    ), thr AS (
+      SELECT value AS t FROM ranked
+      WHERE rn = greatest(1, CAST(ceil(0.9 * n) AS BIGINT))
+    )
+    SELECT event_type, count(*) AS n_kept
+    FROM events, thr WHERE value >= thr.t
+    GROUP BY event_type
+"""

@@ -96,6 +96,63 @@ def unpack_group(group: pa.Table) -> pa.Table:
     return pa.concat_tables(tables)
 
 
+def grouped_count_distinct(
+    ds,
+    group_cols: list[str],
+    distinct_col: str,
+    count_alias: str = "n_distinct",
+    *,
+    num_buckets: int = 64,
+):
+    """Exact COUNT(DISTINCT distinct_col) GROUP BY group_cols at scale.
+
+    The naive plan (global distinct, then a grouped count) shuffles the
+    full rowset twice. This plan shuffles distinct PAIRS once: each
+    block first reduces to its distinct (group, distinct) pairs (the
+    combiner — a block with many repeats shrinks immediately), then one
+    exchange keyed on the PAIR lands every copy of a pair in exactly
+    one bucket, so bucket-local dedup+count-per-group is a correct
+    partial count; the per-bucket partials (<= #groups x #buckets tiny
+    rows) are summed in a second, tiny exchange. No driver state, no
+    full-row shuffle.
+    """
+    import polars as pl
+
+    pair_cols = group_cols + [distinct_col]
+
+    def block_distinct(b: pa.Table) -> pa.Table:
+        return pl.from_arrow(b.select(pair_cols)).unique().to_arrow()
+
+    pairs = ds.map_batches(
+        block_distinct, batch_format="pyarrow", batch_size=None
+    )
+
+    def bucket_count(block: pa.Table) -> pa.Table:
+        out = (
+            pl.from_arrow(block)
+            .unique()
+            .group_by(group_cols)
+            .len(name=count_alias)
+        )
+        return out.with_columns(pl.col(count_alias).cast(pl.Int64)).to_arrow()
+
+    partials = bucketed_group_reduce(
+        pairs, pair_cols, bucket_count, num_buckets=num_buckets
+    )
+
+    def sum_partials(block: pa.Table) -> pa.Table:
+        out = (
+            pl.from_arrow(block)
+            .group_by(group_cols)
+            .agg(pl.col(count_alias).sum().cast(pl.Int64))
+        )
+        return out.to_arrow()
+
+    return bucketed_group_reduce(
+        partials, group_cols, sum_partials, num_buckets=8
+    )
+
+
 def bucketed_group_reduce(
     ds,
     key_cols: list[str],
