@@ -3357,3 +3357,354 @@ ORACLE_SQL["value_gate_p90"] = r"""
     FROM events, thr WHERE value >= thr.t
     GROUP BY event_type
 """
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    """Most-distinctive term per document (TF-IDF): score = tf/df — a
+    monotone transform of tf*idf that needs no logarithm, so the score
+    is ONE exactly-rounded IEEE division of two small ints and both
+    engines order identically (CLAUDE.md float-parity rule). Pipeline:
+    per-row tokenize -> doc-local tf (a doc's text is one row, so the
+    block-local group_by IS the full tf), word-keyed bucketed reduce
+    for df, large x large ``hash_join`` on the word, then a doc-keyed
+    top-1 with a block-local argmax combiner before the exchange."""
+    import polars as pl
+
+    from ..stages.joins import hash_join
+    from ..stages.shuffle import bucketed_group_reduce
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tf_pairs(b: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(b)
+            .select(
+                pl.col("doc_id"),
+                pl.col("text")
+                .str.to_lowercase()
+                .str.extract_all(r"[a-z]+")
+                .alias("word"),
+            )
+            .explode("word")
+            .drop_nulls()
+            .group_by(["doc_id", "word"])
+            .len(name="tf")
+            .with_columns(pl.col("tf").cast(pl.Int64))
+            .to_arrow()
+        )
+
+    tf_ds = ds.map_batches(tf_pairs, batch_format="pyarrow", batch_size=None)
+
+    def df_count(block: pa.Table) -> pa.Table:
+        # (doc, word) pairs are globally unique already: count rows.
+        return (
+            pl.from_arrow(block)
+            .group_by("word")
+            .len(name="df")
+            .with_columns(pl.col("df").cast(pl.Int64))
+            .to_arrow()
+        )
+
+    df_ds = bucketed_group_reduce(
+        tf_ds.map_batches(
+            lambda b: b.select(["word"]), batch_format="pyarrow"
+        ),
+        ["word"],
+        df_count,
+        num_buckets=16,
+        out_schema=pa.schema([("word", pa.large_string()), ("df", pa.int64())]),
+    )
+
+    joined = hash_join(
+        tf_ds, df_ds, on="word", right_value_cols=["df"], how="inner"
+    )
+
+    def local_top1(b: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(b)
+            .with_columns((pl.col("tf") / pl.col("df")).alias("_score"))
+            .sort(["_score", "word"], descending=[True, False])
+            .group_by("doc_id", maintain_order=True)
+            .head(1)
+            .drop("_score")
+            .to_arrow()
+        )
+
+    partials = joined.map_batches(
+        local_top1, batch_format="pyarrow", batch_size=None
+    )
+    out = bucketed_group_reduce(
+        partials,
+        ["doc_id"],
+        local_top1,
+        num_buckets=8,
+        out_schema=pa.schema(
+            [
+                ("word", pa.large_string()),
+                ("doc_id", pa.int64()),
+                ("tf", pa.int64()),
+                ("df", pa.int64()),
+            ]
+        ),
+    )
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "word", "tf", "df"]).rename_columns(
+            ["doc_id", "top_term", "tf", "df"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+QUERIES["tfidf_top_terms"] = q_tfidf_top_terms
+ORACLE_SQL["tfidf_top_terms"] = r"""
+    WITH tf AS (
+      SELECT doc_id, word, count(*) AS tf FROM (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        FROM documents
+      ) GROUP BY doc_id, word
+    ), df AS (
+      SELECT word, count(*) AS df FROM tf GROUP BY word
+    )
+    SELECT doc_id, word AS top_term, tf, df FROM (
+      SELECT tf.doc_id, tf.word, tf.tf, df.df,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.word ASC
+             ) AS rn
+      FROM tf JOIN df USING (word)
+    ) WHERE rn = 1
+"""
+
+
+def q_tpch_q5_lite(sf_dir: str):
+    """Q5-shaped star join: revenue per nation for one region, with
+    the local-supplier constraint (c_nationkey = s_nationkey). Plan:
+    tiny dims (region/nation) resolved on the driver; customer
+    pre-filtered to the region's nations AT THE MAP (shrinks the build
+    side before any exchange); TWO chained large x large
+    ``hash_join``s (orders x customer on custkey, lineitem x that on
+    orderkey); supplier nation looked up via a broadcast probe; exact
+    integer-cents revenue partials + one tiny bucketed reduce."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from ..stages.cache import cached_task_stage
+    from ..stages.joins import hash_join
+    from ..stages.shuffle import bucketed_group_reduce
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    asia = (
+        region.filter(pc.equal(region.column("r_name"), "ASIA"))
+        .column("r_regionkey")[0]
+        .as_py()
+    )
+    nat = nation.filter(
+        pc.equal(nation.column("n_regionkey"), pa.scalar(asia, pa.int32()))
+    )
+    nat_keys = nat.column("n_nationkey").combine_chunks()
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda b: b.filter(
+            pc.is_in(b.column("c_nationkey"), value_set=nat_keys)
+        ),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    o2 = hash_join(
+        orders,
+        cust,
+        on="o_custkey",
+        right_on="c_custkey",
+        right_value_cols=["c_nationkey"],
+        how="inner",
+    )
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    j = hash_join(
+        li,
+        o2,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        right_value_cols=["c_nationkey"],
+        how="inner",
+    )
+
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    ).combine_chunks()
+    supp_ref = ray.put(supp)
+    names_ref = ray.put(nat.select(["n_nationkey", "n_name"]).combine_chunks())
+
+    class SupplierNation:
+        def __init__(self, supp_ref, names_ref):
+            supp = ray.get(supp_ref)
+            self.skeys = supp.column("s_suppkey").combine_chunks()
+            self.snat = supp.column("s_nationkey").combine_chunks()
+            names = ray.get(names_ref)
+            self.nkeys = names.column("n_nationkey").combine_chunks()
+            self.nname = names.column("n_name").combine_chunks()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            idx = pc.index_in(batch.column("l_suppkey"), value_set=self.skeys)
+            snat = self.snat.take(idx)
+            keep = pc.equal(snat, batch.column("c_nationkey"))
+            batch = batch.append_column("s_nationkey", snat).filter(keep)
+            nidx = pc.index_in(
+                batch.column("s_nationkey"), value_set=self.nkeys
+            )
+            return batch.append_column("n_name", self.nname.take(nidx))
+
+    tagged = j.map_batches(
+        cached_task_stage(SupplierNation, supp_ref, names_ref),
+        batch_format="pyarrow",
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(b.select(["n_name", "l_extendedprice", "l_discount"]))
+            .with_columns(
+                (
+                    pl.col("l_extendedprice") * (1 - pl.col("l_discount")) * 100
+                    + 0.5
+                )
+                .floor()
+                .cast(pl.Int64)
+                .alias("cents")
+            )
+            .group_by("n_name")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_items"),
+                pl.col("cents").sum().alias("revenue_cents"),
+            )
+            .to_arrow()
+        )
+
+    partials = tagged.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    )
+
+    def final(block: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(block)
+            .group_by("n_name")
+            .agg(
+                pl.col("n_items").sum().alias("n_items"),
+                pl.col("revenue_cents").sum().alias("revenue_cents"),
+            )
+            .to_arrow()
+        )
+
+    return bucketed_group_reduce(
+        partials,
+        ["n_name"],
+        final,
+        num_buckets=4,
+        out_schema=pa.schema(
+            [
+                ("n_name", pa.large_string()),
+                ("n_items", pa.int64()),
+                ("revenue_cents", pa.int64()),
+            ]
+        ),
+    )
+
+
+QUERIES["tpch_q5_lite"] = q_tpch_q5_lite
+ORACLE_SQL["tpch_q5_lite"] = r"""
+    SELECT n_name,
+           count(*) AS n_items,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+               AS BIGINT)) AS revenue_cents
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+    GROUP BY n_name
+"""
+
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(sf_dir: str):
+    """Pivot (long -> wide): per-day event counts, one column per
+    event type. Per-block combiner counts (day, type) pairs — the
+    exchange moves at most days x types x blocks tiny rows — then the
+    day-keyed reduce emits the wide row with conditional sums (absent
+    types become 0, matching SQL FILTER counts)."""
+    import polars as pl
+
+    from ..stages.shuffle import bucketed_group_reduce
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(b.column("ts"), unit="day")
+        return (
+            pl.from_arrow(
+                pa.table({"day": day, "event_type": b.column("event_type")})
+            )
+            .group_by(["day", "event_type"])
+            .len(name="n")
+            .with_columns(pl.col("n").cast(pl.Int64))
+            .to_arrow()
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    )
+
+    def widen(block: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(block)
+            .group_by("day")
+            .agg(
+                *[
+                    pl.col("n")
+                    .filter(pl.col("event_type") == t)
+                    .sum()
+                    .cast(pl.Int64)
+                    .alias(t)
+                    for t in _PIVOT_TYPES
+                ]
+            )
+            .to_arrow()
+        )
+
+    return bucketed_group_reduce(
+        partials,
+        ["day"],
+        widen,
+        num_buckets=8,
+        out_schema=pa.schema(
+            [("day", pa.timestamp("us"))]
+            + [(t, pa.int64()) for t in _PIVOT_TYPES]
+        ),
+    )
+
+
+QUERIES["events_pivot"] = q_events_pivot
+ORACLE_SQL["events_pivot"] = r"""
+    SELECT date_trunc('day', ts) AS day,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'error')    AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events GROUP BY 1
+"""
