@@ -3363,14 +3363,17 @@ def q_tfidf_top_terms(sf_dir: str):
     """Most-distinctive term per document (TF-IDF): score = tf/df — a
     monotone transform of tf*idf that needs no logarithm, so the score
     is ONE exactly-rounded IEEE division of two small ints and both
-    engines order identically (CLAUDE.md float-parity rule). Pipeline:
-    per-row tokenize -> doc-local tf (a doc's text is one row, so the
-    block-local group_by IS the full tf), word-keyed bucketed reduce
-    for df, large x large ``hash_join`` on the word, then a doc-keyed
-    top-1 with a block-local argmax combiner before the exchange."""
+    engines order identically (CLAUDE.md float-parity rule).
+
+    TWO exchanges total: (1) word-keyed — a bucket holds EVERY (doc,
+    word, tf) row of its words, so a window count over the word IS the
+    global df (no separate df reduce, no join), and the block-local
+    per-doc argmax run in the same pass is a valid combiner (at most
+    one row per (doc, bucket) leaves); (2) doc-keyed — finish the
+    argmax. Per-row tokenize gives doc-local tf directly because a
+    doc's text is one row."""
     import polars as pl
 
-    from ..stages.joins import hash_join
     from ..stages.shuffle import bucketed_group_reduce
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -3395,30 +3398,6 @@ def q_tfidf_top_terms(sf_dir: str):
 
     tf_ds = ds.map_batches(tf_pairs, batch_format="pyarrow", batch_size=None)
 
-    def df_count(block: pa.Table) -> pa.Table:
-        # (doc, word) pairs are globally unique already: count rows.
-        return (
-            pl.from_arrow(block)
-            .group_by("word")
-            .len(name="df")
-            .with_columns(pl.col("df").cast(pl.Int64))
-            .to_arrow()
-        )
-
-    df_ds = bucketed_group_reduce(
-        tf_ds.map_batches(
-            lambda b: b.select(["word"]), batch_format="pyarrow"
-        ),
-        ["word"],
-        df_count,
-        num_buckets=16,
-        out_schema=pa.schema([("word", pa.large_string()), ("df", pa.int64())]),
-    )
-
-    joined = hash_join(
-        tf_ds, df_ds, on="word", right_value_cols=["df"], how="inner"
-    )
-
     def local_top1(b: pa.Table) -> pa.Table:
         return (
             pl.from_arrow(b)
@@ -3430,8 +3409,27 @@ def q_tfidf_top_terms(sf_dir: str):
             .to_arrow()
         )
 
-    partials = joined.map_batches(
-        local_top1, batch_format="pyarrow", batch_size=None
+    def attach_df_and_combine(block: pa.Table) -> pa.Table:
+        # (doc, word) rows are globally unique, and this bucket holds
+        # every row of each of its words: the window count IS df.
+        with_df = pl.from_arrow(block).with_columns(
+            pl.len().over("word").cast(pl.Int64).alias("df")
+        )
+        return local_top1(with_df.to_arrow())
+
+    partials = bucketed_group_reduce(
+        tf_ds,
+        ["word"],
+        attach_df_and_combine,
+        num_buckets=16,
+        out_schema=pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("word", pa.large_string()),
+                ("tf", pa.int64()),
+                ("df", pa.int64()),
+            ]
+        ),
     )
     out = bucketed_group_reduce(
         partials,
