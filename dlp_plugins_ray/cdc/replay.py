@@ -886,6 +886,59 @@ def read_lake_table(out_dir: str):
     return rd.read_parquet(paths)
 
 
+def lake_files_for_keys(
+    out_dir: str, keys: list[tuple[str, str]]
+) -> list[str]:
+    """Partition-prune a point/multi-key lookup: hash each requested
+    (repo, path) key with the lake's PINNED algo (``_table_meta.json``
+    — never the library default, so lookups stay correct across algo
+    migrations) and return only the partition files those keys can
+    live in. At 4k partitions a single-key lookup touches ONE file
+    instead of the whole table."""
+    meta = mf.read_table_meta(out_dir)
+    if meta is None or "num_partitions" not in meta:
+        raise ValueError(
+            f"{out_dir} has no _table_meta.json — not a committed lake"
+        )
+    kt = pa.table(
+        {
+            "repo": pa.array([r for r, _ in keys], pa.string()),
+            "path": pa.array([p for _, p in keys], pa.string()),
+        }
+    )
+    pids = np.unique(
+        key_hash_batch(kt, meta["key_hash"]) % meta["num_partitions"]
+    )
+    files = []
+    for pid in pids.tolist():
+        p = os.path.join(mf.partition_dir(out_dir, int(pid)), "data.parquet")
+        if os.path.exists(p):
+            files.append(p)
+    return files
+
+
+def read_lake_keys(out_dir: str, keys: list[tuple[str, str]]):
+    """Point-lookup read: only the partitions the requested keys hash
+    to leave storage (``lake_files_for_keys``), then one vectorized
+    exact-key filter (concat-key ``is_in``) inside the scan tasks."""
+    import ray.data as rd
+
+    files = lake_files_for_keys(out_dir, keys)
+    if not files:
+        return rd.from_arrow(pa.table({"repo": pa.array([], pa.string())}))
+    want = pa.array([f"{r}\x1f{p}" for r, p in keys], pa.string())
+
+    def exact(batch: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            pc.cast(batch.column("repo"), pa.string()),
+            pc.cast(batch.column("path"), pa.string()),
+            "\x1f",
+        )
+        return batch.filter(pc.is_in(k, value_set=want))
+
+    return rd.read_parquet(files).map_batches(exact, batch_format="pyarrow")
+
+
 def repartition_lake(
     src_dir: str,
     dst_dir: str,

@@ -3706,3 +3706,117 @@ ORACLE_SQL["events_pivot"] = r"""
            count(*) FILTER (WHERE event_type = 'view')     AS view
     FROM events GROUP BY 1
 """
+
+
+def q_events_rollup(sf_dir: str):
+    """ROLLUP / grouping-sets aggregate: counts + exact integer-cents
+    value sums at three levels — (event_type, day), (event_type), and
+    grand total. The finest level is computed ONCE with the usual
+    per-block combiner + tiny bucketed reduce; both coarser levels
+    re-aggregate the finest RESULT (types x days rows — metadata-sized),
+    never re-scanning or re-shuffling the input. Rolled-up columns are
+    NULL, matching SQL ROLLUP."""
+    import polars as pl
+
+    from ..stages.shuffle import bucketed_group_reduce
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(b.column("ts"), unit="day")
+        return (
+            pl.from_arrow(
+                pa.table(
+                    {
+                        "event_type": b.column("event_type"),
+                        "day": day,
+                        "value": b.column("value"),
+                    }
+                )
+            )
+            .with_columns(
+                (pl.col("value") * 100 + 0.5)
+                .floor()
+                .cast(pl.Int64)
+                .alias("cents")
+            )
+            .group_by(["event_type", "day"])
+            .agg(
+                pl.len().cast(pl.Int64).alias("n"),
+                pl.col("cents").sum().alias("value_cents"),
+            )
+            .to_arrow()
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+
+    def merge(keys):
+        def f(block: pa.Table) -> pa.Table:
+            return (
+                pl.from_arrow(block)
+                .group_by(keys)
+                .agg(
+                    pl.col("n").sum().alias("n"),
+                    pl.col("value_cents").sum().alias("value_cents"),
+                )
+                .to_arrow()
+            )
+
+        return f
+
+    fine_schema = pa.schema(
+        [
+            ("event_type", pa.large_string()),
+            ("day", pa.timestamp("us")),
+            ("n", pa.int64()),
+            ("value_cents", pa.int64()),
+        ]
+    )
+    finest = bucketed_group_reduce(
+        partials,
+        ["event_type", "day"],
+        merge(["event_type", "day"]),
+        num_buckets=8,
+        out_schema=fine_schema,
+    )
+
+    # Coarser levels from the finest RESULT (tiny): one block each.
+    def by_type(block: pa.Table) -> pa.Table:
+        out = merge(["event_type"])(block)
+        return out.append_column(
+            "day", pa.nulls(out.num_rows, pa.timestamp("us"))
+        ).select(["event_type", "day", "n", "value_cents"])
+
+    def grand(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:  # sort-emitted empty block: no row
+            return fine_schema.empty_table()
+        t = pl.from_arrow(block).select(
+            pl.col("n").sum(), pl.col("value_cents").sum()
+        )
+        out = t.to_arrow()
+        return pa.table(
+            {
+                "event_type": pa.nulls(1, pa.large_string()),
+                "day": pa.nulls(1, pa.timestamp("us")),
+                "n": out.column("n"),
+                "value_cents": out.column("value_cents"),
+            }
+        )
+
+    per_type = bucketed_group_reduce(
+        finest, ["event_type"], by_type, num_buckets=1, out_schema=fine_schema
+    )
+    total = per_type.map_batches(
+        grand, batch_format="pyarrow", batch_size=None
+    )
+    return finest.union(per_type).union(total)
+
+
+QUERIES["events_rollup"] = q_events_rollup
+ORACLE_SQL["events_rollup"] = r"""
+    SELECT event_type, date_trunc('day', ts) AS day,
+           count(*) AS n,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS value_cents
+    FROM events
+    GROUP BY ROLLUP (event_type, day)
+"""

@@ -898,3 +898,54 @@ class TestBlockPacking:
         back = _unpack_group(packed)
         assert back.column("a").to_pylist() == [2, 4, 1, 3]  # pkey-grouped
         assert "s" in back.column_names and PKEY_COL not in back.column_names
+
+
+class TestPointLookup:
+    def test_pruned_read_matches_full_filter(self, events_dir, tmp_path):
+        out = str(tmp_path / "lake")
+        RP.replay(events_dir, out, num_partitions=8)
+        full = RP.read_lake_table(out).to_pandas()
+        # three live keys + one absent key
+        keys = [tuple(r) for r in full[["repo", "path"]].values[:3]] + [
+            ("no/such/repo", "nope.py")
+        ]
+        files = RP.lake_files_for_keys(out, keys)
+        # strict subset of the 8 partition files: the prune is real
+        assert 1 <= len(files) < 8
+        got = (
+            RP.read_lake_keys(out, keys)
+            .to_pandas()
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)
+        )
+        want = (
+            full[
+                full[["repo", "path"]].apply(tuple, axis=1).isin(set(keys))
+            ]
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)
+        )
+        assert got[["repo", "path", "seq", "content"]].equals(
+            want[["repo", "path", "seq", "content"]]
+        )
+        assert len(got) == 3  # absent key matches nothing
+
+    def test_single_key_touches_one_file(self, events_dir, tmp_path):
+        out = str(tmp_path / "lake")
+        RP.replay(events_dir, out, num_partitions=8)
+        full = RP.read_lake_table(out).to_pandas()
+        key = tuple(full[["repo", "path"]].values[0])
+        assert len(RP.lake_files_for_keys(out, [key])) == 1
+
+    def test_uses_pinned_algo_not_default(self, events_dir, tmp_path):
+        # a crc32 lake must be probed with crc32, not the library default
+        out = str(tmp_path / "lake_crc")
+        RP.replay(events_dir, out, num_partitions=8, key_hash_algo="crc32-pair-v1")
+        full = RP.read_lake_table(out).to_pandas()
+        keys = [tuple(r) for r in full[["repo", "path"]].values[:5]]
+        got = RP.read_lake_keys(out, keys).to_pandas()
+        assert len(got) == 5
+
+    def test_not_a_lake_raises(self, tmp_path):
+        with pytest.raises(ValueError, match="_table_meta"):
+            RP.lake_files_for_keys(str(tmp_path), [("a", "b")])
