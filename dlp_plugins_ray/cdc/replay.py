@@ -138,6 +138,25 @@ def key_hash_batch(batch: pa.Table, algo: str = KEY_HASH_ALGO) -> np.ndarray:
     )
 
 
+REPO_BLOOM_BITS = 1 << 14  # 2 KB/partition; ~1% FP at ~2k repos
+REPO_BLOOM_HASHES = 5
+
+
+def _repo_hash(repos: list[str]) -> np.ndarray:
+    """Process- and version-stable 64-bit repo hash for the manifest
+    repo bloom (crc32 pair with a salted second half — NOT polars xxh64,
+    which is version-pinned per lake; manifests must stay readable by
+    any build)."""
+    return np.array(
+        [
+            (zlib.crc32(r.encode()) << 32)
+            | zlib.crc32(b"s\x1f" + r.encode())
+            for r in repos
+        ],
+        dtype=np.uint64,
+    )
+
+
 def add_pkey(
     batch: pa.Table, num_partitions: int, algo: str = KEY_HASH_ALGO
 ) -> pa.Table:
@@ -516,6 +535,12 @@ class FinalizeAndCommit:
         max_seq = (
             int(pc.max(group.column("seq")).as_py()) if group.num_rows else -1
         )
+        from ..stages.sketches import BloomFilter
+
+        bloom = BloomFilter(REPO_BLOOM_BITS, REPO_BLOOM_HASHES)
+        bloom.add_hashes(
+            _repo_hash(pc.unique(final.column("repo")).to_pylist())
+        )
         man = mf.PartitionManifest(
             partition=pkey,
             epoch=self.epoch,
@@ -524,6 +549,7 @@ class FinalizeAndCommit:
             checksum=str(_row_checksum(final, self.checksum_mode)),
             lineage=self.lineage,
             metrics={"events_applied": group.num_rows},
+            repo_bloom=bloom.to_base64(),
         )
         mf.commit_partition(self.out_dir, final, man)
         return _manifest_row_table([man])
@@ -915,6 +941,46 @@ def lake_files_for_keys(
         if os.path.exists(p):
             files.append(p)
     return files
+
+
+def lake_files_for_repos(out_dir: str, repos: list[str]) -> list[str]:
+    """Metadata-only partition prune for REPO-level reads (all files of
+    a repo): consult each committed partition's manifest repo-bloom —
+    no data file is opened. A repo with f files touches at most f of
+    the table's partitions, so at 4k partitions a 100-file repo reads
+    <= 100 files instead of 4k. Bloom false positives only ever ADD a
+    partition (the exact repo filter still runs inside the scan);
+    pre-feature manifests (repo_bloom=None) are conservatively
+    included."""
+    from ..stages.sketches import BloomFilter
+
+    hashes = _repo_hash(repos)
+    files = []
+    for pid, man in sorted(mf.committed_partitions(out_dir).items()):
+        if man.repo_bloom is not None:
+            bf = BloomFilter.from_base64(man.repo_bloom)
+            if not bf.contains_hashes(hashes).any():
+                continue
+        p = mf.partition_data_path(out_dir, pid)
+        if os.path.exists(p):
+            files.append(p)
+    return files
+
+
+def read_lake_repos(out_dir: str, repos: list[str]):
+    """Repo-level read: bloom-pruned partition list + one vectorized
+    exact repo filter inside the scan tasks."""
+    import ray.data as rd
+
+    files = lake_files_for_repos(out_dir, repos)
+    if not files:
+        return rd.from_arrow(pa.table({"repo": pa.array([], pa.string())}))
+    want = pa.array(repos, pa.string())
+
+    def exact(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column("repo"), value_set=want))
+
+    return rd.read_parquet(files).map_batches(exact, batch_format="pyarrow")
 
 
 def read_lake_keys(out_dir: str, keys: list[tuple[str, str]]):

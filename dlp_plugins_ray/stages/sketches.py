@@ -130,6 +130,30 @@ class BloomFilter:
         np.bitwise_or(self.bits, other.bits, out=self.bits)
         return self
 
+    def to_base64(self) -> str:
+        """Compact JSON-embeddable form (zlib + base64 of the bit
+        array) — e.g. a per-partition repo filter inside a commit
+        manifest. A mostly-empty filter compresses to a few bytes."""
+        import base64
+        import zlib as _z
+
+        packed = base64.b64encode(
+            _z.compress(self.bits.tobytes(), 6)
+        ).decode("ascii")
+        return f"{self.n_bits}:{self.n_hashes}:{packed}"
+
+    @classmethod
+    def from_base64(cls, s: str) -> "BloomFilter":
+        import base64
+        import zlib as _z
+
+        n_bits, n_hashes, packed = s.split(":", 2)
+        bf = cls(n_bits=int(n_bits), n_hashes=int(n_hashes))
+        bf.bits = np.frombuffer(
+            _z.decompress(base64.b64decode(packed)), dtype=np.uint64
+        ).copy()
+        return bf
+
     def to_bytes(self) -> bytes:
         return self.bits.tobytes()
 

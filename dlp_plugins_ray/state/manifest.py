@@ -42,6 +42,10 @@ class PartitionManifest:
     checksum: str  # order-insensitive xor/sum over row sha256s
     lineage: dict = field(default_factory=dict)
     metrics: dict = field(default_factory=dict)
+    # serialized Bloom filter over the partition's distinct repos
+    # (stages/sketches.BloomFilter.to_base64) — lets repo-level reads
+    # prune partitions from metadata alone; None on pre-feature lakes
+    repo_bloom: str | None = None
 
     def to_json(self) -> str:
         return json.dumps(asdict(self), sort_keys=True)

@@ -949,3 +949,64 @@ class TestPointLookup:
     def test_not_a_lake_raises(self, tmp_path):
         with pytest.raises(ValueError, match="_table_meta"):
             RP.lake_files_for_keys(str(tmp_path), [("a", "b")])
+
+
+class TestRepoBloomPrune:
+    def test_repo_read_matches_full_filter(self, events_dir, tmp_path):
+        out = str(tmp_path / "lake")
+        RP.replay(events_dir, out, num_partitions=8)
+        full = RP.read_lake_table(out).to_pandas()
+        # the repo with the fewest files prunes hardest
+        repo = full["repo"].value_counts().idxmin()
+        files = RP.lake_files_for_repos(out, [repo])
+        n_parts = full[full["repo"] == repo]["path"].nunique()
+        # bloom prune: at most (files of repo) partitions + rare FPs
+        assert len(files) <= min(8, n_parts + 2)
+        got = (
+            RP.read_lake_repos(out, [repo])
+            .to_pandas()
+            .sort_values("path")
+            .reset_index(drop=True)
+        )
+        want = (
+            full[full["repo"] == repo]
+            .sort_values("path")
+            .reset_index(drop=True)
+        )
+        assert got[["repo", "path", "seq", "content"]].equals(
+            want[["repo", "path", "seq", "content"]]
+        )
+
+    def test_absent_repo_reads_nothing(self, events_dir, tmp_path):
+        out = str(tmp_path / "lake")
+        RP.replay(events_dir, out, num_partitions=8)
+        assert RP.lake_files_for_repos(out, ["no/such/repo"]) == []
+        assert RP.read_lake_repos(out, ["no/such/repo"]).count() == 0
+
+    def test_pre_feature_manifest_included(self, events_dir, tmp_path):
+        # a manifest without repo_bloom (old lake) must be read, not
+        # silently skipped
+        out = str(tmp_path / "lake")
+        RP.replay(events_dir, out, num_partitions=8)
+        import json as _json
+
+        mdir = os.path.join(out, MF.MANIFEST_DIR)
+        for name in os.listdir(mdir):
+            if name.startswith("part-") and name.endswith(".json"):
+                p = os.path.join(mdir, name)
+                d = _json.loads(open(p).read())
+                d.pop("repo_bloom", None)
+                open(p, "w").write(_json.dumps(d))
+        files = RP.lake_files_for_repos(out, ["no/such/repo"])
+        assert len(files) == 8  # conservative: every partition read
+
+    def test_bloom_roundtrip(self):
+        from dlp_plugins_ray.stages.sketches import BloomFilter
+
+        bf = BloomFilter(1 << 14, 5)
+        h = RP._repo_hash([f"org/repo-{i}" for i in range(100)])
+        bf.add_hashes(h)
+        bf2 = BloomFilter.from_base64(bf.to_base64())
+        assert bf2.contains_hashes(h).all()
+        miss = RP._repo_hash([f"other/r-{i}" for i in range(500)])
+        assert bf2.contains_hashes(miss).mean() < 0.05
