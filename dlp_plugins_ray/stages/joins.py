@@ -22,6 +22,7 @@ import pyarrow.compute as pc
 import ray
 
 _SIDE_COL = "__side"
+_SALT_COL = "__salt"
 
 
 def broadcast_join(ds, small_table: pa.Table, *, key: str, small_cols: list[str]):
@@ -92,6 +93,7 @@ def hash_join(
     num_buckets: int = 64,
     left_schema: pa.Schema | None = None,
     right_schema: pa.Schema | None = None,
+    salt: int = 1,
 ):
     """Distributed hash join for LARGE x LARGE inputs — the shuffle
     join ``broadcast_join`` cannot do (its small side must fit one
@@ -110,11 +112,19 @@ def hash_join(
     of ``broadcast_semi_anti`` for build sides too big to broadcast;
     'full' coalesces the key columns across sides).
 
-    Skew note (100 TB): a single hot key lands in one bucket; polars
-    handles many-to-many within the block, but a key whose row product
-    exceeds worker memory needs a salted pre-split upstream (same
-    contract as asof_join / any keyed reduce).
+    Skew (100 TB): a single hot key lands in one bucket. ``salt=s``
+    splits it IN the join: probe (left) rows get a deterministic salt
+    in [0, s) and the exchange keys on (key, salt), so a hot key's
+    probe rows spread over s buckets; the build (right) side is
+    replicated once per salt value, so every (left, right) pair still
+    meets exactly once — results are identical to salt=1 for
+    inner/left/semi/anti (many-to-many included; each left row still
+    sees ALL right rows of its key). Cost: build side x s through the
+    exchange — use for probe-heavy skew, keep the build side lean.
+    'full' would emit unmatched right replicas s times and is rejected.
     """
+    if salt > 1 and how == "full":
+        raise ValueError("salt>1 is not supported for how='full'")
     keys = [on] if isinstance(on, str) else list(on)
     rkeys = (
         keys
@@ -138,6 +148,13 @@ def hash_join(
     ]
 
     def tag_left(batch: pa.Table) -> pa.Table:
+        if salt > 1:
+            batch = batch.append_column(
+                _SALT_COL,
+                pa.array(
+                    (np.arange(batch.num_rows) % salt).astype(np.int16)
+                ),
+            )
         return batch.append_column(
             _SIDE_COL, pa.array(np.zeros(batch.num_rows, dtype=np.int8))
         )
@@ -151,6 +168,18 @@ def hash_join(
         # semi/anti need only distinct build keys — shrink pre-shuffle
         if how in ("semi", "anti"):
             batch = batch.group_by(keys).aggregate([])
+        if salt > 1:  # one build replica per salt value
+            batch = pa.concat_tables(
+                [
+                    batch.append_column(
+                        _SALT_COL,
+                        pa.array(
+                            np.full(batch.num_rows, i, dtype=np.int16)
+                        ),
+                    )
+                    for i in range(salt)
+                ]
+            )
         return batch.append_column(
             _SIDE_COL, pa.array(np.ones(batch.num_rows, dtype=np.int8))
         )
@@ -160,13 +189,15 @@ def hash_join(
     # tagged schemas built structurally (executing rt.schema() returns
     # None on an empty side and costs a partial execution otherwise)
     side_field = pa.field(_SIDE_COL, pa.int8())
-    l_tagged_schema = pa.schema(list(l_schema) + [side_field])
+    salt_fields = [pa.field(_SALT_COL, pa.int16())] if salt > 1 else []
+    l_tagged_schema = pa.schema(list(l_schema) + salt_fields + [side_field])
     r_tagged_schema = pa.schema(
         [
             pa.field(key_rename.get(f.name, f.name), f.type)
             for f in r_schema0
             if f.name in rkeys or f.name in right_value_cols
         ]
+        + salt_fields
         + [side_field]
     )
     union_schema = pa.unify_schemas(
@@ -198,12 +229,17 @@ def hash_join(
         ]
     )
 
+    join_keys = keys + ([_SALT_COL] if salt > 1 else [])
+
     def per_bucket(block: pa.Table) -> pa.Table:
         import polars as pl
 
         side = block.column(_SIDE_COL)
-        lf = block.filter(pc.equal(side, 0)).select(left_cols)
-        rf = block.filter(pc.equal(side, 1)).select(keys + right_value_cols)
+        extra = [_SALT_COL] if salt > 1 else []
+        lf = block.filter(pc.equal(side, 0)).select(left_cols + extra)
+        rf = block.filter(pc.equal(side, 1)).select(
+            keys + extra + right_value_cols
+        )
         if lf.num_rows == 0 and how == "full" and rf.num_rows:
             # right-only bucket: keys from the right, left-only cols null
             out = rf.rename_columns(
@@ -238,7 +274,7 @@ def hash_join(
         ldf = pl.from_arrow(lf)
         rdf = pl.from_arrow(rf).rename(dict(zip(right_value_cols, out_right)))
         kw = {"coalesce": True} if pl_how in ("inner", "left", "full") else {}
-        joined = ldf.join(rdf, on=keys, how=pl_how, **kw)
+        joined = ldf.join(rdf, on=join_keys, how=pl_how, **kw)
         out = joined.to_arrow()
         return out.select(out_schema.names).cast(out_schema)
 
@@ -246,7 +282,7 @@ def hash_join(
 
     return bucketed_group_reduce(
         unioned,
-        keys,
+        join_keys,
         per_bucket,
         num_buckets=num_buckets,
         out_schema=out_schema,

@@ -488,3 +488,65 @@ class TestRound3Properties:
             assert len(out) == want
 
         check()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSaltedHashJoin:
+    """salt=s must be result-identical to salt=1 for every supported
+    mode, including a hot-key many-to-many and a probe-heavy skew."""
+
+    def _skewed(self):
+        rng = np.random.RandomState(7)
+        # 60% of probe rows share one hot key; build side many-to-many
+        k = np.where(rng.rand(4000) < 0.6, 42, rng.randint(0, 50, 4000))
+        left = pa.table(
+            {"k": pa.array(k.astype(np.int64)),
+             "lv": pa.array(np.arange(4000, dtype=np.int64))}
+        )
+        rk = np.concatenate([np.full(5, 42), rng.randint(0, 60, 200)])
+        right = pa.table(
+            {"k": pa.array(rk.astype(np.int64)),
+             "rv": pa.array(np.arange(rk.size, dtype=np.int64))}
+        )
+        return left, right
+
+    @pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+    def test_salted_equals_unsalted(self, how):
+        import ray.data as rd
+
+        from dlp_plugins_ray.stages.joins import hash_join
+
+        left, right = self._skewed()
+
+        def run(salt):
+            return _pdf(
+                hash_join(
+                    rd.from_arrow(left),
+                    rd.from_arrow(right),
+                    on="k",
+                    how=how,
+                    num_buckets=8,
+                    salt=salt,
+                )
+            )
+
+        a = run(1)
+        b = run(4)
+        canon = lambda df: (
+            df[sorted(df.columns)]
+            .sort_values(by=sorted(df.columns))
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(canon(a), canon(b), check_dtype=False)
+
+    def test_full_rejects_salt(self):
+        import ray.data as rd
+
+        from dlp_plugins_ray.stages.joins import hash_join
+
+        left, right = self._skewed()
+        with pytest.raises(ValueError, match="salt"):
+            hash_join(
+                rd.from_arrow(left), rd.from_arrow(right),
+                on="k", how="full", salt=2,
+            )
