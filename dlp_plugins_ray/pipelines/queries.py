@@ -30,11 +30,41 @@ from ..cdc import replay as RP
 # processes resolve them when actors compile policies.
 
 
+_SMALL_READ_CUTOFF = 512 << 20  # file bytes; above this, Ray decides
+_BYTES_PER_BLOCK = 4 << 20  # ~16 MB in-memory per block (4-5x codec)
+
+
+def _sized_blocks(paths) -> int | None:
+    """Right-size read parallelism to the DATA, not the CPU count.
+
+    Ray's default splits any read into ~2x num_cpus blocks; for a
+    small file that over-parallelizes every downstream all-to-all
+    (64-block sorts of 3 MB pay ~10s of pure scheduling — measured on
+    the minhash pipeline: 8.1s -> 3.0s at 8 blocks). Small inputs get
+    ceil(bytes / 4 MB) blocks (floor 8 keeps per-row CPU stages
+    parallel); large inputs return None so Ray's streaming splits
+    rule, exactly as at 100 TB."""
+    if isinstance(paths, str):
+        paths = [paths]
+    total = 0
+    for p in paths:
+        if os.path.isdir(p):
+            for n in os.listdir(p):
+                if n.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(p, n))
+        elif os.path.exists(p):
+            total += os.path.getsize(p)
+    if total >= _SMALL_READ_CUTOFF:
+        return None
+    return max(8, -(-total // _BYTES_PER_BLOCK))
+
+
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data as rd
 
+    path = os.path.join(sf_dir, f"{table}.parquet")
     return rd.read_parquet(
-        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+        path, columns=columns, override_num_blocks=_sized_blocks(path)
     )
 
 
@@ -426,7 +456,7 @@ def q_dedup_minhash_pairs(sf_dir: str):
     import ray.data as rd
 
     path = textdup_docs_path(sf_dir)
-    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+    ds = rd.read_parquet(path, columns=["doc_id", "text"], override_num_blocks=_sized_blocks(path))
     pairs = DD.minhash_duplicate_pairs(ds, text_col="text", id_col="doc_id")
     labels = DD.connected_component_labels(pairs)
     planted = rd.from_arrow(
@@ -1095,7 +1125,7 @@ def q_minhash_dedup_keep(sf_dir: str):
     import ray.data as rd
 
     path = textdup_docs_path(sf_dir)
-    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+    ds = rd.read_parquet(path, columns=["doc_id", "text"], override_num_blocks=_sized_blocks(path))
     kept = DD.minhash_dedup(ds, text_col="text", id_col="doc_id")
     kept_ids = kept.map_batches(
         lambda b: b.select(["doc_id"]), batch_format="pyarrow"
@@ -1342,7 +1372,7 @@ def q_embedding_near_dup(sf_dir: str):
             "embedding"
         )[0]
     )
-    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"], override_num_blocks=_sized_blocks(path))
     return DD.embedding_near_dup_pairs(
         ds, emb_col="embedding", id_col="vec_id", dim=dim, threshold=0.99
     )
@@ -1435,7 +1465,7 @@ def q_simhash_near_dup_pairs(sf_dir: str):
     import ray.data as rd
 
     path = textdup_docs_path(sf_dir)
-    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+    ds = rd.read_parquet(path, columns=["doc_id", "text"], override_num_blocks=_sized_blocks(path))
     pairs = DD.simhash_near_dup_pairs(
         ds, text_col="text", id_col="doc_id", max_hamming=3
     )
@@ -1739,7 +1769,7 @@ def q_jaccard_verified_pairs(sf_dir: str):
     import ray.data as rd
 
     path = textdup_docs_path(sf_dir)
-    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+    ds = rd.read_parquet(path, columns=["doc_id", "text"], override_num_blocks=_sized_blocks(path))
     cands = DD.minhash_duplicate_pairs(ds, text_col="text", id_col="doc_id")
     # include the decoy pairs as candidates explicitly: LSH rarely
     # surfaces them (that's its job), but the PRECISION invariant is
@@ -2104,7 +2134,7 @@ def q_heavy_hitters(sf_dir: str):
 
     k = 8
     ev_dir = cdc_events_dir(sf_dir)
-    ds = rd.read_parquet(ev_dir, columns=["repo"])
+    ds = rd.read_parquet(ev_dir, columns=["repo"], override_num_blocks=_sized_blocks(ev_dir))
     candidates = set(misra_gries_candidates(ds, "repo", k=k))
 
     def partial(df):
@@ -2269,10 +2299,12 @@ def q_purchases_daily_pushdown(sf_dir: str):
 
     from ..stages.shuffle import bucketed_group_reduce
 
+    ev_path = os.path.join(sf_dir, "events.parquet")
     ds = rd.read_parquet(
-        os.path.join(sf_dir, "events.parquet"),
+        ev_path,
         columns=["event_type", "ts"],
         filter=(pc.field("event_type") == "purchase"),
+        override_num_blocks=_sized_blocks(ev_path),
     )
 
     def add_day(b: pa.Table) -> pa.Table:
@@ -2680,7 +2712,7 @@ def q_cdc_scd2_history(sf_dir: str):
     from ..cdc.history import scd2_history
 
     ev_dir = cdc_events_dir(sf_dir)
-    ds = rd.read_parquet(ev_dir, columns=["repo", "path", "seq", "op"])
+    ds = rd.read_parquet(ev_dir, columns=["repo", "path", "seq", "op"], override_num_blocks=_sized_blocks(ev_dir))
     return scd2_history(ds)
 
 
@@ -2866,8 +2898,8 @@ def q_snapshot_diff(sf_dir: str):
     from ..stages.joins import hash_join
 
     a_path, b_path = snapshot_states_path(sf_dir)
-    a = rd.read_parquet(a_path)
-    b = rd.read_parquet(b_path)
+    a = rd.read_parquet(a_path, override_num_blocks=_sized_blocks(a_path))
+    b = rd.read_parquet(b_path, override_num_blocks=_sized_blocks(b_path))
     joined = hash_join(
         a, b, on=["repo", "path"], right_value_cols=["seq_b"], how="full",
         num_buckets=16,
