@@ -6,6 +6,8 @@ Commands:
   gen      --out DIR --events N [--shards N] [--seed N]
   show     --lake DIR  (print committed checkpoint + row counts)
   repartition --src DIR --dst DIR --partitions N  (lake rewrite)
+  lookup   --lake DIR (--key REPO PATH ... | --repo REPO ...)
+           (partition-pruned point / repo read; prints matching rows)
 
 Owns the Ray session (scripts may init); the library never does.
 """
@@ -56,6 +58,20 @@ def main(argv=None) -> int:
     vp.add_argument("--lake", required=True)
     vp.add_argument("--keep-epochs", type=int, default=2)
 
+    lp = sub.add_parser(
+        "lookup",
+        help="partition-pruned point/repo read from a committed lake",
+    )
+    lp.add_argument("--lake", required=True)
+    lp.add_argument(
+        "--key", nargs=2, action="append", metavar=("REPO", "PATH"),
+        help="exact (repo, path) key; repeatable",
+    )
+    lp.add_argument(
+        "--repo", action="append", help="all files of a repo; repeatable"
+    )
+    lp.add_argument("--num-cpus", type=int, default=None)
+
     args = p.parse_args(argv)
 
     if args.cmd == "gen":
@@ -88,7 +104,7 @@ def main(argv=None) -> int:
         print(json.dumps(vacuum_manifests(args.lake, keep_epochs=args.keep_epochs)))
         return 0
 
-    # replay / repartition (both need a Ray session)
+    # replay / repartition / lookup (all need a Ray session)
     import ray
 
     if not ray.is_initialized():
@@ -102,6 +118,43 @@ def main(argv=None) -> int:
 
     rd.DataContext.get_current().enable_progress_bars = False
     from .cdc.replay import repartition_lake, replay
+
+    if args.cmd == "lookup":
+        from .cdc.replay import (
+            lake_files_for_keys,
+            lake_files_for_repos,
+            read_lake_keys,
+            read_lake_repos,
+        )
+
+        if not args.key and not args.repo:
+            print("lookup: pass --key REPO PATH and/or --repo REPO", file=sys.stderr)
+            ray.shutdown()
+            return 2
+        rows, files = [], []
+        if args.key:
+            keys = [tuple(k) for k in args.key]
+            files += lake_files_for_keys(args.lake, keys)
+            rows += read_lake_keys(args.lake, keys).take_all()
+        if args.repo:
+            files += lake_files_for_repos(args.lake, args.repo)
+            rows += read_lake_repos(args.lake, args.repo).take_all()
+        print(
+            json.dumps(
+                {
+                    "files_scanned": len(set(files)),
+                    "rows": [
+                        {k: v for k, v in r.items() if k != "content"}
+                        | {"content_sha256": __import__("hashlib").sha256(
+                            r["content"].encode()).hexdigest()[:16]}
+                        for r in rows
+                    ],
+                },
+                default=str,
+            )
+        )
+        ray.shutdown()
+        return 0
 
     if args.cmd == "repartition":
         mpdf, epoch = repartition_lake(
