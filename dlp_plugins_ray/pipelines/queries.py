@@ -3852,3 +3852,180 @@ ORACLE_SQL["events_rollup"] = r"""
     FROM events
     GROUP BY ROLLUP (event_type, day)
 """
+
+
+# ---------------------------------------------------------------------------
+# text normalization + repetition quality + corpus bigrams
+# (LLM-pipeline preprocessing family; all single-map or partial-count
+# plans — nothing here materializes or row-loops)
+# ---------------------------------------------------------------------------
+
+
+def q_normalize_text(sf_dir: str):
+    """Canonical text normalization: lowercase, fold non-alphanumerics
+    to spaces, collapse runs, trim. Pure Arrow RE2 kernels — zero
+    Python per row, no shuffle. Oracle parity is exact because both
+    engines evaluate RE2 on identical patterns."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        s = pc.utf8_lower(b.column("text"))
+        s = pc.replace_substring_regex(
+            s, pattern=r"[^a-z0-9 ]+", replacement=" "
+        )
+        s = pc.replace_substring_regex(s, pattern=r" +", replacement=" ")
+        s = pc.utf8_trim_whitespace(s)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "norm_text": s,
+                "n_chars_norm": pc.cast(pc.utf8_length(s), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+QUERIES["normalize_text"] = q_normalize_text
+ORACLE_SQL["normalize_text"] = r"""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+           length(trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g'))) AS n_chars_norm
+    FROM documents
+"""
+
+
+def q_word_repetition(sf_dir: str):
+    """Gopher-style repetition quality signal: per-document duplicate
+    word fraction (1 - distinct/total over lowercase ``[a-z]+``
+    tokens). One polars-vectorized map pass, no shuffle; the ratio is
+    a single IEEE double division of identical integers on both
+    engines, so the hash comparison is exact."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(b)
+            .with_columns(
+                ws=pl.col("text").str.to_lowercase().str.extract_all(r"[a-z]+")
+            )
+            .select(
+                "doc_id",
+                n_words=pl.col("ws").list.len().cast(pl.Int64),
+                n_distinct=pl.col("ws").list.n_unique().cast(pl.Int64),
+            )
+            .with_columns(
+                rep_ratio=pl.when(pl.col("n_words") > 0)
+                .then(
+                    (pl.col("n_words") - pl.col("n_distinct")).cast(pl.Float64)
+                    / pl.col("n_words")
+                )
+                .otherwise(0.0)
+            )
+        ).to_arrow()
+        return pa.table(
+            {
+                "doc_id": out.column("doc_id").cast(pa.int64()),
+                "n_words": out.column("n_words").cast(pa.int64()),
+                "n_distinct": out.column("n_distinct").cast(pa.int64()),
+                "rep_ratio": out.column("rep_ratio").cast(pa.float64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+QUERIES["word_repetition"] = q_word_repetition
+ORACLE_SQL["word_repetition"] = r"""
+    WITH w AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           len(ws) AS n_words,
+           len(list_distinct(ws)) AS n_distinct,
+           CASE WHEN len(ws) > 0
+                THEN CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE)
+                     / len(ws)
+                ELSE 0.0 END AS rep_ratio
+    FROM w
+"""
+
+
+def q_top_bigrams(sf_dir: str):
+    """Top-20 corpus bigrams: adjacent ``[a-z]+`` token pairs counted
+    per block (the exchange moves (bigram, partial_count) rows, never
+    token streams), bucketed count reduce, tiny global sort+limit —
+    the ``top_words`` plan one n-gram order up. (n desc, bigram asc)
+    is a total order, so the limit cut is deterministic."""
+    from ..stages.shuffle import bucketed_group_reduce
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def explode_counts(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        pairs = (
+            pl.from_arrow(b.select(["text"]))
+            .with_columns(
+                ws=pl.col("text").str.to_lowercase().str.extract_all(r"[a-z]+")
+            )
+            .filter(pl.col("ws").list.len() >= 2)
+            .with_columns(
+                a=pl.col("ws").list.slice(0, pl.col("ws").list.len() - 1),
+                b=pl.col("ws").list.slice(1),
+            )
+            .select(["a", "b"])
+            .explode(["a", "b"])
+        )
+        counts = (
+            pairs.select(
+                bigram=pl.concat_str([pl.col("a"), pl.col("b")], separator=" ")
+            )
+            .group_by("bigram")
+            .len()
+        )
+        return pa.table(
+            {
+                "bigram": counts["bigram"].to_arrow().cast(pa.string()),
+                "n": counts["len"].to_arrow().cast(pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(
+        explode_counts, batch_format="pyarrow", batch_size=None
+    )
+
+    def final(block: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = pl.from_arrow(block).group_by("bigram").agg(pl.col("n").sum())
+        return pa.table(
+            {
+                "bigram": out["bigram"].to_arrow().cast(pa.string()),
+                "n": out["n"].to_arrow().cast(pa.int64()),
+            }
+        )
+
+    counts = bucketed_group_reduce(partials, ["bigram"], final, num_buckets=16)
+    return counts.sort(["n", "bigram"], descending=[True, False]).limit(20)
+
+
+QUERIES["top_bigrams"] = q_top_bigrams
+ORACLE_SQL["top_bigrams"] = r"""
+    WITH d AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+      FROM documents
+    ), w AS (
+      SELECT doc_id, unnest(ws) AS word,
+             generate_subscripts(ws, 1) AS pos
+      FROM d
+    )
+    SELECT w1.word || ' ' || w2.word AS bigram, count(*) AS n
+    FROM w w1 JOIN w w2 ON w1.doc_id = w2.doc_id AND w2.pos = w1.pos + 1
+    GROUP BY 1 ORDER BY n DESC, bigram ASC LIMIT 20
+"""

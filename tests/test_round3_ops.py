@@ -550,3 +550,58 @@ class TestSaltedHashJoin:
                 rd.from_arrow(left), rd.from_arrow(right),
                 on="k", how="full", salt=2,
             )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTextPreprocessingOps:
+    """normalize_text / word_repetition / top_bigrams over sf0.001."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_normalize_text_invariants(self):
+        from dlp_plugins_ray.pipelines.queries import q_normalize_text
+
+        df = _pdf(q_normalize_text(self.SF))
+        assert len(df) > 0
+        for s in df["norm_text"]:
+            assert s == s.strip()
+            assert "  " not in s
+            assert all(c.islower() or c.isdigit() or c == " " for c in s)
+        assert (df["n_chars_norm"] == df["norm_text"].str.len()).all()
+
+    def test_word_repetition_matches_naive(self):
+        import re
+
+        import pyarrow.parquet as pq
+
+        from dlp_plugins_ray.pipelines.queries import q_word_repetition
+
+        df = _pdf(q_word_repetition(self.SF)).set_index("doc_id")
+        t = pq.read_table(self.SF + "/documents.parquet", columns=["doc_id", "text"])
+        for doc_id, text in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            ws = re.findall(r"[a-z]+", (text or "").lower())
+            row = df.loc[doc_id]
+            assert row["n_words"] == len(ws)
+            assert row["n_distinct"] == len(set(ws))
+            exp = (len(ws) - len(set(ws))) / len(ws) if ws else 0.0
+            assert abs(row["rep_ratio"] - exp) < 1e-12
+
+    def test_top_bigrams_matches_naive(self):
+        import re
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        from dlp_plugins_ray.pipelines.queries import q_top_bigrams
+
+        df = _pdf(q_top_bigrams(self.SF))
+        c = Counter()
+        t = pq.read_table(self.SF + "/documents.parquet", columns=["text"])
+        for text in t.column("text").to_pylist():
+            ws = re.findall(r"[a-z]+", (text or "").lower())
+            c.update(f"{a} {b}" for a, b in zip(ws, ws[1:]))
+        exp = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+        got = list(zip(df["bigram"], df["n"]))
+        assert got == exp
