@@ -605,3 +605,108 @@ class TestTextPreprocessingOps:
         exp = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
         got = list(zip(df["bigram"], df["n"]))
         assert got == exp
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestExchangeChaosRecovery:
+    """Real Ray task-retry recovery through the shuffle machinery (the
+    manifest sink already has this proof; these cover the generic
+    exchanges). A task hard-crashes (os._exit) the first time any
+    worker runs it; Ray retries and the result must equal a clean run."""
+
+    @staticmethod
+    def _canon(df):
+        return (
+            df[sorted(df.columns)]
+            .sort_values(by=sorted(df.columns))
+            .reset_index(drop=True)
+        )
+
+    def test_bucketed_reduce_survives_worker_crash(self, tmp_path):
+        import os
+
+        import polars as pl
+        import ray.data as rd
+
+        from dlp_plugins_ray.stages.shuffle import bucketed_group_reduce
+
+        t = pa.table(
+            {
+                "k": pa.array(np.arange(5000, dtype=np.int64) % 97),
+                "v": pa.array(np.arange(5000, dtype=np.int64)),
+            }
+        )
+
+        def reduce_sum(block):
+            return pl.from_arrow(block).group_by("k").agg(pl.col("v").sum()).to_arrow()
+
+        clean = _pdf(
+            bucketed_group_reduce(rd.from_arrow(t), ["k"], reduce_sum, num_buckets=8)
+        )
+
+        sentinel = str(tmp_path / "boom_once")
+
+        def chaos_reduce(block):
+            if not os.path.exists(sentinel):
+                with open(sentinel, "w") as f:
+                    f.write("x")
+                    f.flush()
+                    os.fsync(f.fileno())
+                os._exit(1)  # worker crash, not an exception
+            return reduce_sum(block)
+
+        got = _pdf(
+            bucketed_group_reduce(rd.from_arrow(t), ["k"], chaos_reduce, num_buckets=8)
+        )
+        assert os.path.exists(sentinel), "chaos never fired"
+        pd.testing.assert_frame_equal(
+            self._canon(got), self._canon(clean), check_dtype=False
+        )
+
+    def test_hash_join_survives_map_crash(self, tmp_path):
+        import os
+
+        import ray.data as rd
+
+        from dlp_plugins_ray.stages.joins import hash_join
+
+        rng = np.random.RandomState(11)
+        left = pa.table(
+            {
+                "k": pa.array(rng.randint(0, 50, 2000)),
+                "lv": pa.array(np.arange(2000, dtype=np.int64)),
+            }
+        )
+        right = pa.table(
+            {
+                "k": pa.array(rng.randint(0, 50, 500)),
+                "rv": pa.array(rng.randint(0, 1000, 500)),
+            }
+        )
+        clean = _pdf(
+            hash_join(
+                rd.from_arrow(left), rd.from_arrow(right), on="k", num_buckets=8
+            )
+        )
+
+        sentinel = str(tmp_path / "boom_once")
+
+        def chaos_id(b: pa.Table) -> pa.Table:
+            if not os.path.exists(sentinel):
+                with open(sentinel, "w") as f:
+                    f.write("x")
+                    f.flush()
+                    os.fsync(f.fileno())
+                os._exit(1)
+            return b
+
+        left_chaos = rd.from_arrow(left).map_batches(
+            chaos_id, batch_format="pyarrow"
+        )
+        got = _pdf(
+            hash_join(left_chaos, rd.from_arrow(right), on="k", num_buckets=8)
+        )
+        assert os.path.exists(sentinel), "chaos never fired"
+        pd.testing.assert_frame_equal(
+            self._canon(got), self._canon(clean), check_dtype=False
+        )
