@@ -348,6 +348,8 @@ TEXTDUP_EXACT_OFF = 10_000_000  # identical clone (jaccard 1, hamming 0)
 TEXTDUP_NEAR_OFF = 20_000_000   # 5/80 tokens mutated (jaccard ~0.85)
 TEXTDUP_DECOY_OFF = 30_000_000  # 64/80 tokens mutated (jaccard ~0.1)
 
+CHUNK_CHARS, CHUNK_STRIDE = 200, 150  # doc_chunks / chunk_dedup grammar
+
 
 def textdup_docs_path(sf_dir: str) -> str:
     """Deterministic planted near-duplicate text fixture, sized by the
@@ -2026,6 +2028,30 @@ def tmp_oracle_sql(sf: str = "sf0.01") -> dict[str, str]:
               ON a.repo = b.repo AND a.path = b.path
             WHERE a.seq_a IS NULL OR b.seq_b IS NULL OR a.seq_a <> b.seq_b
         """,
+        # full independent re-expression of chunk-granular dedup over
+        # the planted-duplicate fixture: same chunk grammar as
+        # doc_chunks, first owner = min (doc_id, chunk_idx)
+        "chunk_dedup": f"""
+            WITH idx AS (
+              SELECT doc_id, text,
+                     unnest(generate_series(0,
+                        CAST((length(text) - 1) // {CHUNK_STRIDE} AS BIGINT)))
+                       AS chunk_idx
+              FROM read_parquet('{fix}')
+              WHERE text IS NOT NULL AND length(text) > 0
+            ), ch AS (
+              SELECT doc_id, chunk_idx,
+                     substr(text, chunk_idx * {CHUNK_STRIDE} + 1,
+                            {CHUNK_CHARS}) AS chunk_text
+              FROM idx
+            )
+            SELECT doc_id, chunk_idx, chunk_text FROM (
+              SELECT ch.*, row_number() OVER (
+                       PARTITION BY chunk_text
+                       ORDER BY doc_id, chunk_idx) AS rn
+              FROM ch
+            ) WHERE rn = 1
+        """,
         # exact substring-containment join — independent of the n-gram
         # prefilter the Ray side uses for pruning
         "decontaminate": f"""
@@ -2943,53 +2969,52 @@ def q_snapshot_diff(sf_dir: str):
 QUERIES["snapshot_diff"] = q_snapshot_diff
 
 
-def q_doc_chunks(sf_dir: str):
-    """Document chunking for training prep (flat-map shape: one record
-    -> many): fixed 200-char windows with stride 150, derived fully
-    vectorized (polars int_ranges + explode + char slice — no Python
-    per row). Oracle: DuckDB generate_series + substr with the same
-    start arithmetic."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+def _chunk_table(b: pa.Table) -> pa.Table:
+    """Fixed CHUNK_CHARS-char windows at stride CHUNK_STRIDE, derived
+    fully vectorized (polars int_ranges + explode + char slice — no
+    Python per row). Shared by ``doc_chunks`` and ``chunk_dedup``."""
+    import polars as pl
 
-    CHUNK, STRIDE = 200, 150
-
-    def chunker(b: pa.Table) -> pa.Table:
-        import polars as pl
-
-        return (
-            pl.from_arrow(b)
-            .filter(pl.col("text").is_not_null() & (pl.col("text").str.len_chars() > 0))
-            .with_columns(
-                ((pl.col("text").str.len_chars().cast(pl.Int64) - 1) // STRIDE)
-                .alias("_max_idx")
-            )
-            .with_columns(
-                pl.int_ranges(0, pl.col("_max_idx") + 1).alias("chunk_idx")
-            )
-            .explode("chunk_idx")
-            .with_columns(
-                pl.col("text")
-                .str.slice(pl.col("chunk_idx") * STRIDE, CHUNK)
-                .alias("chunk_text")
-            )
-            .with_columns(
-                pl.col("chunk_text").str.len_chars().cast(pl.Int64).alias("chunk_len")
-            )
-            .select(["doc_id", "chunk_idx", "chunk_text", "chunk_len"])
-            .to_arrow()
-            .cast(
-                pa.schema(
-                    [
-                        ("doc_id", pa.int64()),
-                        ("chunk_idx", pa.int64()),
-                        ("chunk_text", pa.string()),
-                        ("chunk_len", pa.int64()),
-                    ]
-                )
+    return (
+        pl.from_arrow(b)
+        .filter(pl.col("text").is_not_null() & (pl.col("text").str.len_chars() > 0))
+        .with_columns(
+            ((pl.col("text").str.len_chars().cast(pl.Int64) - 1) // CHUNK_STRIDE)
+            .alias("_max_idx")
+        )
+        .with_columns(
+            pl.int_ranges(0, pl.col("_max_idx") + 1).alias("chunk_idx")
+        )
+        .explode("chunk_idx")
+        .with_columns(
+            pl.col("text")
+            .str.slice(pl.col("chunk_idx") * CHUNK_STRIDE, CHUNK_CHARS)
+            .alias("chunk_text")
+        )
+        .with_columns(
+            pl.col("chunk_text").str.len_chars().cast(pl.Int64).alias("chunk_len")
+        )
+        .select(["doc_id", "chunk_idx", "chunk_text", "chunk_len"])
+        .to_arrow()
+        .cast(
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("chunk_idx", pa.int64()),
+                    ("chunk_text", pa.string()),
+                    ("chunk_len", pa.int64()),
+                ]
             )
         )
+    )
 
-    return ds.map_batches(chunker, batch_format="pyarrow")
+
+def q_doc_chunks(sf_dir: str):
+    """Document chunking for training prep (flat-map shape: one record
+    -> many). Oracle: DuckDB generate_series + substr with the same
+    start arithmetic."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(_chunk_table, batch_format="pyarrow")
 
 
 QUERIES["doc_chunks"] = q_doc_chunks
@@ -3005,6 +3030,45 @@ ORACLE_SQL["doc_chunks"] = r"""
            length(substr(text, chunk_idx * 150 + 1, 200)) AS chunk_len
     FROM idx
 """
+
+
+def q_chunk_dedup(sf_dir: str):
+    """CCNet-style chunk-granular dedup: chunk every document (same
+    grammar as ``doc_chunks``), then keep the FIRST owner — min
+    (doc_id, chunk_idx) — of each distinct chunk text. Runs over the
+    planted-duplicate text fixture (exact clones share every chunk) so
+    the result is non-vacuous. Plan: flat-map chunker, per-block min
+    combiner, ONE content-hash exchange (``stages/dedup.py
+    exact_dedup`` — only (hash, row) partials shuffle, never repeated
+    text groups wider than a block). Oracle: full independent DuckDB
+    re-expression (window row_number over chunk_text)."""
+    import ray.data as rd
+
+    from ..stages.dedup import exact_dedup
+
+    chunks = rd.read_parquet(textdup_docs_path(sf_dir)).map_batches(
+        _chunk_table, batch_format="pyarrow"
+    )
+
+    def pack_cid(b: pa.Table) -> pa.Table:
+        cid = pc.add(
+            pc.multiply(b.column("doc_id"), pa.scalar(1_000_000, pa.int64())),
+            b.column("chunk_idx"),
+        )
+        return b.append_column("_cid", cid)
+
+    kept = exact_dedup(
+        chunks.map_batches(pack_cid, batch_format="pyarrow"),
+        text_col="chunk_text",
+        id_col="_cid",
+    )
+    return kept.map_batches(
+        lambda b: b.select(["doc_id", "chunk_idx", "chunk_text"]),
+        batch_format="pyarrow",
+    )
+
+
+QUERIES["chunk_dedup"] = q_chunk_dedup
 
 
 DECONTAM_WINDOW = 16  # char window for the rolling-hash prefilter

@@ -710,3 +710,36 @@ class TestExchangeChaosRecovery:
         pd.testing.assert_frame_equal(
             self._canon(got), self._canon(clean), check_dtype=False
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestChunkDedup:
+    def test_matches_naive_and_nonvacuous(self):
+        from dlp_plugins_ray.pipelines.queries import (
+            CHUNK_CHARS,
+            CHUNK_STRIDE,
+            q_chunk_dedup,
+            textdup_docs_path,
+        )
+
+        SF = "/root/testdata/sf0.001"
+        got = _pdf(q_chunk_dedup(SF))
+
+        import pyarrow.parquet as pq
+
+        fix = pq.read_table(textdup_docs_path(SF))
+        first = {}
+        total = 0
+        for doc_id, text in sorted(
+            zip(fix.column("doc_id").to_pylist(), fix.column("text").to_pylist())
+        ):
+            if not text:
+                continue
+            for ci in range((len(text) - 1) // CHUNK_STRIDE + 1):
+                ct = text[ci * CHUNK_STRIDE : ci * CHUNK_STRIDE + CHUNK_CHARS]
+                total += 1
+                if ct not in first:
+                    first[ct] = (doc_id, ci)
+        exp = sorted(first.values())
+        assert total > len(exp), "fixture produced no duplicate chunks (vacuous)"
+        assert sorted(zip(got["doc_id"], got["chunk_idx"])) == exp
