@@ -8,6 +8,9 @@ Commands:
   repartition --src DIR --dst DIR --partitions N  (lake rewrite)
   lookup   --lake DIR (--key REPO PATH ... | --repo REPO ...)
            (partition-pruned point / repo read; prints matching rows)
+  stats    --query NAME [--sf DIR]  (run one conformance query and
+           print its ray.data execution stats — per-stage wall time,
+           rows, memory; the per-operator profiling surface)
 
 Owns the Ray session (scripts may init); the library never does.
 """
@@ -72,6 +75,14 @@ def main(argv=None) -> int:
     )
     lp.add_argument("--num-cpus", type=int, default=None)
 
+    tp = sub.add_parser(
+        "stats",
+        help="run one conformance query and print its ds.stats()",
+    )
+    tp.add_argument("--query", required=True, help="name from pipelines.queries.QUERIES")
+    tp.add_argument("--sf", default="/root/testdata/sf0.01")
+    tp.add_argument("--num-cpus", type=int, default=None)
+
     args = p.parse_args(argv)
 
     if args.cmd == "gen":
@@ -117,6 +128,43 @@ def main(argv=None) -> int:
     import ray.data as rd
 
     rd.DataContext.get_current().enable_progress_bars = False
+
+    if args.cmd == "stats":
+        import time
+
+        from .pipelines.queries import QUERIES
+
+        if args.query not in QUERIES:
+            print(
+                f"stats: unknown query {args.query!r}; known: "
+                + ", ".join(sorted(QUERIES)),
+                file=sys.stderr,
+            )
+            ray.shutdown()
+            return 2
+        t0 = time.time()
+        res = QUERIES[args.query](args.sf)
+        if hasattr(res, "materialize"):
+            res = res.materialize()
+            wall = time.time() - t0
+            print(res.stats())
+            print(
+                json.dumps(
+                    {"query": args.query, "rows": res.count(), "wall_sec": round(wall, 3)}
+                )
+            )
+        else:  # driver-side table result (sketch/flag queries)
+            wall = time.time() - t0
+            n = res.num_rows if hasattr(res, "num_rows") else len(res)
+            print("(driver-side result; no dataset stats)")
+            print(
+                json.dumps(
+                    {"query": args.query, "rows": int(n), "wall_sec": round(wall, 3)}
+                )
+            )
+        ray.shutdown()
+        return 0
+
     from .cdc.replay import repartition_lake, replay
 
     if args.cmd == "lookup":
