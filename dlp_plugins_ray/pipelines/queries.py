@@ -4093,3 +4093,87 @@ ORACLE_SQL["top_bigrams"] = r"""
     FROM w w1 JOIN w w2 ON w1.doc_id = w2.doc_id AND w2.pos = w1.pos + 1
     GROUP BY 1 ORDER BY n DESC, bigram ASC LIMIT 20
 """
+
+
+def q_funnel_signup_purchase(sf_dir: str):
+    """Funnel conversion: per user, first signup then first purchase
+    within 7 days of it. Plan: map-side prefilter to the two funnel
+    event types (everything else never leaves the scan's tasks), ONE
+    exchange on user_id (all of a user's rows land in one bucket — the
+    bucketed_group_reduce invariant), vectorized polars join+filter
+    per bucket. Timestamp arithmetic is integer microseconds on both
+    engines, so the oracle hash is exact."""
+    from ..stages.shuffle import bucketed_group_reduce
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def prefilter(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.is_in(
+                b.column("event_type"),
+                value_set=pa.array(["signup", "purchase"]),
+            )
+        )
+
+    funnel = ds.map_batches(prefilter, batch_format="pyarrow")
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("signup_ts", pa.timestamp("us")),
+            ("purchase_ts", pa.timestamp("us")),
+            ("converted", pa.bool_()),
+        ]
+    )
+
+    def reduce(block: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(block)
+        s = (
+            df.filter(pl.col("event_type") == "signup")
+            .group_by("user_id")
+            .agg(signup_ts=pl.col("ts").min())
+        )
+        if s.height == 0:
+            return out_schema.empty_table()
+        p = (
+            df.filter(pl.col("event_type") == "purchase")
+            .select(["user_id", "ts"])
+            .join(s, on="user_id", how="inner")
+            .filter(
+                (pl.col("ts") >= pl.col("signup_ts"))
+                & (pl.col("ts") <= pl.col("signup_ts") + pl.duration(days=7))
+            )
+            .group_by("user_id")
+            .agg(purchase_ts=pl.col("ts").min())
+        )
+        out = (
+            s.join(p, on="user_id", how="left")
+            .with_columns(converted=pl.col("purchase_ts").is_not_null())
+            .select(["user_id", "signup_ts", "purchase_ts", "converted"])
+        )
+        return out.to_arrow().cast(out_schema)
+
+    return bucketed_group_reduce(
+        funnel, ["user_id"], reduce, num_buckets=32, out_schema=out_schema
+    )
+
+
+QUERIES["funnel_signup_purchase"] = q_funnel_signup_purchase
+ORACLE_SQL["funnel_signup_purchase"] = r"""
+    WITH s AS (
+      SELECT user_id, min(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS purchase_ts
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'purchase'
+        AND e.ts >= s.signup_ts
+        AND e.ts <= s.signup_ts + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    )
+    SELECT s.user_id, s.signup_ts, p.purchase_ts,
+           p.purchase_ts IS NOT NULL AS converted
+    FROM s LEFT JOIN p ON s.user_id = p.user_id
+"""

@@ -743,3 +743,33 @@ class TestChunkDedup:
         exp = sorted(first.values())
         assert total > len(exp), "fixture produced no duplicate chunks (vacuous)"
         assert sorted(zip(got["doc_id"], got["chunk_idx"])) == exp
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFunnel:
+    def test_matches_naive(self):
+        import datetime as dt
+
+        import pyarrow.parquet as pq
+
+        from dlp_plugins_ray.pipelines.queries import q_funnel_signup_purchase
+
+        SF = "/root/testdata/sf0.001"
+        got = _pdf(q_funnel_signup_purchase(SF)).set_index("user_id")
+
+        t = pq.read_table(SF + "/events.parquet", columns=["user_id", "event_type", "ts"]).to_pandas()
+        exp = {}
+        for uid, g in t.groupby("user_id"):
+            su = g[g.event_type == "signup"].ts
+            if su.empty:
+                continue
+            s0 = su.min()
+            pur = g[(g.event_type == "purchase") & (g.ts >= s0) & (g.ts <= s0 + dt.timedelta(days=7))].ts
+            exp[uid] = (s0, None if pur.empty else pur.min())
+        assert len(got) == len(exp)
+        for uid, (s0, p0) in exp.items():
+            row = got.loc[uid]
+            assert row["signup_ts"] == s0
+            assert bool(row["converted"]) == (p0 is not None)
+            if p0 is not None:
+                assert row["purchase_ts"] == p0
