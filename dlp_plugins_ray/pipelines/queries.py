@@ -4177,3 +4177,108 @@ ORACLE_SQL["funnel_signup_purchase"] = r"""
            p.purchase_ts IS NOT NULL AS converted
     FROM s LEFT JOIN p ON s.user_id = p.user_id
 """
+
+
+_US_PER_DAY = 86_400_000_000
+_US_PER_WEEK = 7 * _US_PER_DAY
+
+
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix: distinct active users per (signup-week
+    cohort, week offset). Composition of three scale primitives —
+    per-user min-signup via one ``bucketed_group_reduce``, a LARGE x
+    LARGE ``hash_join`` of the full event stream against the signup
+    table (one co-partitioning exchange per side, no broadcast), then
+    ``grouped_count_distinct`` (distinct pairs shuffle once, partials
+    twice-tiny). Week indices are pure integer microsecond divisions —
+    no date truncation — so the DuckDB oracle is exact."""
+    from ..stages.joins import hash_join
+    from ..stages.shuffle import bucketed_group_reduce, grouped_count_distinct
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def only_signups(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b.column("event_type"), "signup")).select(
+            ["user_id", "ts"]
+        )
+
+    s_schema = pa.schema([("user_id", pa.int64()), ("signup_ts", pa.timestamp("us"))])
+
+    def min_signup(block: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(block)
+            .group_by("user_id")
+            .agg(signup_ts=pl.col("ts").min())
+        )
+        return out.to_arrow().cast(s_schema)
+
+    signups = bucketed_group_reduce(
+        ev.map_batches(only_signups, batch_format="pyarrow"),
+        ["user_id"],
+        min_signup,
+        num_buckets=32,
+        out_schema=s_schema,
+    )
+
+    activity = _read(sf_dir, "events", ["user_id", "ts"])
+    joined = hash_join(
+        activity,
+        signups,
+        on="user_id",
+        right_value_cols=["signup_ts"],
+        how="inner",
+        num_buckets=32,
+    )
+
+    def to_cells(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(b).filter(pl.col("ts") >= pl.col("signup_ts"))
+        out = (
+            df.select(
+                cohort_week=(
+                    pl.col("signup_ts").cast(pl.Int64) // _US_PER_DAY // 7
+                ),
+                offset_week=(
+                    (pl.col("ts").cast(pl.Int64) - pl.col("signup_ts").cast(pl.Int64))
+                    // _US_PER_WEEK
+                ),
+                user_id=pl.col("user_id"),
+            )
+            .unique()
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [
+                    ("cohort_week", pa.int64()),
+                    ("offset_week", pa.int64()),
+                    ("user_id", pa.int64()),
+                ]
+            )
+        )
+
+    cells = joined.map_batches(to_cells, batch_format="pyarrow")
+    return grouped_count_distinct(
+        cells, ["cohort_week", "offset_week"], "user_id", count_alias="n_users"
+    )
+
+
+QUERIES["cohort_retention"] = q_cohort_retention
+ORACLE_SQL["cohort_retention"] = r"""
+    WITH s AS (
+      SELECT user_id, min(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), j AS (
+      SELECT date_diff('microsecond', TIMESTAMP '1970-01-01', s.signup_ts)
+               // 86400000000 // 7 AS cohort_week,
+             date_diff('microsecond', s.signup_ts, e.ts)
+               // 604800000000 AS offset_week,
+             e.user_id
+      FROM events e JOIN s USING (user_id)
+      WHERE e.ts >= s.signup_ts
+    )
+    SELECT cohort_week, offset_week, count(DISTINCT user_id) AS n_users
+    FROM j GROUP BY cohort_week, offset_week
+"""

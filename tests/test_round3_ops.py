@@ -773,3 +773,32 @@ class TestFunnel:
             assert bool(row["converted"]) == (p0 is not None)
             if p0 is not None:
                 assert row["purchase_ts"] == p0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCohortRetention:
+    def test_matches_naive(self):
+        import pyarrow.parquet as pq
+
+        from dlp_plugins_ray.pipelines.queries import q_cohort_retention
+
+        SF = "/root/testdata/sf0.001"
+        got = _pdf(q_cohort_retention(SF))
+
+        t = pq.read_table(SF + "/events.parquet", columns=["user_id", "event_type", "ts"]).to_pandas()
+        US_DAY = 86_400_000_000
+        t["us"] = t.ts.astype("int64")
+        s = t[t.event_type == "signup"].groupby("user_id").us.min()
+        cells = set()
+        for _, r in t.iterrows():
+            if r.user_id not in s.index or r.us < s[r.user_id]:
+                continue
+            cells.add(
+                (s[r.user_id] // US_DAY // 7, (r.us - s[r.user_id]) // (7 * US_DAY), r.user_id)
+            )
+        from collections import Counter
+
+        exp = Counter((c, o) for c, o, _ in cells)
+        assert sorted(zip(got["cohort_week"], got["offset_week"], got["n_users"])) == sorted(
+            (c, o, n) for (c, o), n in exp.items()
+        )
