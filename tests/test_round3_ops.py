@@ -802,3 +802,31 @@ class TestCohortRetention:
         assert sorted(zip(got["cohort_week"], got["offset_week"], got["n_users"])) == sorted(
             (c, o, n) for (c, o), n in exp.items()
         )
+
+
+class TestNormalizeUnicodeParity:
+    """normalize_text's oracle assumes Arrow and DuckDB agree on
+    lower() + RE2 for ANY input; pin that on adversarial unicode so an
+    engine upgrade that diverges is caught before the oracle goes red."""
+
+    def test_arrow_duckdb_agree(self):
+        import duckdb
+        import pyarrow.compute as pc
+
+        cases = [
+            "İstanbul ß ΣΊΣΥΦΟΣ", "ǅungla Ǆ ǆ", "ＡＢＣ１２３",
+            "ﬁre ﬂow", "Ⅻ ⅻ", "äbc", "ÅÖÜ àéî", "ДЖ дж",
+            "中文 abc 123", "a\tb\nc", "  x  ", "", "ABC---def___123",
+        ]
+        con = duckdb.connect()
+        for x in cases:
+            s = pc.utf8_lower(pa.array([x]))
+            s = pc.replace_substring_regex(s, pattern=r"[^a-z0-9 ]+", replacement=" ")
+            s = pc.replace_substring_regex(s, pattern=r" +", replacement=" ")
+            a = pc.utf8_trim_whitespace(s)[0].as_py()
+            d = con.execute(
+                "SELECT trim(regexp_replace(regexp_replace(lower(?),"
+                " '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g'))",
+                [x],
+            ).fetchone()[0]
+            assert a == d, (x, a, d)
