@@ -2600,12 +2600,15 @@ def q_tpch_q3_lite(sf_dir: str):
         ]
     )
 
-    # the join's output blocks are per-bucket (groupby(bucket).map_groups),
-    # so every block already holds ALL lineitems of its order keys —
-    # block-local grouped revenue + block-local top-10 is globally
-    # correct per key, and no second exchange is needed before the
-    # tiny driver merge (batch_size=None keeps batches = whole blocks)
-    def block_top10(b: pa.Table) -> pa.Table:
+    # PARTIAL grouped revenue per block — no block-local top-k: Ray can
+    # split a map_groups output block past target_max_block_size, so a
+    # key's lineitems may straddle two batches and a per-block head(10)
+    # would drop fragments of a globally-top key. Instead each block
+    # emits full per-key partial sums, ONE tiny keyed bucketed reduce
+    # totals them and takes a per-bucket top-10 (valid: each bucket
+    # holds every partial of its keys), and the driver merges
+    # <= 10 x num_buckets candidate rows.
+    def block_partials(b: pa.Table) -> pa.Table:
         import polars as pl
 
         if b.num_rows == 0:
@@ -2623,21 +2626,39 @@ def q_tpch_q3_lite(sf_dir: str):
             )
             .group_by(["l_orderkey", "o_orderdate", "o_orderpriority"])
             .agg(pl.col("cents").sum().alias("revenue_cents"))
-            .sort(["revenue_cents", "l_orderkey"], descending=[True, False])
-            .head(10)
             .to_arrow()
             .select(grouped_schema.names)
             .cast(grouped_schema)
         )
 
-    top_per_block = joined.map_batches(
-        block_top10, batch_format="pyarrow", batch_size=None
+    partials = joined.map_batches(
+        block_partials, batch_format="pyarrow", batch_size=None
     )
-    # global merge: <= 10 x num_blocks candidate rows
+
+    def bucket_top10(block: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(block)
+            .group_by(["l_orderkey", "o_orderdate", "o_orderpriority"])
+            .agg(pl.col("revenue_cents").sum())
+            .sort(["revenue_cents", "l_orderkey"], descending=[True, False])
+            .head(10)
+            .to_arrow()
+        )
+
+    top_per_bucket = bucketed_group_reduce(
+        partials,
+        ["l_orderkey"],
+        bucket_top10,
+        num_buckets=16,
+        out_schema=grouped_schema,
+    )
+    # global merge: <= 10 x num_buckets candidate rows
     import polars as pl
 
     cand = pa.Table.from_pylist(
-        top_per_block.take_all(), schema=grouped_schema
+        top_per_bucket.take_all(), schema=grouped_schema
     )
     return (
         pl.from_arrow(cand)

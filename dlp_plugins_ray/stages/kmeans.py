@@ -63,7 +63,20 @@ class AssignStage:
     """map_batches stage: nearest-centroid assignment by cosine
     similarity, computed in float64 so an independent float64 oracle
     (DuckDB ``list_cosine_similarity``) lands on the same argmax.
-    Ties break to the LOWEST centroid id (np.argmax takes the first)."""
+    Ties break to the LOWEST centroid id (np.argmax takes the first).
+
+    Float-parity guard: the oracle computes cosine as
+    ``dot/(|x||y|)`` with DuckDB's own summation order, while this
+    stage normalizes then matmuls — different IEEE rounding, so a
+    near-tie between two centroids could argmax differently between
+    engines. Rather than chase bit-identical dot products (numpy's
+    pairwise summation differs from DuckDB's loop regardless), the
+    stage FAILS LOUDLY when any row's best-vs-second-best margin is
+    inside the guard band (1e-9, ~1e6x the relative rounding error of
+    either expression): divergence surfaces as a query error, never a
+    silent hash mismatch."""
+
+    TIE_MARGIN = 1e-9
 
     def __init__(self, centroids_ref, id_col: str, emb_col: str):
         c = (
@@ -78,7 +91,21 @@ class AssignStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         emb = _as_matrix(batch.column(self.emb_col)).astype(np.float64)
         emb = _normalize(emb)
-        assign = (emb @ self.cent.T).argmax(axis=1).astype(np.int64)
+        sims = emb @ self.cent.T
+        assign = sims.argmax(axis=1).astype(np.int64)
+        if sims.shape[1] >= 2 and sims.shape[0]:
+            top2 = np.partition(sims, -2, axis=1)[:, -2:]
+            margin = top2[:, 1] - top2[:, 0]
+            bad = margin < self.TIE_MARGIN
+            if bad.any():
+                ids = batch.column(self.id_col).to_pylist()
+                culprits = [ids[i] for i in np.flatnonzero(bad)[:5]]
+                raise ValueError(
+                    "kmeans assignment tie within float guard band "
+                    f"(margin < {self.TIE_MARGIN}) for rows {culprits}: "
+                    "engine/oracle argmax may diverge — widen centroid "
+                    "separation or break ties explicitly"
+                )
         return pa.table(
             {
                 self.id_col: batch.column(self.id_col),

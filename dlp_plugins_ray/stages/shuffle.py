@@ -49,7 +49,9 @@ PACKED_COL = "_packed"
 
 def pack_by_bucket(batch: pa.Table, key_col: str = BUCKET_COL) -> pa.Table:
     """Pack each ``key_col`` sub-group of a block into ONE
-    zstd-compressed Arrow IPC blob. The exchange then moves ~#blocks x
+    lz4-compressed Arrow IPC blob (codec via ``DLP_RAY_PACK_CODEC``;
+    lz4 beat zstd in the replay A/B — see cdc/replay.py). The
+    exchange then moves ~#blocks x
     #buckets fat rows instead of every raw row — the same trick the
     replay exchange uses (cdc/replay.py); ~100 KB compressed objects
     are the object-store sweet spot and the sort compares thousands of
@@ -121,7 +123,14 @@ def grouped_count_distinct(
     pair_cols = group_cols + [distinct_col]
 
     def block_distinct(b: pa.Table) -> pa.Table:
-        return pl.from_arrow(b.select(pair_cols)).unique().to_arrow()
+        # SQL COUNT(DISTINCT x) excludes NULLs — drop them here so a
+        # nullable distinct column matches the DuckDB oracle exactly
+        return (
+            pl.from_arrow(b.select(pair_cols))
+            .drop_nulls(distinct_col)
+            .unique()
+            .to_arrow()
+        )
 
     pairs = ds.map_batches(
         block_distinct, batch_format="pyarrow", batch_size=None
@@ -178,7 +187,7 @@ def bucketed_group_reduce(
     dedup.connected_component_labels).
 
     ``pack=True``: ship each (input block, bucket) sub-table through
-    the exchange as one zstd Arrow blob (see ``pack_by_bucket``) —
+    the exchange as one lz4 Arrow blob (see ``pack_by_bucket``) —
     opt in for wide-payload rows (document text, joined strings) where
     the exchange dominates; costs one compress/decompress pass."""
 
