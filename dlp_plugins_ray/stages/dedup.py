@@ -248,6 +248,68 @@ def jaccard(a: str, b: str, k: int = 5) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def _char_shingle_hashes_many(
+    texts: list[str], k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct character k-shingle hashes for MANY texts in one
+    vectorized pass — the batch kernel behind the exact-Jaccard verify
+    reduce. Returns aligned ``(row_idx, hash)`` arrays (int64, uint64),
+    one row per DISTINCT shingle per text.
+
+    Semantics mirror ``jaccard``'s CHARACTER shingles exactly: a text
+    shorter than ``k`` contributes its whole string as its single
+    shingle (hashed in a separate blake2b domain, so it can never
+    alias a k-length shingle except by 2^-64 collision — same
+    collision budget the minhash path already accepts). All k-length
+    windows of all texts are hashed in one numpy polynomial +
+    splitmix64 pass over the concatenated codepoints; equality of
+    codepoint windows IFF equality of the character shingles."""
+    n = len(texts)
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
+    rows_parts: list[np.ndarray] = []
+    hash_parts: list[np.ndarray] = []
+    short_idx = np.flatnonzero(lens < k)
+    for i in short_idx:
+        h = int.from_bytes(
+            hashlib.blake2b(
+                texts[i].encode("utf-8"), digest_size=8
+            ).digest(),
+            "big",
+        )
+        rows_parts.append(np.array([i], np.int64))
+        hash_parts.append(np.array([h], np.uint64))
+    long_idx = np.flatnonzero(lens >= k)
+    if long_idx.size:
+        cat = "".join(texts[i] for i in long_idx)
+        cp = np.frombuffer(cat.encode("utf-32-le"), dtype=np.uint32).astype(
+            np.uint64
+        )
+        L = lens[long_idx]
+        counts = L - k + 1  # windows per text
+        starts = np.concatenate([[0], np.cumsum(L)[:-1]])
+        sw = np.lib.stride_tricks.sliding_window_view(cp, k)
+        powers = _SHINGLE_BASE ** np.arange(k, dtype=np.uint64)
+        h = (sw * powers).sum(axis=1, dtype=np.uint64)
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(31)
+        # valid window positions: text j owns starts[j] .. starts[j]+counts[j]-1
+        total = int(counts.sum())
+        excl = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        within = np.arange(total, dtype=np.int64) - np.repeat(excl, counts)
+        pos = np.repeat(starts, counts) + within
+        rows_parts.append(np.repeat(long_idx, counts))
+        hash_parts.append(h[pos])
+    if not rows_parts:
+        return np.array([], np.int64), np.array([], np.uint64)
+    rows = np.concatenate(rows_parts)
+    hashes = np.concatenate(hash_parts)
+    # distinct (row, hash) — set semantics per text
+    packed = np.stack([rows.astype(np.uint64), hashes], axis=1)
+    uniq = np.unique(packed, axis=0)
+    return uniq[:, 0].astype(np.int64), uniq[:, 1]
+
+
 # ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------
@@ -677,32 +739,59 @@ def verify_pairs_jaccard(
 
     exploded = bucketed_group_reduce(mixed, ["key"], attach_text)
 
+    out_schema = pa.schema(
+        [
+            ("id_a", pa.int64()),
+            ("id_b", pa.int64()),
+            ("jaccard", pa.float64()),
+        ]
+    )
+
     def per_pair_block(block: pa.Table) -> pa.Table:
         # duplicate input pairs collapse here instead of poisoning the
         # 2-rows-per-pair expectation
         df = pl.from_arrow(block).unique(subset=["id_a", "id_b", "side"])
-        out_a, out_b, out_j = [], [], []
-        for _, sub in df.group_by(["id_a", "id_b"]):
-            if len(sub) != 2:
-                continue  # a candidate id absent from ds — no text to verify
-            sub = sub.sort("side")
-            a_id = int(sub["id_a"][0])
-            b_id = int(sub["id_b"][0])
-            a_t, b_t = sub[text_col].to_list()
-            j = jaccard(a_t or "", b_t or "", k)
-            if j >= threshold:
-                out_a.append(a_id)
-                out_b.append(b_id)
-                out_j.append(j)
-        return pa.table(
+        # a candidate id absent from ds has no text row — drop its pair
+        df = df.filter(pl.len().over(["id_a", "id_b"]) == 2)
+        if df.height == 0:
+            return out_schema.empty_table()
+        # vectorized exact Jaccard (round-3 VERDICT: the old per-pair
+        # Python jaccard() loop was the hot reduce's bottleneck):
+        # one batch shingle-hash pass over every text, then a polars
+        # group-agg — |intersection| = shingles seen on both sides,
+        # |union| = distinct shingles of the pair. Property-pinned to
+        # the naive jaccard() in tests/test_properties.py.
+        rows, hashes = _char_shingle_hashes_many(
+            df[text_col].fill_null("").to_list(), k
+        )
+        sh = pl.DataFrame(
             {
-                "id_a": pa.array(out_a, pa.int64()),
-                "id_b": pa.array(out_b, pa.int64()),
-                "jaccard": pa.array(out_j, pa.float64()),
+                "row": pl.Series(rows, dtype=pl.Int64),
+                "h": pl.Series(hashes, dtype=pl.UInt64),
             }
         )
+        meta = df.select(["id_a", "id_b", "side"]).with_row_index("row")
+        meta = meta.with_columns(pl.col("row").cast(pl.Int64))
+        out = (
+            sh.join(meta, on="row")
+            .group_by(["id_a", "id_b", "h"])
+            .agg(pl.col("side").n_unique().alias("n_sides"))
+            .group_by(["id_a", "id_b"])
+            .agg(
+                (pl.col("n_sides") == 2).sum().alias("inter"),
+                pl.len().alias("union"),
+            )
+            .with_columns(
+                (pl.col("inter") / pl.col("union")).alias("jaccard")
+            )
+            .filter(pl.col("jaccard") >= threshold)
+            .select(["id_a", "id_b", "jaccard"])
+        )
+        return out.to_arrow().cast(out_schema)
 
-    return bucketed_group_reduce(exploded, ["id_a", "id_b"], per_pair_block)
+    return bucketed_group_reduce(
+        exploded, ["id_a", "id_b"], per_pair_block, out_schema=out_schema
+    )
 
 
 def pairs_same_component(labels, pairs, *, num_buckets: int = 64):

@@ -374,3 +374,65 @@ class TestConnectedComponentsProperty:
             uf.union(a, b)
         want = {x: uf.find(x) for x in uf.parent}
         assert got == want
+
+
+class TestVectorizedJaccardProperty:
+    """The batch shingle-hash Jaccard kernel behind
+    verify_pairs_jaccard's reduce must agree with the naive
+    set-of-character-shingles jaccard() on arbitrary unicode strings
+    (hash collisions are 2^-64 — hypothesis will never see one)."""
+
+    @given(
+        pairs=st.lists(
+            st.tuples(TEXT, TEXT),
+            min_size=1,
+            max_size=12,
+        ),
+        k=st.integers(min_value=1, max_value=7),
+    )
+    @settings(max_examples=150, deadline=None)
+    def test_matches_naive_jaccard(self, pairs, k):
+        import numpy as np
+        import polars as pl
+
+        from dlp_plugins_ray.stages.dedup import (
+            _char_shingle_hashes_many,
+            jaccard,
+        )
+
+        texts = [t for p in pairs for t in p]
+        rows, hashes = _char_shingle_hashes_many(texts, k)
+        sh = pl.DataFrame(
+            {
+                "row": pl.Series(rows, dtype=pl.Int64),
+                "h": pl.Series(hashes, dtype=pl.UInt64),
+            }
+        )
+        pair_of_row = pl.DataFrame(
+            {
+                "row": pl.Series(range(len(texts)), dtype=pl.Int64),
+                "pair": pl.Series(
+                    [i // 2 for i in range(len(texts))], dtype=pl.Int64
+                ),
+                "side": pl.Series(
+                    [i % 2 for i in range(len(texts))], dtype=pl.Int64
+                ),
+            }
+        )
+        agg = (
+            sh.join(pair_of_row, on="row")
+            .group_by(["pair", "h"])
+            .agg(pl.col("side").n_unique().alias("n_sides"))
+            .group_by("pair")
+            .agg(
+                (pl.col("n_sides") == 2).sum().alias("inter"),
+                pl.len().alias("union"),
+            )
+            .with_columns((pl.col("inter") / pl.col("union")).alias("j"))
+            .sort("pair")
+        )
+        got = dict(zip(agg["pair"].to_list(), agg["j"].to_list()))
+        for i, (a, b) in enumerate(pairs):
+            assert got[i] == pytest.approx(jaccard(a, b, k), abs=1e-12), (
+                i, a, b, k,
+            )
