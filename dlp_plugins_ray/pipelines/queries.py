@@ -870,27 +870,55 @@ def q_fpe_roundtrip(sf_dir: str):
 
 
 def q_media_features(sf_dir: str):
-    """Multimodal plumbing query over deterministic synthetic media
-    (no media table in the shared testdata)."""
+    """Multimodal decode + feature extraction over REAL uncompressed
+    payloads (P6 PPM / 24-bit BMP / PCM WAV — no media table in the
+    shared testdata, so the fixture is generated with closed-form
+    pixel/sample values). The oracle recomputes each row's
+    feat_checksum from the SAME per-element IEEE expression the
+    decoders evaluate, so a green row certifies the ACTUAL decode
+    arithmetic, not just the plumbing (round-3 VERDICT item 3)."""
     import ray.data as rd
 
-    tbl = MM.generate_media_table(256)
+    tbl = MM.generate_real_media_table(256)
     ds = rd.from_arrow(tbl)
     out = ds.map_batches(
-        MM.MediaFeatureStage, batch_format="pyarrow", batch_size=64,
-        concurrency=(1, 4),
+        lambda b: MM.MediaFeatureStage(decoder=MM.real_media_decoder)(b),
+        batch_format="pyarrow", batch_size=64,
     )
-    return out.map_batches(
-        lambda b: pa.table(
+
+    finish_schema = pa.schema(
+        [
+            ("media_id", pa.int64()),
+            ("feat_dim", pa.int64()),
+            ("feat_checksum", pa.int64()),
+        ]
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return finish_schema.empty_table()
+        feats = np.asarray(
+            b.column("features").to_pylist(), dtype=np.float32
+        )
+        # per-element integer rounding THEN an integer sum — associative,
+        # so engine/oracle summation order cannot matter (CLAUDE.md
+        # float-parity rule)
+        chk = (
+            np.floor(feats.astype(np.float64) * 1000.0 + 0.5)
+            .astype(np.int64)
+            .sum(axis=1)
+        )
+        return pa.table(
             {
                 "media_id": b.column("media_id"),
                 "feat_dim": pa.array(
-                    [len(x) for x in b.column("features").to_pylist()], pa.int64()
+                    np.full(b.num_rows, feats.shape[1], np.int64)
                 ),
+                "feat_checksum": pa.array(chk),
             }
-        ),
-        batch_format="pyarrow",
-    )
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def cdc_events_dir(sf_dir: str) -> str:
@@ -1833,10 +1861,35 @@ ORACLE_SQL["ann_ivf_topk"] = "SELECT true AS ivf_recall_ok"
 ORACLE_SQL["approx_distinct_users"] = (
     "SELECT count(DISTINCT user_id) AS n_exact, true AS hll_ok FROM events"
 )
-ORACLE_SQL["media_features"] = (
-    "SELECT CAST(range AS BIGINT) AS media_id, CAST(64 AS BIGINT) AS feat_dim"
-    " FROM range(256)"
-)
+# Independent re-expression of the REAL media decode: the fixture's
+# closed-form pixel/sample values through the decoders' EXACT
+# per-element IEEE float expressions (term order preserved; literals
+# cast to DOUBLE so DuckDB does not fall into DECIMAL arithmetic),
+# rounded to integers per element and summed associatively.
+ORACLE_SQL["media_features"] = """
+    WITH m AS (SELECT CAST(range AS BIGINT) AS media_id FROM range(256)),
+         idx AS (SELECT CAST(range AS BIGINT) AS j FROM range(64)),
+         f AS (
+           SELECT media_id,
+             CASE WHEN media_id % 3 = 2 THEN
+               CAST(CAST((media_id*31 + j*7) % 65536 - 32768 AS DOUBLE)
+                    / CAST(32768.0 AS DOUBLE) AS REAL)
+             ELSE
+               CAST((CAST((media_id + (j % 16) + (j // 16)) % 256 AS DOUBLE)
+                       * CAST(0.299 AS DOUBLE)
+                     + CAST((media_id + (j % 16) + (j // 16)) % 256 AS DOUBLE)
+                       * CAST(0.587 AS DOUBLE)
+                     + CAST((media_id + (j % 16) + (j // 16)) % 256 AS DOUBLE)
+                       * CAST(0.114 AS DOUBLE))
+                    / CAST(255.0 AS DOUBLE) AS REAL)
+             END AS feat
+           FROM m CROSS JOIN idx
+         )
+    SELECT media_id, CAST(64 AS BIGINT) AS feat_dim,
+           CAST(SUM(CAST(floor(CAST(feat AS DOUBLE) * 1000.0 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS feat_checksum
+    FROM f GROUP BY media_id
+"""
 ORACLE_SQL["simhash_fingerprints"] = (
     "SELECT doc_id, true AS perm_ok, true AS stable_ok FROM documents"
 )

@@ -228,18 +228,91 @@ class TestMultimodal:
         assert feats[:4] == pytest.approx([0.0, 85 / 255, 170 / 255, 1.0])
 
     def test_best_decoder_selection(self):
-        """best_decoder returns the PIL path iff PIL is importable; the
-        fixture PNG is valid either way (decoded here only when PIL is
-        present; otherwise pil_image_decoder must raise, never fake)."""
+        """best_decoder returns the PIL path iff PIL is importable,
+        else the real sniffing decoder (which raises on codecs it
+        cannot read, never fakes)."""
         dec = MM.best_decoder("image")
         if MM._PILImage is None:
-            assert dec is MM.deterministic_fake_decoder
+            assert dec is MM.real_media_decoder
             with pytest.raises(NotImplementedError):
                 MM.pil_image_decoder(b"\x89PNG", "image")
+            with pytest.raises(NotImplementedError):
+                MM.real_media_decoder(b"\x89PNG...", "image")
         else:
             assert dec is MM.pil_image_decoder
-        # non-image hints always use the fake in this container
-        assert MM.best_decoder("audio") is MM.deterministic_fake_decoder
+        # non-image hints use the real sniffing decoder too
+        assert MM.best_decoder("audio") is MM.real_media_decoder
+
+    def test_ppm_roundtrip(self):
+        rng = np.random.RandomState(3)
+        rgb = rng.randint(0, 256, (7, 5, 3)).astype(np.uint8)
+        arr = MM.decode_ppm(MM.encode_ppm(rgb))
+        assert arr.shape == (7, 5)
+        expect = (
+            rgb[..., 0].astype(np.float64) * 0.299
+            + rgb[..., 1].astype(np.float64) * 0.587
+            + rgb[..., 2].astype(np.float64) * 0.114
+        ) / 255.0
+        assert np.array_equal(arr, expect.astype(np.float32))
+
+    def test_ppm_header_comments_whitespace(self):
+        rgb = np.full((2, 3, 3), 9, np.uint8)
+        body = np.ascontiguousarray(rgb).tobytes()
+        payload = b"P6 # comment\n# another\n 3\t2 # wh\n255\n" + body
+        arr = MM.decode_ppm(payload)
+        assert arr.shape == (2, 3)
+
+    def test_bmp_roundtrip_odd_width_padding(self):
+        rng = np.random.RandomState(4)
+        for w in (3, 4, 5, 16):  # exercise row padding
+            rgb = rng.randint(0, 256, (6, w, 3)).astype(np.uint8)
+            arr = MM.decode_bmp(MM.encode_bmp(rgb))
+            expect = (
+                rgb[..., 0].astype(np.float64) * 0.299
+                + rgb[..., 1].astype(np.float64) * 0.587
+                + rgb[..., 2].astype(np.float64) * 0.114
+            ) / 255.0
+            assert np.array_equal(arr, expect.astype(np.float32)), w
+
+    def test_bmp_matches_ppm_decode(self):
+        rgb = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+        assert np.array_equal(
+            MM.decode_bmp(MM.encode_bmp(rgb)), MM.decode_ppm(MM.encode_ppm(rgb))
+        )
+
+    def test_wav_roundtrip(self):
+        s = np.array([-32768, -1, 0, 1, 32767, 12345], dtype=np.int16)
+        arr = MM.decode_wav(MM.encode_wav(s, 8000))
+        assert np.array_equal(
+            arr, (s.astype(np.float64) / 32768.0).astype(np.float32)
+        )
+
+    def test_wav_rejects_non_pcm(self):
+        payload = bytearray(MM.encode_wav(np.zeros(4, np.int16)))
+        payload[20] = 3  # audio_format = IEEE float
+        with pytest.raises(ValueError):
+            MM.decode_wav(bytes(payload))
+
+    def test_real_media_table_decodes(self):
+        t = MM.generate_real_media_table(12)
+        for mid, payload, kind in zip(
+            t.column("media_id").to_pylist(),
+            t.column("payload").to_pylist(),
+            t.column("kind").to_pylist(),
+        ):
+            arr = MM.real_media_decoder(payload, kind)
+            if kind == "image":
+                assert arr.shape == (16, 16)
+                # channels equal => gray == (v*.299+v*.587+v*.114)/255
+                v = (mid + 0 + 0) % 256
+                expect = np.float32(
+                    (v * 0.299 + v * 0.587 + v * 0.114) / 255.0
+                )
+                assert arr[0, 0] == expect
+            else:
+                assert arr.shape == (4000,)
+                s0 = (mid * 31) % 65536 - 32768
+                assert arr[0] == np.float32(s0 / 32768.0)
 
     def test_resize_metadata(self):
         t = MM.generate_media_table(10)
