@@ -12,8 +12,10 @@ Cloud DLP service:
 
 Key material handling mirrors CryptoKeyHelper.createKey
 (CryptoKeyHelper.java:53-84): TRANSIENT (name-derived ephemeral key),
-UNWRAPPED (base64, 16/24/32 bytes), KMS_WRAPPED (not available offline —
-rejected at validation).
+UNWRAPPED (base64, 16/24/32 bytes), KMS_WRAPPED (AES-KW/RFC 3394
+unwrap under a named key-encryption key from a local keyring or the
+DLP_RAY_MASTER_KEYS env — the offline analogue of the reference's
+KMS-backed KmsWrappedCryptoKey).
 
 FF1 is implemented from the public NIST SP 800-38G specification and is
 verified against the published NIST ACVP sample vectors in tests.
@@ -65,6 +67,64 @@ def resolve_alphabet(alphabet: str, custom_alphabet: str | None = None) -> str:
 
 VALID_KEY_LENGTHS = (16, 24, 32)
 
+# Local analogue of the reference's KMS keyring: crypto_key_name ->
+# key-encryption key. Programmatic registration wins; otherwise the
+# DLP_RAY_MASTER_KEYS env var holds a JSON object {name: base64-KEK}.
+# Workers resolve the same way, so a policy JSON carrying only the
+# wrapped blob + key name is executable on any node that has the env.
+_KEYRING: dict[str, bytes] = {}
+MASTER_KEYS_ENV = "DLP_RAY_MASTER_KEYS"
+
+
+def register_master_key(crypto_key_name: str, kek: bytes) -> None:
+    """Register a key-encryption key under a name (the local stand-in
+    for a KMS key resource). KEK must be a valid AES key length."""
+    if len(kek) not in VALID_KEY_LENGTHS:
+        raise ValueError(
+            f"Key-encryption key must be 16/24/32 bytes, got {len(kek)}"
+        )
+    _KEYRING[crypto_key_name] = kek
+
+
+def _resolve_kek(crypto_key_name: str) -> bytes:
+    if crypto_key_name in _KEYRING:
+        return _KEYRING[crypto_key_name]
+    import json
+    import os
+
+    env = os.environ.get(MASTER_KEYS_ENV)
+    if env:
+        try:
+            ring = json.loads(env)
+        except json.JSONDecodeError:
+            raise ValueError(
+                f"{MASTER_KEYS_ENV} is not valid JSON"
+            ) from None
+        b64 = ring.get(crypto_key_name)
+        if b64 is not None:
+            kek = base64.b64decode(b64)
+            if len(kek) not in VALID_KEY_LENGTHS:
+                raise ValueError(
+                    f"Key-encryption key {crypto_key_name!r} must be "
+                    f"16/24/32 bytes, got {len(kek)}"
+                )
+            return kek
+    raise ValueError(
+        f"No key-encryption key named {crypto_key_name!r}: register one "
+        f"with register_master_key() or provide it via {MASTER_KEYS_ENV}"
+    )
+
+
+def wrap_key(raw: bytes, crypto_key_name: str) -> str:
+    """AES-KW (RFC 3394) wrap ``raw`` under the named KEK -> base64
+    blob suitable for a KMS_WRAPPED config's wrappedKey field. The
+    provisioning-side helper tests and tooling use to mint configs."""
+    from cryptography.hazmat.primitives.keywrap import aes_key_wrap
+
+    return base64.b64encode(
+        aes_key_wrap(_resolve_kek(crypto_key_name), raw)
+    ).decode()
+
 
 def resolve_key(
     key_type: str,
@@ -74,14 +134,19 @@ def resolve_key(
     wrapped_key: str | None = None,
     crypto_key_name: str | None = None,
 ) -> bytes:
-    """Produce raw key bytes for a transform config.
+    """Produce raw key bytes for a transform config — the three
+    provisioning modes of CryptoKeyHelper.createKey
+    (CryptoKeyHelper.java:53-84), with validateKey's messages
+    (CryptoKeyHelper.java:86-134).
 
     - ``TRANSIENT``: ephemeral key derived deterministically from ``name``
       (the reference lets the service create one keyed by name;
       determinism is required here so replay is reproducible).
-    - ``UNWRAPPED``: base64 key, must decode to 16/24/32 bytes
-      (CryptoKeyHelper.validateKey, CryptoKeyHelper.java:86-134).
-    - ``KMS_WRAPPED``: needs a KMS round-trip; unavailable offline.
+    - ``UNWRAPPED``: base64 key, must decode to 16/24/32 bytes.
+    - ``KMS_WRAPPED``: base64 AES-KW (RFC 3394) blob unwrapped under
+      the KEK named by ``crypto_key_name`` — the offline analogue of
+      the reference's KmsWrappedCryptoKey (KMS unwraps server-side
+      there; the keyring here is config/env-provisioned).
     """
     if key_type == "TRANSIENT":
         if not name:
@@ -89,21 +154,43 @@ def resolve_key(
         return hashlib.sha256(b"transient-key:" + name.encode()).digest()
     if key_type == "UNWRAPPED":
         if not key:
-            raise ValueError("Unwrapped key requires base64 key material")
+            raise ValueError("Key is a required field for this transform.")
         try:
             raw = base64.b64decode(key, validate=True)
         except Exception:
-            raise ValueError("Unwrapped key is not valid base64") from None
+            raise ValueError("Key must be base64 encoded.") from None
         if len(raw) not in VALID_KEY_LENGTHS:
-            raise ValueError(
-                f"Unwrapped key must be 16/24/32 bytes, got {len(raw)}"
-            )
+            raise ValueError("Key must be 16/24/32 bytes long.")
         return raw
     if key_type == "KMS_WRAPPED":
-        raise ValueError(
-            "KMS-wrapped keys require a KMS service and are not supported "
-            "in the native engine; use UNWRAPPED or TRANSIENT"
+        if not wrapped_key:
+            raise ValueError(
+                "Wrapped Key is a required field for this transform."
+            )
+        if not crypto_key_name:
+            raise ValueError(
+                "Crypto Key Name is a required field for this transform."
+            )
+        kek = _resolve_kek(crypto_key_name)
+        try:
+            blob = base64.b64decode(wrapped_key, validate=True)
+        except Exception:
+            raise ValueError("Wrapped key must be base64 encoded.") from None
+        from cryptography.hazmat.primitives.keywrap import (
+            InvalidUnwrap,
+            aes_key_unwrap,
         )
+
+        try:
+            raw = aes_key_unwrap(kek, blob)
+        except (InvalidUnwrap, ValueError):
+            raise ValueError(
+                f"Wrapped key failed to unwrap under {crypto_key_name!r} "
+                "(wrong key-encryption key or corrupted blob)"
+            ) from None
+        if len(raw) not in VALID_KEY_LENGTHS:
+            raise ValueError("Key must be 16/24/32 bytes long.")
+        return raw
     raise ValueError(f"Unknown key type {key_type!r}")
 
 

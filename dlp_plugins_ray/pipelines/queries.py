@@ -869,6 +869,87 @@ def q_fpe_roundtrip(sf_dir: str):
     )
 
 
+def q_fpe_wrapped_key_roundtrip(sf_dir: str):
+    """FPE with a KMS_WRAPPED key (AES-KW analogue of the reference's
+    KmsWrappedCryptoKey, CryptoKeyHelper.java:53-84): the policy ships
+    only the wrapped blob + key name; each worker unwraps locally
+    under the keyring (the production path provisions the KEK via
+    DLP_RAY_MASTER_KEYS on every node; the test passes it explicitly).
+    Two invariant flags per row: the wrapped-key pipeline round-trips,
+    AND its ciphertext equals the UNWRAPPED pipeline's with the same
+    raw key — the wrapped path is the same cipher, not a lookalike."""
+    import base64 as b64
+
+    from ..functions import crypto as C
+
+    kek_name = "conformance-kek"
+    kek = b"K" * 32
+    C.register_master_key(kek_name, kek)
+    raw_key = b64.b64decode(_Q_KEY)
+    wrapped = C.wrap_key(raw_key, kek_name)
+
+    def mk_policy(props: dict) -> dict:
+        return {
+            "transforms": [
+                {
+                    "transform": "FORMAT_PRESERVING_ENCRYPTION",
+                    "fields": "NONE,props",
+                    "filters": "NONE",
+                    "transformProperties": {
+                        "surrogateInfoTypeName": "PROPS_TOKEN",
+                        "alphabet": "ALPHA_NUMERIC",
+                        **props,
+                    },
+                }
+            ],
+            "customTemplateEnabled": True,
+            "templateId": "DemoTemplate",
+        }
+
+    wrapped_policy = mk_policy(
+        {
+            "keyType": "KMS_WRAPPED",
+            "wrappedKey": wrapped,
+            "cryptoKeyName": kek_name,
+        }
+    )
+    unwrapped_policy = mk_policy({"keyType": "UNWRAPPED", "key": _Q_KEY})
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    class WrappedRoundTrip:
+        def __init__(self, wrapped_policy, unwrapped_policy, kek_name, kek):
+            # worker-local keyring provisioning (the node-config step)
+            C.register_master_key(kek_name, kek)
+            self.enc_w = RedactionStage(wrapped_policy)
+            self.dec_w = DecryptStage(wrapped_policy, fields=("props",))
+            self.enc_u = RedactionStage(unwrapped_policy)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ct_w = self.enc_w(batch)
+            ct_u = self.enc_u(batch)
+            rt = self.dec_w(ct_w)
+            return pa.table(
+                {
+                    "event_id": batch.column("event_id"),
+                    "roundtrip_ok": pc.equal(
+                        rt.column("props"), batch.column("props")
+                    ),
+                    "wrapped_equals_unwrapped": pc.equal(
+                        ct_w.column("props"), ct_u.column("props")
+                    ),
+                }
+            )
+
+    from ..stages.cache import cached_task_stage
+
+    return ds.map_batches(
+        cached_task_stage(
+            WrappedRoundTrip, wrapped_policy, unwrapped_policy, kek_name, kek
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_media_features(sf_dir: str):
     """Multimodal decode + feature extraction over REAL uncompressed
     payloads (P6 PPM / 24-bit BMP / PCM WAV — no media table in the
@@ -996,6 +1077,7 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "crypto_hash": q_crypto_hash,
     "fpe_roundtrip": q_fpe_roundtrip,
+    "fpe_wrapped_key_roundtrip": q_fpe_wrapped_key_roundtrip,
     "media_features": q_media_features,
     "cdc_full_replay": q_cdc_full_replay,
 }
@@ -1855,6 +1937,10 @@ QUERIES["jaccard_verified_pairs"] = q_jaccard_verified_pairs
 
 ORACLE_SQL["fpe_roundtrip"] = (
     "SELECT event_id, true AS roundtrip_ok FROM events"
+)
+ORACLE_SQL["fpe_wrapped_key_roundtrip"] = (
+    "SELECT event_id, true AS roundtrip_ok,"
+    " true AS wrapped_equals_unwrapped FROM events"
 )
 ORACLE_SQL["crypto_hash"] = "SELECT doc_id, true AS hash_ok FROM documents"
 ORACLE_SQL["ann_ivf_topk"] = "SELECT true AS ivf_recall_ok"

@@ -107,9 +107,75 @@ class TestKeys:
             "TRANSIENT", name="b"
         )
 
-    def test_kms_rejected(self):
-        with pytest.raises(ValueError, match="KMS"):
+    def test_wrapped_requires_fields(self):
+        # validateKey's exact messages (CryptoKeyHelper.java:86-134)
+        with pytest.raises(ValueError, match="Wrapped Key is a required"):
             C.resolve_key("KMS_WRAPPED", crypto_key_name="projects/x")
+        with pytest.raises(ValueError, match="Crypto Key Name is a required"):
+            C.resolve_key("KMS_WRAPPED", wrapped_key="AAAA")
+
+    def test_wrapped_unknown_kek(self):
+        with pytest.raises(ValueError, match="No key-encryption key"):
+            C.resolve_key(
+                "KMS_WRAPPED", wrapped_key="AAAA", crypto_key_name="nope"
+            )
+
+    def test_aes_kw_rfc3394_vector(self):
+        """RFC 3394 §4.1 known-answer: 128-bit data under 128-bit KEK."""
+        kek = bytes.fromhex("000102030405060708090A0B0C0D0E0F")
+        data = bytes.fromhex("00112233445566778899AABBCCDDEEFF")
+        expect = bytes.fromhex(
+            "1FA68B0A8112B447AEF34BD8FB5A7B829D3E862371D2CFE5"
+        )
+        C.register_master_key("rfc3394-kek", kek)
+        blob = C.wrap_key(data, "rfc3394-kek")
+        assert base64.b64decode(blob) == expect
+        raw = C.resolve_key(
+            "KMS_WRAPPED",
+            wrapped_key=blob,
+            crypto_key_name="rfc3394-kek",
+        )
+        assert raw == data
+
+    def test_wrapped_wrong_kek_fails_loudly(self):
+        C.register_master_key("kek-a", b"A" * 16)
+        C.register_master_key("kek-b", b"B" * 16)
+        blob = C.wrap_key(b"k" * 32, "kek-a")
+        assert C.resolve_key(
+            "KMS_WRAPPED", wrapped_key=blob, crypto_key_name="kek-a"
+        ) == b"k" * 32
+        with pytest.raises(ValueError, match="failed to unwrap"):
+            C.resolve_key(
+                "KMS_WRAPPED", wrapped_key=blob, crypto_key_name="kek-b"
+            )
+
+    def test_wrapped_via_env_keyring(self, monkeypatch):
+        kek_b64 = base64.b64encode(b"E" * 32).decode()
+        monkeypatch.setenv(C.MASTER_KEYS_ENV, f'{{"env-kek": "{kek_b64}"}}')
+        C.register_master_key("env-kek-tmp", b"E" * 32)
+        blob = C.wrap_key(b"q" * 16, "env-kek-tmp")
+        # resolve through the ENV path (name only present in env JSON)
+        raw = C.resolve_key(
+            "KMS_WRAPPED", wrapped_key=blob, crypto_key_name="env-kek"
+        )
+        assert raw == b"q" * 16
+
+    def test_wrapped_fpe_roundtrip(self):
+        """A wrapped key drives FPE end-to-end identically to the same
+        raw key provided UNWRAPPED."""
+        C.register_master_key("fpe-kek", b"M" * 24)
+        raw = b"R" * 32
+        blob = C.wrap_key(raw, "fpe-kek")
+        k1 = C.resolve_key(
+            "KMS_WRAPPED", wrapped_key=blob, crypto_key_name="fpe-kek"
+        )
+        k2 = C.resolve_key(
+            "UNWRAPPED", key=base64.b64encode(raw).decode()
+        )
+        assert k1 == k2
+        alpha = C.COMMON_ALPHABETS["NUMERIC"]
+        ct = C.ff1_encrypt(k1, b"", alpha, "4242424242424242")
+        assert C.ff1_decrypt(k2, b"", alpha, ct) == "4242424242424242"
 
 
 class TestHashAndShift:
