@@ -60,7 +60,11 @@ class BaseTransformConfig:
     the cell-level callable. ``context`` value (if the transform uses
     one) is threaded per row."""
 
-    supported_types = ("string",)
+    # string transforms also apply to map<string,string> columns
+    # (values transformed as strings, keys untouched) — the Redaction
+    # widget's output schema allows scalars + map<string,string>
+    # (widgets/SensitiveRecordRedaction-transform.json)
+    supported_types = ("string", "map<string,string>")
 
     @property
     def required_fields(self) -> tuple[str, ...]:

@@ -950,6 +950,73 @@ def q_fpe_wrapped_key_roundtrip(sf_dir: str):
     )
 
 
+def q_redact_map_values(sf_dir: str):
+    """map<string,string> column conformance: build a map column from
+    event fields, run whole-value MASKING through the redaction stage
+    (values transformed as strings, keys/null structure untouched —
+    the Redaction widget's output allowlist includes
+    map<string,string>), then explode back to scalars for the oracle.
+    The oracle re-expresses the masking per entry in SQL."""
+    map_t = pa.map_(pa.string(), pa.string())
+
+    def build(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        et = b.column("event_type").combine_chunks().cast(pa.string())
+        pr = b.column("props").combine_chunks().cast(pa.string())
+        combined = pa.concat_arrays([et, pr])
+        j = np.arange(2 * n, dtype=np.int64)
+        idx = np.where(j % 2 == 0, j // 2, n + j // 2)
+        items = combined.take(pa.array(idx))
+        keys = pa.array(["etype", "props"] * n, pa.string())
+        offsets = pa.array(np.arange(0, 2 * n + 1, 2, dtype=np.int32))
+        attrs = pa.MapArray.from_arrays(offsets, keys, items)
+        return pa.table(
+            {"event_id": b.column("event_id"), "attrs": attrs.cast(map_t)}
+        )
+
+    policy = {
+        "transforms": [
+            {
+                "transform": "MASKING",
+                "fields": "NONE,attrs",
+                "filters": "NONE",
+                "transformProperties": {"maskingChar": "#"},
+            }
+        ],
+        "customTemplateEnabled": True,
+        "templateId": "DemoTemplate",
+    }
+
+    def explode(b: pa.Table) -> pa.Table:
+        arr = b.column("attrs").combine_chunks()
+        off = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, items = arr.keys, arr.items
+        start, stop = int(off[0]), int(off[-1])
+        if start != 0 or stop != len(items):
+            keys = keys.slice(start, stop - start)
+            items = items.slice(start, stop - start)
+            off = off - start
+        counts = np.diff(off)
+        ids = np.repeat(
+            b.column("event_id").to_numpy(zero_copy_only=False), counts
+        )
+        return pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "k": keys,
+                "v": items,
+            }
+        )
+
+    from ..stages.cache import cached_task_stage
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "props"])
+    out = ds.map_batches(build, batch_format="pyarrow").map_batches(
+        cached_task_stage(RedactionStage, policy), batch_format="pyarrow"
+    )
+    return out.map_batches(explode, batch_format="pyarrow")
+
+
 def q_media_features(sf_dir: str):
     """Multimodal decode + feature extraction over REAL uncompressed
     payloads (P6 PPM / 24-bit BMP / PCM WAV — no media table in the
@@ -1078,6 +1145,7 @@ QUERIES = {
     "crypto_hash": q_crypto_hash,
     "fpe_roundtrip": q_fpe_roundtrip,
     "fpe_wrapped_key_roundtrip": q_fpe_wrapped_key_roundtrip,
+    "redact_map_values": q_redact_map_values,
     "media_features": q_media_features,
     "cdc_full_replay": q_cdc_full_replay,
 }
@@ -1942,6 +2010,13 @@ ORACLE_SQL["fpe_wrapped_key_roundtrip"] = (
     "SELECT event_id, true AS roundtrip_ok,"
     " true AS wrapped_equals_unwrapped FROM events"
 )
+# exact re-expression of whole-value '#' masking over each map entry
+ORACLE_SQL["redact_map_values"] = """
+    SELECT event_id, 'etype' AS k, repeat('#', length(event_type)) AS v
+    FROM events
+    UNION ALL
+    SELECT event_id, 'props', repeat('#', length(props)) FROM events
+"""
 ORACLE_SQL["crypto_hash"] = "SELECT doc_id, true AS hash_ok FROM documents"
 ORACLE_SQL["ann_ivf_topk"] = "SELECT true AS ivf_recall_ok"
 ORACLE_SQL["approx_distinct_users"] = (

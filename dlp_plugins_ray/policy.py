@@ -138,7 +138,18 @@ _ARROW_TYPE_NAMES = {
 }
 
 
+def _is_string_type(t: pa.DataType) -> bool:
+    return pa.types.is_string(t) or pa.types.is_large_string(t)
+
+
 def _arrow_type_name(t: pa.DataType) -> str:
+    if pa.types.is_map(t):
+        # the Redaction widget's output allowlist includes
+        # map<string,string> alongside the scalar types
+        # (widgets/SensitiveRecordRedaction-transform.json, outputs)
+        if _is_string_type(t.key_type) and _is_string_type(t.item_type):
+            return "map<string,string>"
+        return str(t)
     if pa.types.is_timestamp(t):
         return "timestamp"
     if pa.types.is_time(t):

@@ -209,6 +209,54 @@ class RedactionStage:
         self.metrics.incr("cells.transformed", len(values) - len(skipped))
         return pa.array(out, type=col.type)
 
+    def _transform_map_column(
+        self, batch: pa.Table, idx: int, op, contexts: list | None
+    ) -> pa.Array:
+        """map<string,string>: values transformed through the SAME
+        string-column machinery (vectorized kernels included), keys and
+        per-row null/empty structure preserved. Per-row contexts are
+        expanded to per-item so FPE/date-shift tweaks stay row-bound."""
+        import numpy as np
+        import pyarrow.compute as pc
+
+        col = batch.column(idx)
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        off_np = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, items = arr.keys, arr.items
+        # .keys/.items return the FULL child; a sliced array's offsets
+        # are physical indices into it — rebase to the logical window
+        # so item counts align with the transformed child
+        start, stop = int(off_np[0]), int(off_np[-1])
+        if start != 0 or stop != len(items):
+            keys = keys.slice(start, stop - start)
+            items = items.slice(start, stop - start)
+            off_np = off_np - start
+        item_contexts = None
+        if contexts is not None:
+            counts = np.diff(off_np)
+            item_contexts = list(
+                np.repeat(np.asarray(contexts, dtype=object), counts)
+            )
+        tmp = pa.table({"__items": items})
+        new_items = self._transform_string_column(tmp, 0, op, item_contexts)
+        if isinstance(new_items, pa.ChunkedArray):
+            new_items = new_items.combine_chunks()
+        # null maps: a null OFFSET marks a null entry for from_arrays
+        # (plain offsets would silently turn null maps into empty maps)
+        null_mask = None
+        if arr.null_count:
+            valid = np.concatenate(
+                [
+                    pc.is_valid(arr).to_numpy(zero_copy_only=False),
+                    [True],  # the trailing offset is always present
+                ]
+            )
+            null_mask = ~valid
+        off_arr = pa.array(off_np, type=pa.int32(), mask=null_mask)
+        return pa.MapArray.from_arrays(
+            off_arr, keys, new_items.cast(items.type)
+        )
+
     # -- batch entry -----------------------------------------------------------
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -231,6 +279,18 @@ class RedactionStage:
                     new = self._transform_date_column(batch, idx, op, contexts)
                 elif pa.types.is_string(ftype) or pa.types.is_large_string(ftype):
                     new = self._transform_string_column(batch, idx, op, contexts)
+                elif (
+                    pa.types.is_map(ftype)
+                    and (
+                        pa.types.is_string(ftype.key_type)
+                        or pa.types.is_large_string(ftype.key_type)
+                    )
+                    and (
+                        pa.types.is_string(ftype.item_type)
+                        or pa.types.is_large_string(ftype.item_type)
+                    )
+                ):
+                    new = self._transform_map_column(batch, idx, op, contexts)
                 else:
                     # mirrors Utils.java's "DLP plugin does not support
                     # type X for field Y" rejection; logical time/date

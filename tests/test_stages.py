@@ -525,3 +525,107 @@ class TestPackedBucketedReduce:
             ).take_all()
         )
         assert a == b == [(1, 100), (2, 70), (3, 40)]
+
+
+class TestMapColumnRedaction:
+    """map<string,string> columns: values transformed as strings, keys
+    and null/empty structure preserved (the Redaction widget's output
+    allowlist includes map<string,string>)."""
+
+    MAP_T = pa.map_(pa.string(), pa.string())
+
+    def _map_table(self):
+        return pa.table(
+            {
+                "id": pa.array([0, 1, 2, 3], pa.int64()),
+                "attrs": pa.array(
+                    [
+                        {"phone": "415-555-1234", "name": "alice"},
+                        None,
+                        {},
+                        {"ssn": "123-45-6789"},
+                    ],
+                    type=self.MAP_T,
+                ),
+            }
+        )
+
+    def _policy(self, transform="MASKING", props=None):
+        return {
+            "transforms": [
+                {
+                    "transform": transform,
+                    "fields": "NONE,attrs",
+                    "filters": "NONE",
+                    "transformProperties": props
+                    or {"maskingChar": "#"},
+                }
+            ],
+            "customTemplateEnabled": True,
+            "templateId": "DemoTemplate",
+        }
+
+    def test_mask_whole_values(self):
+        out = RedactionStage(self._policy())(self._map_table())
+        got = out.column("attrs").to_pylist()
+        assert got[0] == [("phone", "############"), ("name", "#####")]
+        assert got[1] is None
+        assert got[2] == []
+        assert got[3] == [("ssn", "###########")]
+        # schema unchanged
+        assert out.schema.field("attrs").type == self.MAP_T
+
+    def test_detector_spans_inside_values(self):
+        pol = {
+            "transforms": [
+                {
+                    "transform": "REDACT",
+                    "fields": "attrs",
+                    "filters": "NATIONAL_ID,DEMOGRAPHIC",
+                    "transformProperties": {},
+                }
+            ]
+        }
+        out = RedactionStage(pol)(self._map_table())
+        got = out.column("attrs").to_pylist()
+        # sensitive spans removed, benign value untouched
+        assert ("name", "alice") in got[0]
+        assert all("123-45-6789" not in v for _, v in got[3])
+
+    def test_crypto_hash_map_values_deterministic(self):
+        props = {"keyType": "UNWRAPPED", "key": KEY_B64}
+        pol = self._policy("CRYPTO_HASH", props)
+        out1 = RedactionStage(pol)(self._map_table())
+        out2 = RedactionStage(pol)(self._map_table())
+        assert out1.column("attrs").to_pylist() == out2.column("attrs").to_pylist()
+        v = dict(out1.column("attrs").to_pylist()[0])["name"]
+        import hashlib
+        import hmac as H
+
+        assert v == H.new(b"0123456789abcdef", b"alice", hashlib.sha256).hexdigest()
+
+    def test_sliced_map_batch(self):
+        t = self._map_table().slice(1, 3)
+        out = RedactionStage(self._policy())(t)
+        got = out.column("attrs").to_pylist()
+        assert got == [None, [], [("ssn", "###########")]]
+
+    def test_policy_validation_accepts_string_map(self):
+        from dlp_plugins_ray.policy import Policy
+
+        p = Policy.from_json(self._policy())
+        assert p.validate(self._map_table().schema) == []
+
+    def test_policy_validation_rejects_non_string_map(self):
+        from dlp_plugins_ray.policy import Policy
+
+        t = pa.table(
+            {
+                "attrs": pa.array(
+                    [{"a": 1}], type=pa.map_(pa.string(), pa.int64())
+                )
+            }
+        )
+        p = Policy.from_json(self._policy())
+        errs = p.validate(t.schema)
+        assert errs and "not supported" in errs[0]
