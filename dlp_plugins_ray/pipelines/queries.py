@@ -68,6 +68,29 @@ def _read(sf_dir: str, table: str, columns=None):
     )
 
 
+def _pl_group_agg(keys: list[str], aggs: list[tuple[str, str | None, str]]):
+    """Arrow-native per-block group aggregate (polars) — the combiner/
+    reducer building block for the partial-agg pattern. ``aggs`` is
+    (out_name, col, op) with op in sum/min/max/len (len ignores col).
+    Counts are Int64 so partial sums keep their width. All aggregate
+    ops used here are order-independent-exact (counts, min/max, sums
+    of integer-valued data), so converging from pandas to polars
+    cannot move a float hash."""
+    import polars as pl
+
+    exprs = []
+    for out, col, op in aggs:
+        if op == "len":
+            exprs.append(pl.len().cast(pl.Int64).alias(out))
+        else:
+            exprs.append(getattr(pl.col(col), op)().alias(out))
+
+    def f(b: pa.Table) -> pa.Table:
+        return pl.from_arrow(b).group_by(keys).agg(exprs).to_arrow()
+
+    return f
+
+
 def _sha256_col(batch: pa.Table, src: str, dst: str) -> pa.Table:
     vals = batch.column(src).to_pylist()
     out = [
@@ -670,21 +693,14 @@ def q_tpch_q1_lite(sf_dir: str):
     keys = ["l_returnflag", "l_linestatus"]
     ds = _read(sf_dir, "lineitem", keys + ["l_quantity"])
 
-    def partial(df):
-        return df.groupby(keys, as_index=False).agg(
-            sum_qty=("l_quantity", "sum"), n_rows=("l_quantity", "size")
-        )
-
-    partials = ds.map_batches(partial, batch_format="pandas", batch_size=None)
-
-    def final(block):
-        return block.groupby(keys, as_index=False).agg(
-            sum_qty=("sum_qty", "sum"), n_rows=("n_rows", "sum")
-        )
-
-    return bucketed_group_reduce(
-        partials, keys, final, num_buckets=4, batch_format="pandas"
+    partial = _pl_group_agg(
+        keys, [("sum_qty", "l_quantity", "sum"), ("n_rows", None, "len")]
     )
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    final = _pl_group_agg(
+        keys, [("sum_qty", "sum_qty", "sum"), ("n_rows", "n_rows", "sum")]
+    )
+    return bucketed_group_reduce(partials, keys, final, num_buckets=4)
 
 
 def q_join_orders_customers(sf_dir: str):
@@ -722,21 +738,18 @@ def q_join_orders_customers(sf_dir: str):
         cached_task_stage(JoinStage, ref), batch_format="pyarrow"
     )
 
-    def partial(df):
-        return df.groupby("c_mktsegment", as_index=False).agg(
-            n_orders=("o_totalprice", "size"), max_price=("o_totalprice", "max")
-        )
-
-    partials = joined.map_batches(partial, batch_format="pandas", batch_size=None)
-
-    def final(block):
-        return block.groupby("c_mktsegment", as_index=False).agg(
-            n_orders=("n_orders", "sum"), max_price=("max_price", "max")
-        )
-
-    return bucketed_group_reduce(
-        partials, ["c_mktsegment"], final, num_buckets=4, batch_format="pandas"
+    partial = _pl_group_agg(
+        ["c_mktsegment"],
+        [("n_orders", None, "len"), ("max_price", "o_totalprice", "max")],
     )
+    partials = joined.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    )
+    final = _pl_group_agg(
+        ["c_mktsegment"],
+        [("n_orders", "n_orders", "sum"), ("max_price", "max_price", "max")],
+    )
+    return bucketed_group_reduce(partials, ["c_mktsegment"], final, num_buckets=4)
 
 
 def q_events_hourly(sf_dir: str):
@@ -750,21 +763,12 @@ def q_events_hourly(sf_dir: str):
 
     out = ds.map_batches(add_hour, batch_format="pyarrow")
 
-    def partial(df):
-        return df.groupby(["user_id", "hour"], as_index=False).agg(
-            n_events=("hour", "size")
-        )
-
-    partials = out.map_batches(partial, batch_format="pandas", batch_size=None)
-
-    def final(block):
-        return block.groupby(["user_id", "hour"], as_index=False).agg(
-            n_events=("n_events", "sum")
-        )
-
-    return bucketed_group_reduce(
-        partials, ["user_id"], final, num_buckets=16, batch_format="pandas"
+    partial = _pl_group_agg(["user_id", "hour"], [("n_events", None, "len")])
+    partials = out.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    final = _pl_group_agg(
+        ["user_id", "hour"], [("n_events", "n_events", "sum")]
     )
+    return bucketed_group_reduce(partials, ["user_id"], final, num_buckets=16)
 
 
 # ---------------------------------------------------------------------------
@@ -1361,15 +1365,14 @@ def q_events_sessions(sf_dir: str):
     sess = sessionize(ds, key="user_id", ts_col="ts", gap_minutes=30, order_col="event_id")
 
     # sessions never span bucket blocks (sessionize hash-buckets by
-    # key), so a per-block pandas aggregate IS the global aggregate —
-    # no second shuffle, no per-group overhead. batch_size=None keeps
+    # key), so a per-block aggregate IS the global aggregate — no
+    # second shuffle, no per-group overhead. batch_size=None keeps
     # block alignment.
-    def agg_block(df):
-        return df.groupby(["user_id", "session_id"], as_index=False).agg(
-            n_events=("ts", "size"), session_start=("ts", "min")
-        )
-
-    return sess.map_batches(agg_block, batch_format="pandas", batch_size=None)
+    agg_block = _pl_group_agg(
+        ["user_id", "session_id"],
+        [("n_events", None, "len"), ("session_start", "ts", "min")],
+    )
+    return sess.map_batches(agg_block, batch_format="pyarrow", batch_size=None)
 
 
 def q_asof_purchase_signup(sf_dir: str):
@@ -1707,19 +1710,12 @@ def q_suppliers_per_region(sf_dir: str):
     ds = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
     tagged = ds.map_batches(cached_task_stage(Lookup, ref), batch_format="pyarrow")
 
-    def partial(df):
-        return df.groupby("r_name", as_index=False).agg(n_suppliers=("r_name", "size"))
-
-    partials = tagged.map_batches(partial, batch_format="pandas", batch_size=None)
-
-    def final(block):
-        return block.groupby("r_name", as_index=False).agg(
-            n_suppliers=("n_suppliers", "sum")
-        )
-
-    return bucketed_group_reduce(
-        partials, ["r_name"], final, num_buckets=4, batch_format="pandas"
+    partial = _pl_group_agg(["r_name"], [("n_suppliers", None, "len")])
+    partials = tagged.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
     )
+    final = _pl_group_agg(["r_name"], [("n_suppliers", "n_suppliers", "sum")])
+    return bucketed_group_reduce(partials, ["r_name"], final, num_buckets=4)
 
 
 QUERIES["suppliers_per_region"] = q_suppliers_per_region
@@ -1738,22 +1734,16 @@ def q_parts_by_brand(sf_dir: str):
 
     ds = _read(sf_dir, "part", ["p_brand", "p_retailprice"])
 
-    def partial(df):
-        return df.groupby("p_brand", as_index=False).agg(
-            n_parts=("p_retailprice", "size"),
-            min_price=("p_retailprice", "min"),
-        )
-
-    partials = ds.map_batches(partial, batch_format="pandas", batch_size=None)
-
-    def final(block):
-        return block.groupby("p_brand", as_index=False).agg(
-            n_parts=("n_parts", "sum"), min_price=("min_price", "min")
-        )
-
-    return bucketed_group_reduce(
-        partials, ["p_brand"], final, num_buckets=4, batch_format="pandas"
+    partial = _pl_group_agg(
+        ["p_brand"],
+        [("n_parts", None, "len"), ("min_price", "p_retailprice", "min")],
     )
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    final = _pl_group_agg(
+        ["p_brand"],
+        [("n_parts", "n_parts", "sum"), ("min_price", "min_price", "min")],
+    )
+    return bucketed_group_reduce(partials, ["p_brand"], final, num_buckets=4)
 
 
 QUERIES["parts_by_brand"] = q_parts_by_brand
@@ -2377,16 +2367,11 @@ def q_heavy_hitters(sf_dir: str):
     ds = rd.read_parquet(ev_dir, columns=["repo"], override_num_blocks=_sized_blocks(ev_dir))
     candidates = set(misra_gries_candidates(ds, "repo", k=k))
 
-    def partial(df):
-        return df.groupby("repo", as_index=False).agg(c=("repo", "size"))
-
-    partials = ds.map_batches(partial, batch_format="pandas", batch_size=None)
-
-    def final(block):
-        return block.groupby("repo", as_index=False).agg(c=("c", "sum"))
-
+    partial = _pl_group_agg(["repo"], [("c", None, "len")])
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    final = _pl_group_agg(["repo"], [("c", "c", "sum")])
     exact = bucketed_group_reduce(
-        partials, ["repo"], final, num_buckets=8, batch_format="pandas"
+        partials, ["repo"], final, num_buckets=8
     ).take_all()
     total = sum(r["c"] for r in exact)
     heavy = [r["repo"] for r in exact if r["c"] > total / float(k)]
@@ -2552,17 +2537,12 @@ def q_purchases_daily_pushdown(sf_dir: str):
 
     days = ds.map_batches(add_day, batch_format="pyarrow")
 
-    def partial(df):
-        return df.groupby("day", as_index=False).agg(n=("day", "size"))
-
-    partials = days.map_batches(partial, batch_format="pandas", batch_size=None)
-
-    def final(block):
-        return block.groupby("day", as_index=False).agg(n=("n", "sum"))
-
-    return bucketed_group_reduce(
-        partials, ["day"], final, num_buckets=4, batch_format="pandas"
+    partial = _pl_group_agg(["day"], [("n", None, "len")])
+    partials = days.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
     )
+    final = _pl_group_agg(["day"], [("n", "n", "sum")])
+    return bucketed_group_reduce(partials, ["day"], final, num_buckets=4)
 
 
 QUERIES["purchases_daily_pushdown"] = q_purchases_daily_pushdown

@@ -2,9 +2,9 @@
 
 Ray Data has no event-time windows; these are the documented
 compositions (guide: 'Streaming-shaped workloads'): partition by key,
-order by ts within the key group, window with pandas inside
-``groupby(key).map_groups``. Ordering assumption: the window function
-sorts its own group — block order never matters.
+order by ts within the key group, window with a vectorized polars
+pass inside ``groupby(key).map_groups``. Ordering assumption: the
+window function sorts its own group — block order never matters.
 
 - tumbling: floor ts to the window size (pure vectorized map, no
   group state needed) -> groupby aggregate
@@ -15,7 +15,6 @@ sorts its own group — block order never matters.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -45,11 +44,10 @@ def sessionize(
     (1-based per key, ordered by ts then ``order_col``).
 
     Scale shape: keys are hash-bucketed and each bucket block is
-    sessionized in ONE vectorized pandas pass over all its keys
+    sessionized in ONE vectorized polars pass over all its keys
     (sort by (key, ts) -> key-change OR gap-exceeded -> cumsum within
-    key) — per-key map_groups would pay pandas overhead per tiny
-    group. One shuffle on the bucket column."""
-    gap = pd.Timedelta(minutes=gap_minutes)
+    key) — per-key map_groups would pay per-group overhead on tiny
+    groups. One shuffle on the bucket column."""
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         # in-run-only bucket assignment -> the vectorized polars hash
@@ -66,21 +64,33 @@ def sessionize(
             "_bucket", pa.array((h % num_buckets).astype(np.int64))
         )
 
-    def per_bucket(block: pd.DataFrame) -> pd.DataFrame:
+    gap_us = int(gap_minutes * 60_000_000)
+
+    def per_bucket(block: pa.Table) -> pa.Table:
+        import polars as pl
+
         sort_cols = [key, ts_col] + ([order_col] if order_col else [])
-        g = block.sort_values(sort_cols, kind="mergesort").copy()
-        key_change = g[key].ne(g[key].shift())
-        gap_break = g[ts_col].diff() > gap
-        new_sess = key_change | gap_break
-        # cumsum within key: global cumsum minus the value at each
-        # key's first row + 1
-        global_sess = new_sess.cumsum()
-        first_of_key = global_sess.where(key_change).ffill()
-        g["session_id"] = (global_sess - first_of_key + 1).astype(np.int64)
-        return g.drop(columns=["_bucket"])
+        df = pl.from_arrow(block).sort(sort_cols, maintain_order=True)
+        key_change = (pl.col(key) != pl.col(key).shift(1)).fill_null(True)
+        gap_break = (
+            pl.col(ts_col).diff() > pl.duration(microseconds=gap_us)
+        ).fill_null(False)
+        df = df.with_columns(
+            (key_change | gap_break).cum_sum().alias("_gs")
+        )
+        # session id within key: global cumsum rebased to the key's
+        # first row (cumsum is nondecreasing, so min-over-key IS it)
+        df = df.with_columns(
+            (pl.col("_gs") - pl.col("_gs").min().over(key) + 1)
+            .cast(pl.Int64)
+            .alias("session_id")
+        )
+        return df.drop(["_gs", "_bucket"]).to_arrow()
 
     tagged = ds.map_batches(add_bucket, batch_format="pyarrow")
-    return tagged.groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
+    return tagged.groupby("_bucket").map_groups(
+        per_bucket, batch_format="pyarrow"
+    )
 
 
 def sliding_counts(ds, *, key: str, ts_col: str, window_minutes: int, slide_minutes: int):
@@ -113,20 +123,26 @@ def sliding_counts(ds, *, key: str, ts_col: str, window_minutes: int, slide_minu
 
     # partial counts per block BEFORE the shuffle: the exchange moves
     # (key, window) partials, not the n_covers-times-expanded rows
-    def partial(df):
-        return df.groupby([key, "window_start"], as_index=False).agg(
-            n_events=("window_start", "size")
+    import polars as pl
+
+    def partial(b: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(b)
+            .group_by([key, "window_start"])
+            .agg(pl.len().cast(pl.Int64).alias("n_events"))
+            .to_arrow()
         )
 
     partials = expanded.map_batches(
-        partial, batch_format="pandas", batch_size=None
+        partial, batch_format="pyarrow", batch_size=None
     )
 
-    def final(block):
-        return block.groupby([key, "window_start"], as_index=False).agg(
-            n_events=("n_events", "sum")
+    def final(b: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(b)
+            .group_by([key, "window_start"])
+            .agg(pl.col("n_events").sum().cast(pl.Int64))
+            .to_arrow()
         )
 
-    return bucketed_group_reduce(
-        partials, [key], final, num_buckets=16, batch_format="pandas"
-    )
+    return bucketed_group_reduce(partials, [key], final, num_buckets=16)
