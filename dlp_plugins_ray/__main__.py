@@ -11,6 +11,10 @@ Commands:
   stats    --query NAME [--sf DIR]  (run one conformance query and
            print its ray.data execution stats — per-stage wall time,
            rows, memory; the per-operator profiling surface)
+  tail     --events DIR --out DIR [--policy FILE] [--poll-sec S]
+           [--once | --idle-exit N] [--no-checkpoint-filter]
+           (continuous ingestion: poll the dir, apply each batch of
+           new files as a checkpointed incremental replay)
 
 Owns the Ray session (scripts may init); the library never does.
 """
@@ -75,6 +79,34 @@ def main(argv=None) -> int:
     )
     lp.add_argument("--num-cpus", type=int, default=None)
 
+    wl = sub.add_parser(
+        "tail",
+        help="continuously tail an events dir: poll for new parquet "
+        "files and apply each batch as a checkpointed incremental "
+        "replay onto the lake (writers must publish files atomically, "
+        "i.e. write-temp-then-rename)",
+    )
+    wl.add_argument("--events", required=True)
+    wl.add_argument("--out", required=True)
+    wl.add_argument("--policy", help="policy JSON file")
+    wl.add_argument("--partitions", type=int, default=64)
+    wl.add_argument("--poll-sec", type=float, default=2.0)
+    wl.add_argument(
+        "--once", action="store_true",
+        help="apply currently-pending files and exit",
+    )
+    wl.add_argument(
+        "--idle-exit", type=int, default=0,
+        help="exit after N consecutive empty polls (0 = run forever)",
+    )
+    wl.add_argument(
+        "--no-checkpoint-filter", action="store_true",
+        help="source may deliver events below the committed checkpoint "
+        "(non-seq-ordered segments): rely on the idempotent LWW merge "
+        "instead of the pre-shuffle checkpoint drop",
+    )
+    wl.add_argument("--num-cpus", type=int, default=None)
+
     tp = sub.add_parser(
         "stats",
         help="run one conformance query and print its ds.stats()",
@@ -128,6 +160,76 @@ def main(argv=None) -> int:
     import ray.data as rd
 
     rd.DataContext.get_current().enable_progress_bars = False
+
+    if args.cmd == "tail":
+        import os
+        import time
+
+        from .cdc.replay import replay as _replay
+        from .state.manifest import atomic_write_bytes, committed_partitions
+
+        # which files are already applied is an OPTIMIZATION ledger —
+        # correctness always rests on the lake checkpoint filter +
+        # idempotent LWW merge, so a lost/stale ledger only means
+        # harmless reprocessing
+        state_path = os.path.join(args.out, "_tail_state.json")
+
+        def processed() -> set[str]:
+            try:
+                return set(json.load(open(state_path))["processed"])
+            except (OSError, json.JSONDecodeError, KeyError, TypeError):
+                return set()
+
+        policy = json.load(open(args.policy)) if args.policy else None
+        idle = 0
+        while True:
+            try:
+                names = sorted(
+                    f
+                    for f in os.listdir(args.events)
+                    if f.endswith(".parquet")
+                )
+            except FileNotFoundError:
+                names = []
+            done = processed()
+            new = [n for n in names if n not in done]
+            if new:
+                idle = 0
+                inc = bool(committed_partitions(args.out))
+                mpdf, epoch = _replay(
+                    [os.path.join(args.events, n) for n in new],
+                    args.out,
+                    policy=policy,
+                    num_partitions=args.partitions,
+                    incremental=inc,
+                    checkpoint_filter=not args.no_checkpoint_filter,
+                )
+                atomic_write_bytes(
+                    state_path,
+                    json.dumps(
+                        {"processed": sorted(done | set(new))}
+                    ).encode(),
+                )
+                print(
+                    json.dumps(
+                        {
+                            "applied_files": len(new),
+                            "epoch": epoch,
+                            "partitions_committed": int(len(mpdf)),
+                            "rows": int(mpdf["row_count"].sum())
+                            if len(mpdf)
+                            else 0,
+                        }
+                    ),
+                    flush=True,
+                )
+            else:
+                idle += 1
+            if args.once or (args.idle_exit and idle >= args.idle_exit):
+                break
+            time.sleep(args.poll_sec)
+        ray.shutdown()
+        return 0
 
     if args.cmd == "stats":
         import time

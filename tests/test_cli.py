@@ -1,0 +1,119 @@
+"""CLI surface tests. The tail test drives two seq-ranged slices of a
+change-event log through ``python -m dlp_plugins_ray tail`` in separate
+processes (the CLI owns its own Ray session) and requires the resulting
+lake to be BYTE-identical to a one-shot replay of the full log."""
+
+import hashlib
+import json
+import os
+import pathlib
+import subprocess
+import sys
+
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from dlp_plugins_ray.cdc import events as EV
+from dlp_plugins_ray.cdc import replay as RP
+
+N_EVENTS = 4000
+
+
+def _seq_sliced(ev_dir: str, out_base: pathlib.Path, n_slices: int):
+    """Split a generated log into seq-range slice file sets (the WAL
+    contract the checkpoint filter documents: later slices only carry
+    seqs above the committed offset; duplicates ride with their
+    original seq's slice)."""
+    bounds = [round(i * N_EVENTS / n_slices) for i in range(n_slices + 1)]
+    slices = [[] for _ in range(n_slices)]
+    for fname in sorted(os.listdir(ev_dir)):
+        if not fname.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(ev_dir, fname))
+        seq = t.column("seq")
+        for i in range(n_slices):
+            sl = t.filter(
+                pc.and_(
+                    pc.greater_equal(seq, bounds[i]),
+                    pc.less(seq, bounds[i + 1]),
+                )
+            )
+            if sl.num_rows:
+                d = out_base / f"slice{i}"
+                d.mkdir(parents=True, exist_ok=True)
+                path = d / fname
+                pq.write_table(sl, path, compression="zstd")
+                slices[i].append(path)
+    return slices
+
+
+def _lake_hashes(lake: pathlib.Path) -> dict[str, str]:
+    return {
+        p.relative_to(lake).as_posix(): hashlib.sha256(
+            p.read_bytes()
+        ).hexdigest()
+        for p in lake.rglob("data.parquet")
+    }
+
+
+def _run_tail(watch: pathlib.Path, lake: pathlib.Path) -> dict:
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "dlp_plugins_ray",
+            "tail",
+            "--events",
+            str(watch),
+            "--out",
+            str(lake),
+            "--partitions",
+            "8",
+            "--once",
+            "--num-cpus",
+            "4",
+        ],
+        check=True,
+        capture_output=True,
+        text=True,
+        env={**os.environ, "RAY_DEDUP_LOGS": "0"},
+    )
+    lines = [
+        ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")
+    ]
+    return json.loads(lines[-1]) if lines else {}
+
+
+def test_tail_two_slices_equals_one_shot(tmp_path, ray_session):
+    ev = tmp_path / "events"
+    EV.write_events_parquet(str(ev), N_EVENTS, n_shards=6, seed=7)
+    slices = _seq_sliced(str(ev), tmp_path / "sliced", 2)
+    assert slices[0] and slices[1]
+
+    # one-shot reference replay (in-process, session fixture owns Ray)
+    lake_one = tmp_path / "lake_one"
+    RP.replay(str(ev), str(lake_one), num_partitions=8)
+
+    lake_tail = tmp_path / "lake_tail"
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    for p in slices[0]:
+        (watch / p.name).write_bytes(p.read_bytes())
+    out1 = _run_tail(watch, lake_tail)
+    assert out1["applied_files"] == len(slices[0])
+
+    for p in slices[1]:
+        # same shard filename exists in both slices — disambiguate
+        (watch / f"s2-{p.name}").write_bytes(p.read_bytes())
+    out2 = _run_tail(watch, lake_tail)
+    assert out2["applied_files"] == len(slices[1])
+
+    # the tailed lake equals the one-shot lake byte-for-byte
+    h_tail, h_one = _lake_hashes(lake_tail), _lake_hashes(lake_one)
+    assert h_tail == h_one and h_tail
+
+    # ledger recorded every file; an idle --once run applies nothing
+    state = json.loads((lake_tail / "_tail_state.json").read_text())
+    assert len(state["processed"]) == len(slices[0]) + len(slices[1])
+    out3 = _run_tail(watch, lake_tail)
+    assert out3 == {}  # no JSON line emitted -> nothing applied
