@@ -128,10 +128,70 @@ class MinHasher:
         return vals.min(axis=1)
 
     def signatures(self, texts: list[str | None]) -> np.ndarray:
-        out = np.zeros((len(texts), self.num_perm), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            if t:
-                out[i] = self.signature(t)
+        """Batch kernel, bit-identical to per-doc ``signature`` (pinned
+        by a property test): ONE numpy pass hashes every shingle of
+        every text (polynomial + splitmix64 over the concatenated
+        utf-8 bytes, invalid cross-text windows compacted away), then
+        each permutation is one vectorized affine + ``minimum.reduceat``
+        segment-min — no per-document Python or allocation."""
+        n = len(texts)
+        k = self.shingle_k
+        out = np.zeros((n, self.num_perm), dtype=np.uint64)
+        if n == 0:
+            return out
+        bs = [t.encode("utf-8") if t else b"" for t in texts]
+        lens = np.fromiter((len(b) for b in bs), np.int64, count=n)
+        # short-but-nonempty texts: single blake2b shingle (rare path)
+        for i in np.flatnonzero((lens > 0) & (lens < k)):
+            out[i] = self.signature(texts[i])
+        long_idx = np.flatnonzero(lens >= k)
+        if long_idx.size == 0:
+            return out
+        # regime switch (measured): the fused batch kernel wins ~2x on
+        # short texts (per-doc overhead dominates) but minimum.reduceat
+        # is element-at-a-time, so past ~190 windows/doc the per-doc
+        # outer-product min (contiguous SIMD .min(axis=1)) is faster
+        if (lens[long_idx].sum() / long_idx.size) - k + 1 > 192:
+            for i in long_idx:
+                out[i] = self.signature(texts[i])
+            return out
+        cat = b"".join(bs[i] for i in long_idx)
+        data = np.frombuffer(cat, dtype=np.uint8).astype(np.uint64)
+        L = lens[long_idx]
+        counts = L - k + 1  # valid windows per text
+        text_starts = np.concatenate([[0], np.cumsum(L)[:-1]])
+        sw = np.lib.stride_tricks.sliding_window_view(data, k)
+        powers = _SHINGLE_BASE ** np.arange(k, dtype=np.uint64)
+        h = (sw * powers).sum(axis=1, dtype=np.uint64)
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(31)
+        # compact away windows that cross text boundaries
+        total = int(counts.sum())
+        excl = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        within = np.arange(total, dtype=np.int64) - np.repeat(excl, counts)
+        pos = np.repeat(text_starts, counts) + within
+        h = h[pos] % _MERSENNE
+        sig_block = np.empty((long_idx.size, self.num_perm), dtype=np.uint64)
+        # chunk documents so each per-permutation pass streams a
+        # cache-resident slice of h (one big pass per perm is
+        # memory-bound on long texts: 64 x full-array RAM traffic)
+        cum = np.concatenate([[0], np.cumsum(counts)])
+        chunk_windows = 1 << 18
+        d0 = 0
+        n_long = long_idx.size
+        while d0 < n_long:
+            d1 = int(
+                np.searchsorted(cum, cum[d0] + chunk_windows, side="left")
+            )
+            d1 = min(max(d1, d0 + 1), n_long)
+            hs = h[cum[d0] : cum[d1]]
+            seg = (cum[d0:d1] - cum[d0]).astype(np.int64)
+            for p in range(self.num_perm):
+                vals = (self.a[p] * hs + self.b[p]) % _MERSENNE
+                sig_block[d0:d1, p] = np.minimum.reduceat(vals, seg)
+            d0 = d1
+        out[long_idx] = sig_block
         return out
 
 

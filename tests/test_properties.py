@@ -436,3 +436,31 @@ class TestVectorizedJaccardProperty:
             assert got[i] == pytest.approx(jaccard(a, b, k), abs=1e-12), (
                 i, a, b, k,
             )
+
+
+class TestMinhashBatchEquivalence:
+    """The batched signatures() kernel must be bit-identical to the
+    per-document signature() path on arbitrary unicode texts (incl.
+    empty, shorter-than-k, multibyte)."""
+
+    @given(
+        texts=st.lists(
+            st.one_of(st.none(), TEXT),
+            min_size=0,
+            max_size=24,
+        ),
+        k=st.integers(min_value=2, max_value=9),
+    )
+    @settings(max_examples=120, deadline=None)
+    def test_batch_matches_per_doc(self, texts, k):
+        import numpy as np
+
+        from dlp_plugins_ray.stages.dedup import MinHasher
+
+        mh = MinHasher(num_perm=16, seed=7, shingle_k=k)
+        got = mh.signatures(texts)
+        expect = np.zeros_like(got)
+        for i, t in enumerate(texts):
+            if t:
+                expect[i] = mh.signature(t)
+        assert np.array_equal(got, expect)
