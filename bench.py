@@ -471,6 +471,11 @@ def dedup_soak() -> None:
 
     ctx = rd.DataContext.get_current()
     ctx.enable_progress_bars = False
+    # measured on the pairs pipeline (8.4M docs, 32 CPUs): per-op
+    # resource reservation throttles the LSH map under the sort
+    # exchange to ~half the box (327 s, load ~17); disabling it runs
+    # the box exactly full (191 s, load ~32, no oversubscription)
+    ctx.op_resource_reservation_enabled = False
     try:
         from ray.data.context import ShuffleStrategy
 

@@ -234,9 +234,14 @@ def run_soak(n_docs: int, *, dup_frac: float = 0.3, hot_frac: float = 0.5,
     # candidate pairs at 8.4M docs; at r=8 the floor contributes ~1e3,
     # all killed by the exact-Jaccard verification. The planted near
     # clones sit at J ~= 0.97, far above the curve's threshold.
+    # verify_skip_bands=bands//2: exact-verify only LOW-agreement
+    # candidates (floor collisions); pairs matching half the bands are
+    # certain duplicates by the MinHash estimate itself — this removed
+    # the 1278 s verify exchange from the full-verification soak
     kept = DD.minhash_dedup(ds, text_col="text", id_col="doc_id",
                             num_perm=num_perm, bands=bands,
                             verify_threshold=verify_threshold,
+                            verify_skip_bands=bands // 2,
                             broadcast_threshold=broadcast_threshold)
 
     def kept_partial(b: pa.Table) -> pa.Table:
