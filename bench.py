@@ -288,6 +288,13 @@ def main() -> None:
 
     ctx = rd.DataContext.get_current()
     ctx.enable_progress_bars = False
+    # Ray's per-operator resource reservation throttles the fused
+    # replay map under its sort exchange — interleaved A/B at 8.4M
+    # events / 32 CPUs: 429-843k ev/s without reservation vs 239-505k
+    # with (and it was the dedup soak's LSH-map serializer too). Off
+    # by default here; RAY_GRAFT_NO_RESERVE=0 restores Ray's default.
+    if os.environ.get("RAY_GRAFT_NO_RESERVE", "1") == "1":
+        ctx.op_resource_reservation_enabled = False
     # Ray's sort emits SCHEMA-LESS empty blocks when sort parallelism
     # exceeds the distinct key count and skips the reduce UDF for them
     # (see stages/shuffle.py bucketed_group_reduce docstring), so the
