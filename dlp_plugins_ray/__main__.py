@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -159,10 +160,16 @@ def main(argv=None) -> int:
         )
     import ray.data as rd
 
-    rd.DataContext.get_current().enable_progress_bars = False
+    ctx = rd.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    # per-op resource reservation throttles the replay map under its
+    # sort exchange (measured 239-505k vs 429-843k ev/s at 32 CPUs —
+    # BASELINE.md round 4); DLP_RAY_RESERVATION=1 restores Ray's
+    # default for fan-outs that need its memory backpressure
+    if os.environ.get("DLP_RAY_RESERVATION", "0") != "1":
+        ctx.op_resource_reservation_enabled = False
 
     if args.cmd == "tail":
-        import os
         import time
 
         from .cdc.replay import replay as _replay
