@@ -1335,6 +1335,50 @@ def q_minhash_dedup_keep(sf_dir: str):
 QUERIES["minhash_dedup_keep"] = q_minhash_dedup_keep
 
 
+def q_minhash_dedup_verified(sf_dir: str):
+    """The at-scale dedup configuration end-to-end: minhash_dedup with
+    exact-Jaccard candidate verification (threshold 0.7 — planted near
+    clones sit at J~0.85, decoys at ~0.1) and the band-count bypass
+    (pairs agreeing in >= bands/2 LSH bands skip verification; band
+    agreement IS the MinHash estimate). Keep decisions for every
+    planted exact/near pair must be identical to the unverified
+    operator — the soak (`bench.py --dedup-soak`, BASELINE.md round 4)
+    runs this same path at 8.4M docs."""
+    import ray.data as rd
+
+    path = textdup_docs_path(sf_dir)
+    ds = rd.read_parquet(
+        path, columns=["doc_id", "text"],
+        override_num_blocks=_sized_blocks(path),
+    )
+    kept = DD.minhash_dedup(
+        ds, text_col="text", id_col="doc_id",
+        verify_threshold=0.7, verify_skip_bands=8,
+    )
+    kept_ids = kept.map_batches(
+        lambda b: b.select(["doc_id"]), batch_format="pyarrow"
+    )
+    planted = rd.from_arrow(
+        _textdup_planted(sf_dir, ("exact", "near")).select(["id_a", "id_b"])
+    )
+    flags = DD.pair_membership(kept_ids, planted, id_col="doc_id")
+
+    def finish(b: pa.Table) -> pa.Table:
+        ok = pc.and_(b.column("a_in"), pc.invert(b.column("b_in")))
+        return pa.table(
+            {
+                "id_a": b.column("id_a"),
+                "id_b": b.column("id_b"),
+                "dedup_ok": ok,
+            }
+        )
+
+    return flags.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES["minhash_dedup_verified"] = q_minhash_dedup_verified
+
+
 # ---------------------------------------------------------------------------
 # sort / limit / distinct / joins / windows (oracle-checked)
 # ---------------------------------------------------------------------------
@@ -2167,6 +2211,14 @@ def tmp_oracle_sql(sf: str = "sf0.01") -> dict[str, str]:
             FROM ({base}) WHERE doc_id % 20 = 15
         """,
         "minhash_dedup_keep": f"""
+            SELECT doc_id AS id_a, doc_id + {TEXTDUP_EXACT_OFF} AS id_b,
+                   true AS dedup_ok
+            FROM ({base}) WHERE doc_id % 20 = 0
+            UNION ALL
+            SELECT doc_id, doc_id + {TEXTDUP_NEAR_OFF}, true
+            FROM ({base}) WHERE doc_id % 20 = 10
+        """,
+        "minhash_dedup_verified": f"""
             SELECT doc_id AS id_a, doc_id + {TEXTDUP_EXACT_OFF} AS id_b,
                    true AS dedup_ok
             FROM ({base}) WHERE doc_id % 20 = 0
@@ -4539,6 +4591,7 @@ _DRIVER_PREFIX = [
     "top_bigrams",
     "funnel_signup_purchase",
     "cohort_retention",
+    "minhash_dedup_verified",
     # representative earlier-round coverage: CDC north-rule core
     "cdc_full_replay",
     "upsert_lww_events",
