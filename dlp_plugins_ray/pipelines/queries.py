@@ -1379,6 +1379,88 @@ def q_minhash_dedup_verified(sf_dir: str):
 QUERIES["minhash_dedup_verified"] = q_minhash_dedup_verified
 
 
+def bandstore_path(sf_dir: str) -> str:
+    """Persisted LSH band store over the textdup BASE docs (the
+    'historical corpus'), built once per sf under tmp. 12 bands x 5
+    rows: planted near clones (J~0.87) land with ~0.9998 probability
+    while decoy clones (J~0.15) have ~1e-4 per-doc band-collision
+    odds — both tails verified empirically at sf0.001/sf0.01 (the
+    fixture is deterministic, so green stays green)."""
+    import tempfile
+
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    store = os.path.join(tempfile.gettempdir(), f"dlp_ray_bandstore_{sf}")
+    if os.path.exists(os.path.join(store, DD._STORE_META)):
+        return store
+    import ray.data as rd
+
+    path = textdup_docs_path(sf_dir)
+    n_base = _textdup_n_base(sf_dir)
+    base = rd.read_parquet(
+        path, columns=["doc_id", "text"],
+        override_num_blocks=_sized_blocks(path),
+    ).filter(expr=f"doc_id < {n_base}")
+    DD.minhash_band_store_write(
+        base, store, text_col="text", id_col="doc_id",
+        num_perm=60, bands=12,
+    )
+    return store
+
+
+def q_minhash_dedup_incremental(sf_dir: str):
+    """CDC-shaped dedup: the planted clone slice (every doc_id >=
+    TEXTDUP_EXACT_OFF) probes the persisted band store built from the
+    BASE corpus — the historical text is never re-read. Per planted
+    clone: exact and near clones must DROP (first writer wins across
+    slices), decoy clones (J~0.15, below any dedup threshold) must
+    KEEP. ``inc_ok`` certifies each decision; append=False keeps the
+    query idempotent."""
+    import ray.data as rd
+
+    store = bandstore_path(sf_dir)
+    path = textdup_docs_path(sf_dir)
+    slice2 = rd.read_parquet(
+        path, columns=["doc_id", "text"],
+        override_num_blocks=_sized_blocks(path),
+    ).filter(expr=f"doc_id >= {TEXTDUP_EXACT_OFF}")
+    kept = DD.minhash_dedup_incremental(
+        slice2, store, text_col="text", id_col="doc_id", append=False
+    )
+    kept_ids = kept.map_batches(
+        lambda b: b.select(["doc_id"]), batch_format="pyarrow"
+    )
+    planted = rd.from_arrow(
+        _textdup_planted(sf_dir, ("exact", "near", "decoy"))
+    )
+    flags = DD.pair_membership(
+        kept_ids, planted.map_batches(
+            lambda b: b.select(["id_a", "id_b"]), batch_format="pyarrow"
+        ),
+        id_col="doc_id",
+    )
+    kinds = _textdup_planted(sf_dir, ("exact", "near", "decoy"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(b).join(
+            pl.from_arrow(kinds), on=["id_a", "id_b"], how="left"
+        )
+        ok = df["b_in"] == (df["kind"] == "decoy")
+        return pa.table(
+            {
+                "id_a": df["id_a"].to_arrow().cast(pa.int64()),
+                "id_b": df["id_b"].to_arrow().cast(pa.int64()),
+                "inc_ok": ok.to_arrow().cast(pa.bool_()),
+            }
+        )
+
+    return flags.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES["minhash_dedup_incremental"] = q_minhash_dedup_incremental
+
+
 # ---------------------------------------------------------------------------
 # sort / limit / distinct / joins / windows (oracle-checked)
 # ---------------------------------------------------------------------------
@@ -2225,6 +2307,17 @@ def tmp_oracle_sql(sf: str = "sf0.01") -> dict[str, str]:
             UNION ALL
             SELECT doc_id, doc_id + {TEXTDUP_NEAR_OFF}, true
             FROM ({base}) WHERE doc_id % 20 = 10
+        """,
+        "minhash_dedup_incremental": f"""
+            SELECT doc_id AS id_a, doc_id + {TEXTDUP_EXACT_OFF} AS id_b,
+                   true AS inc_ok
+            FROM ({base}) WHERE doc_id % 20 = 0
+            UNION ALL
+            SELECT doc_id, doc_id + {TEXTDUP_NEAR_OFF}, true
+            FROM ({base}) WHERE doc_id % 20 = 10
+            UNION ALL
+            SELECT doc_id, doc_id + {TEXTDUP_DECOY_OFF}, true
+            FROM ({base}) WHERE doc_id % 20 = 15
         """,
         "cdc_full_replay": f"""
             WITH last AS (
@@ -4592,6 +4685,7 @@ _DRIVER_PREFIX = [
     "funnel_signup_purchase",
     "cohort_retention",
     "minhash_dedup_verified",
+    "minhash_dedup_incremental",
     # representative earlier-round coverage: CDC north-rule core
     "cdc_full_replay",
     "upsert_lww_events",

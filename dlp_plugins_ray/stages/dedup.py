@@ -1510,3 +1510,199 @@ def minhash_dedup(
     if drop_ds.count() <= broadcast_threshold:
         return _drop_via_broadcast(ds, drop_ds, id_col=id_col)
     return _drop_via_anti_join(ds, drop_ds, id_col=id_col)
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup against a persisted band store
+# ---------------------------------------------------------------------------
+
+_STORE_META = "_store_meta.json"
+
+
+def _band_store_meta(store_dir: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(store_dir, _STORE_META)) as f:
+        return json.load(f)
+
+
+def _banded_with_bucket(ds, *, text_col: str, id_col: str, num_perm: int,
+                        bands: int, shingle_k: int, num_buckets: int):
+    """(band, band_hash, id, bucket) rows for every doc — the wire
+    format of the band store and of incremental probes."""
+    import pyarrow.compute as _pc
+
+    from .cache import cached_task_stage
+
+    banded = ds.map_batches(
+        cached_task_stage(
+            MinHashLshStage, text_col, id_col,
+            num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+        ),
+        batch_format="pyarrow",
+    )
+
+    def tag_bucket(b: pa.Table) -> pa.Table:
+        h = b.column("band_hash").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "bucket",
+            pa.array((h.astype(np.uint64) % num_buckets).astype(np.int64)),
+        )
+
+    return banded.map_batches(tag_bucket, batch_format="pyarrow")
+
+
+def minhash_band_store_write(ds, store_dir: str, *, text_col: str,
+                             id_col: str, num_perm: int = 64,
+                             bands: int = 16, shingle_k: int = 5,
+                             num_buckets: int = 64) -> dict:
+    """Create the persisted LSH band store for a (deduplicated) corpus:
+    hive ``bucket=NN/`` parquet of (band, band_hash, id) rows plus a
+    meta json pinning the LSH parameters and the max stored doc id.
+    At 10^10 docs the store is ~bands x 24 B per doc of THIN rows —
+    the corpus text never has to be re-read to dedup future slices.
+
+    Single-writer semantics (one store build/append at a time), same
+    as the lake's commit model."""
+    import json
+    import os
+
+    banded = _banded_with_bucket(
+        ds, text_col=text_col, id_col=id_col, num_perm=num_perm,
+        bands=bands, shingle_k=shingle_k, num_buckets=num_buckets,
+    )
+    banded.write_parquet(store_dir, partition_cols=["bucket"])
+    # max id via a tiny distributed aggregate (no driver
+    # materialization)
+    max_id = ds.max(id_col)
+    meta = {
+        "num_perm": num_perm,
+        "bands": bands,
+        "shingle_k": shingle_k,
+        "num_buckets": num_buckets,
+        "max_id": int(max_id),
+    }
+    tmp = os.path.join(store_dir, _STORE_META + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(store_dir, _STORE_META))
+    return meta
+
+
+def minhash_dedup_incremental(new_ds, store_dir: str, *, text_col: str,
+                              id_col: str, append: bool = True,
+                              broadcast_threshold: int = 2_000_000):
+    """Dedup a NEW slice against the historical corpus WITHOUT touching
+    the historical text: probe the persisted band store (first-writer
+    wins — a new doc near-duplicating any stored doc is dropped; new
+    docs also dedup among themselves), then append the kept docs'
+    bands so the store stays the authority for the next slice. This is
+    the CDC-shaped dedup a continuously-ingesting 100 TB corpus needs:
+    per-slice cost scales with the slice + the store's thin band rows,
+    never with the historical corpus text.
+
+    Requires new doc ids to be strictly greater than every stored id
+    (monotonic ids, natural for append logs; enforced against the
+    store's ``max_id``) so 'first writer wins' == 'min id wins' and
+    the component labels inherited from the batch machinery decide
+    drops unambiguously."""
+    import json
+    import os
+
+    import pyarrow.compute as _pc
+    import ray.data as rd
+
+    from .shuffle import bucketed_group_reduce
+
+    meta = _band_store_meta(store_dir)
+    max_old = int(meta["max_id"])
+
+    new_banded = _banded_with_bucket(
+        new_ds, text_col=text_col, id_col=id_col,
+        num_perm=int(meta["num_perm"]), bands=int(meta["bands"]),
+        shingle_k=int(meta["shingle_k"]),
+        num_buckets=int(meta["num_buckets"]),
+    ).materialize()
+
+    min_new = new_banded.min(id_col) if new_banded.count() else None
+    if min_new is not None and int(min_new) <= max_old:
+        raise ValueError(
+            f"incremental dedup requires new ids > stored max_id "
+            f"({max_old}); got {min_new}"
+        )
+
+    old_banded = rd.read_parquet(store_dir)
+
+    def strip(b: pa.Table) -> pa.Table:
+        return b.select(["band", "band_hash", id_col])
+
+    both = old_banded.map_batches(strip, batch_format="pyarrow").union(
+        new_banded.map_batches(strip, batch_format="pyarrow")
+    )
+
+    def pairs_block(block: pa.Table) -> pa.Table:
+        """Pair every NEW bucket member with the bucket minimum
+        (old or new). Old-old pairs are skipped — the store is
+        already deduplicated."""
+        import polars as pl
+
+        df = pl.from_arrow(block).unique()
+        df = df.with_columns(
+            pl.col(id_col).min().over(["band", "band_hash"]).alias("_min")
+        )
+        dup = df.filter(
+            (pl.col(id_col) != pl.col("_min"))
+            & (pl.col(id_col) > max_old)  # member must be NEW
+        )
+        return pa.table(
+            {
+                "id_a": dup["_min"].cast(pl.Int64).to_arrow(),
+                "id_b": dup[id_col].cast(pl.Int64).to_arrow(),
+            }
+        )
+
+    pairs = bucketed_group_reduce(both, ["band", "band_hash"], pairs_block)
+
+    def unique_pairs(block: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return pl.from_arrow(block).unique().to_arrow().cast(block.schema)
+
+    pairs = pairs.map_batches(unique_pairs, batch_format="pyarrow")
+    pairs = bucketed_group_reduce(
+        pairs, ["id_a", "id_b"], unique_pairs
+    ).materialize()
+
+    labels = connected_component_labels(pairs)
+    drop_ds = labels.map_batches(
+        lambda b: b.filter(
+            _pc.and_(
+                _pc.not_equal(b.column("label"), b.column("id")),
+                _pc.greater(b.column("id"), max_old),  # only NEW drop
+            )
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    if drop_ds.count() <= broadcast_threshold:
+        kept = _drop_via_broadcast(new_ds, drop_ds, id_col=id_col)
+    else:
+        kept = _drop_via_anti_join(new_ds, drop_ds, id_col=id_col)
+
+    if append:
+        kept = kept.materialize()
+        kept_banded = _banded_with_bucket(
+            kept, text_col=text_col, id_col=id_col,
+            num_perm=int(meta["num_perm"]), bands=int(meta["bands"]),
+            shingle_k=int(meta["shingle_k"]),
+            num_buckets=int(meta["num_buckets"]),
+        )
+        kept_banded.write_parquet(store_dir, partition_cols=["bucket"])
+        new_max = kept.max(id_col) if kept.count() else None
+        if new_max is not None:
+            meta["max_id"] = max(max_old, int(new_max))
+            tmp = os.path.join(store_dir, _STORE_META + ".tmp")
+            with open(tmp, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp, os.path.join(store_dir, _STORE_META))
+    return kept

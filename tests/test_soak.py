@@ -160,3 +160,73 @@ def test_band_count_and_bypass_equivalence(ray_session, tmp_path):
         return set(out["doc_id"])
 
     assert kept_ids(verify_skip_bands=4) == kept_ids()
+
+
+def test_incremental_band_store_dedup(ray_session, tmp_path):
+    """Two-slice incremental dedup: build the band store from slice 1
+    (the historical corpus), probe slice 2 against it WITHOUT touching
+    slice-1 text. Cross-slice clones and in-slice clones drop; fresh
+    docs keep; the store then covers the kept slice-2 docs too."""
+    import ray.data as rd
+
+    from dlp_plugins_ray.stages import dedup as DD
+
+    n = 6_000
+    d = soak.write_soak_corpus(str(tmp_path / "c"), n, n_shards=4)
+    import os
+
+    files = sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    )
+    ds = rd.read_parquet(files, columns=["doc_id", "text"])
+    p = soak.plan(n)
+    n_base = p["n_base"]
+    n1 = n_base // 2  # slice 1 = first half of the bases
+    slice1 = ds.filter(lambda r: r["doc_id"] < n1)
+    slice2 = ds.filter(lambda r: r["doc_id"] >= n1)
+
+    store = str(tmp_path / "store")
+    meta = DD.minhash_band_store_write(
+        slice1, store, text_col="text", id_col="doc_id",
+        num_perm=64, bands=8,
+    )
+    assert meta["max_id"] == n1 - 1
+
+    kept = DD.minhash_dedup_incremental(
+        slice2, store, text_col="text", id_col="doc_id"
+    ).to_pandas()
+    kept_ids = set(kept["doc_id"])
+    # every slice-2 base is fresh -> kept; every clone's source is a
+    # base (in slice 1 OR slice 2) -> dropped either via the store or
+    # via in-slice min-pairing
+    expected = set(range(n1, n_base))
+    missing = expected - kept_ids
+    extra = kept_ids - expected
+    # near clones may slip the LSH bands with tiny probability; no
+    # base may EVER be dropped
+    assert not missing, f"fresh bases dropped: {sorted(missing)[:5]}"
+    assert len(extra) <= max(2, (n - n_base) // 1000), sorted(extra)[:5]
+
+    # the store now answers for slice-2 docs as well: re-probing the
+    # SAME clones (new ids) drops them all
+    import pyarrow as pa
+
+    re_ids = np.arange(10_000_000, 10_000_000 + 50, dtype=np.int64)
+    src = np.arange(n1, n1 + 50, dtype=np.int64)
+    pool = soak._line_pool()
+    texts = soak._doc_texts(src, n, 0.3, 0.5, 10, pool)
+    probe = rd.from_arrow(
+        pa.table({"doc_id": pa.array(re_ids), "text": pa.array(texts)})
+    )
+    kept2 = DD.minhash_dedup_incremental(
+        probe, store, text_col="text", id_col="doc_id", append=False
+    )
+    assert kept2.count() == 0
+
+    # monotonic-id contract is enforced
+    import pytest
+
+    with pytest.raises(ValueError):
+        DD.minhash_dedup_incremental(
+            slice1, store, text_col="text", id_col="doc_id"
+        )
