@@ -1461,6 +1461,74 @@ def q_minhash_dedup_incremental(sf_dir: str):
 QUERIES["minhash_dedup_incremental"] = q_minhash_dedup_incremental
 
 
+def shastore_path(sf_dir: str) -> str:
+    """Exact-dedup sha store over the textdup BASE docs (one thin
+    (content_sha, id) row per historical doc), built once per sf."""
+    import tempfile
+
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    store = os.path.join(tempfile.gettempdir(), f"dlp_ray_shastore_{sf}")
+    if os.path.exists(os.path.join(store, DD._STORE_META)):
+        return store
+    import ray.data as rd
+
+    path = textdup_docs_path(sf_dir)
+    n_base = _textdup_n_base(sf_dir)
+    base = rd.read_parquet(
+        path, columns=["doc_id", "text"],
+        override_num_blocks=_sized_blocks(path),
+    ).filter(expr=f"doc_id < {n_base}")
+    DD.sha_store_write(base, store, text_col="text", id_col="doc_id")
+    return store
+
+
+def q_exact_dedup_incremental(sf_dir: str):
+    """Incremental EXACT dedup against the persisted sha store: only
+    byte-identical re-crawls drop — planted exact clones must DROP,
+    near AND decoy clones must KEEP (the contrast with
+    ``minhash_dedup_incremental``'s near-dup semantics)."""
+    import ray.data as rd
+
+    store = shastore_path(sf_dir)
+    path = textdup_docs_path(sf_dir)
+    slice2 = rd.read_parquet(
+        path, columns=["doc_id", "text"],
+        override_num_blocks=_sized_blocks(path),
+    ).filter(expr=f"doc_id >= {TEXTDUP_EXACT_OFF}")
+    kept = DD.exact_dedup_incremental(
+        slice2, store, text_col="text", id_col="doc_id", append=False
+    )
+    kept_ids = kept.map_batches(
+        lambda b: b.select(["doc_id"]), batch_format="pyarrow"
+    )
+    kinds = _textdup_planted(sf_dir, ("exact", "near", "decoy"))
+    flags = DD.pair_membership(
+        kept_ids,
+        rd.from_arrow(kinds.select(["id_a", "id_b"])),
+        id_col="doc_id",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(b).join(
+            pl.from_arrow(kinds), on=["id_a", "id_b"], how="left"
+        )
+        ok = df["b_in"] == (df["kind"] != "exact")
+        return pa.table(
+            {
+                "id_a": df["id_a"].to_arrow().cast(pa.int64()),
+                "id_b": df["id_b"].to_arrow().cast(pa.int64()),
+                "exact_inc_ok": ok.to_arrow().cast(pa.bool_()),
+            }
+        )
+
+    return flags.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES["exact_dedup_incremental"] = q_exact_dedup_incremental
+
+
 # ---------------------------------------------------------------------------
 # sort / limit / distinct / joins / windows (oracle-checked)
 # ---------------------------------------------------------------------------
@@ -2311,6 +2379,17 @@ def tmp_oracle_sql(sf: str = "sf0.01") -> dict[str, str]:
         "minhash_dedup_incremental": f"""
             SELECT doc_id AS id_a, doc_id + {TEXTDUP_EXACT_OFF} AS id_b,
                    true AS inc_ok
+            FROM ({base}) WHERE doc_id % 20 = 0
+            UNION ALL
+            SELECT doc_id, doc_id + {TEXTDUP_NEAR_OFF}, true
+            FROM ({base}) WHERE doc_id % 20 = 10
+            UNION ALL
+            SELECT doc_id, doc_id + {TEXTDUP_DECOY_OFF}, true
+            FROM ({base}) WHERE doc_id % 20 = 15
+        """,
+        "exact_dedup_incremental": f"""
+            SELECT doc_id AS id_a, doc_id + {TEXTDUP_EXACT_OFF} AS id_b,
+                   true AS exact_inc_ok
             FROM ({base}) WHERE doc_id % 20 = 0
             UNION ALL
             SELECT doc_id, doc_id + {TEXTDUP_NEAR_OFF}, true
@@ -4686,6 +4765,7 @@ _DRIVER_PREFIX = [
     "cohort_retention",
     "minhash_dedup_verified",
     "minhash_dedup_incremental",
+    "exact_dedup_incremental",
     # representative earlier-round coverage: CDC north-rule core
     "cdc_full_replay",
     "upsert_lww_events",

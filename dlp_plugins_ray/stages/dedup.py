@@ -1706,3 +1706,146 @@ def minhash_dedup_incremental(new_ds, store_dir: str, *, text_col: str,
                 json.dump(meta, f)
             os.replace(tmp, os.path.join(store_dir, _STORE_META))
     return kept
+
+
+def sha_store_write(ds, store_dir: str, *, text_col: str, id_col: str,
+                    num_buckets: int = 64,
+                    precomputed_hash: str | None = None) -> dict:
+    """Exact-dedup analogue of the band store: ONE thin
+    (content_sha, id) row per historical doc, hive-bucketed by a
+    stable hash of the sha. ~70 B/doc — the cheapest possible
+    representation that lets future slices drop byte-identical
+    re-crawls without re-reading the corpus."""
+    import json
+    import os
+    import zlib
+
+    hash_col = precomputed_hash or "content_sha"
+    if precomputed_hash is None:
+        ds2 = ds.map_batches(
+            lambda b: add_content_hash(b, text_col, hash_col),
+            batch_format="pyarrow",
+        )
+    else:
+        ds2 = ds
+
+    def rows(b: pa.Table) -> pa.Table:
+        shas = b.column(hash_col).to_pylist()
+        bucket = [
+            zlib.crc32(s.encode()) % num_buckets if s is not None else 0
+            for s in shas
+        ]
+        return pa.table(
+            {
+                hash_col: b.column(hash_col),
+                id_col: b.column(id_col),
+                "bucket": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    ds2.map_batches(rows, batch_format="pyarrow").write_parquet(
+        store_dir, partition_cols=["bucket"]
+    )
+    meta = {
+        "num_buckets": num_buckets,
+        "hash_col": hash_col,
+        "max_id": int(ds.max(id_col)),
+    }
+    tmp = os.path.join(store_dir, _STORE_META + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(store_dir, _STORE_META))
+    return meta
+
+
+def exact_dedup_incremental(new_ds, store_dir: str, *, text_col: str,
+                            id_col: str, append: bool = True,
+                            broadcast_threshold: int = 2_000_000):
+    """Drop new docs whose content sha already exists in the store
+    (first writer wins), dedup the slice among itself, and append the
+    kept docs' shas. Monotonic-id contract as in
+    ``minhash_dedup_incremental``."""
+    import json
+    import os
+
+    import pyarrow.compute as _pc
+    import ray.data as rd
+
+    from .shuffle import bucketed_group_reduce
+
+    meta = _band_store_meta(store_dir)
+    max_old = int(meta["max_id"])
+    hash_col = meta.get("hash_col", "content_sha")
+
+    hashed = new_ds.map_batches(
+        lambda b: add_content_hash(b, text_col, hash_col),
+        batch_format="pyarrow",
+    ).materialize()
+    if hashed.count():
+        min_new = int(hashed.min(id_col))
+        if min_new <= max_old:
+            raise ValueError(
+                f"incremental dedup requires new ids > stored max_id "
+                f"({max_old}); got {min_new}"
+            )
+
+    old = rd.read_parquet(store_dir).map_batches(
+        lambda b: b.select([hash_col, id_col]), batch_format="pyarrow"
+    )
+    both = old.union(
+        hashed.map_batches(
+            lambda b: b.select([hash_col, id_col]), batch_format="pyarrow"
+        )
+    )
+
+    def drops_block(block: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(block).unique()
+        df = df.with_columns(
+            pl.col(id_col).min().over(hash_col).alias("_min")
+        )
+        dup = df.filter(
+            (pl.col(id_col) != pl.col("_min"))
+            & (pl.col(id_col) > max_old)
+        )
+        return pa.table({"id": dup[id_col].cast(pl.Int64).to_arrow()})
+
+    drop_ds = bucketed_group_reduce(
+        both, [hash_col], drops_block,
+        out_schema=pa.schema([("id", pa.int64())]),
+    ).materialize()
+    if drop_ds.count() <= broadcast_threshold:
+        kept = _drop_via_broadcast(hashed, drop_ds, id_col=id_col)
+    else:
+        kept = _drop_via_anti_join(hashed, drop_ds, id_col=id_col)
+
+    if append:
+        kept = kept.materialize()
+        sha_kept = kept.map_batches(
+            lambda b: b.select([hash_col, id_col]), batch_format="pyarrow"
+        )
+        import zlib
+
+        nb = int(meta["num_buckets"])
+
+        def rows(b: pa.Table) -> pa.Table:
+            shas = b.column(hash_col).to_pylist()
+            bucket = [
+                zlib.crc32(s.encode()) % nb if s is not None else 0
+                for s in shas
+            ]
+            return b.append_column("bucket", pa.array(bucket, pa.int64()))
+
+        sha_kept.map_batches(rows, batch_format="pyarrow").write_parquet(
+            store_dir, partition_cols=["bucket"]
+        )
+        if kept.count():
+            meta["max_id"] = max(max_old, int(kept.max(id_col)))
+            tmp = os.path.join(store_dir, _STORE_META + ".tmp")
+            with open(tmp, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp, os.path.join(store_dir, _STORE_META))
+    return kept.map_batches(
+        lambda b: b.drop_columns([hash_col]), batch_format="pyarrow"
+    )

@@ -230,3 +230,56 @@ def test_incremental_band_store_dedup(ray_session, tmp_path):
         DD.minhash_dedup_incremental(
             slice1, store, text_col="text", id_col="doc_id"
         )
+
+
+def test_incremental_sha_store_dedup(ray_session, tmp_path):
+    """Exact incremental dedup: only byte-identical new docs drop;
+    near clones keep; store append answers for kept docs."""
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dlp_plugins_ray.stages import dedup as DD
+
+    n = 4_000
+    d = soak.write_soak_corpus(str(tmp_path / "c"), n, n_shards=4)
+    files = sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    )
+    ds = rd.read_parquet(files, columns=["doc_id", "text"])
+    p = soak.plan(n)
+    n_base = p["n_base"]
+    slice1 = ds.filter(lambda r: r["doc_id"] < n_base)
+    slice2 = ds.filter(lambda r: r["doc_id"] >= n_base)
+
+    store = str(tmp_path / "store")
+    meta = DD.sha_store_write(slice1, store, text_col="text",
+                              id_col="doc_id")
+    assert meta["max_id"] == n_base - 1
+
+    kept = DD.exact_dedup_incremental(
+        slice2, store, text_col="text", id_col="doc_id"
+    ).to_pandas()
+    kept_ids = set(kept["doc_id"])
+    # exact clones of slice-1 docs drop; near clones (appended line)
+    # are byte-distinct -> keep
+    exact_ids = set(p["dup_ids"][~p["is_near"]].tolist())
+    near_ids = set(p["dup_ids"][p["is_near"]].tolist())
+    assert kept_ids == near_ids, (
+        len(kept_ids - near_ids), len(near_ids - kept_ids))
+    assert not (kept_ids & exact_ids)
+    assert set(kept.columns) == {"doc_id", "text"}
+
+    # store now covers kept near clones: re-sending one byte-identical
+    # copy of a kept near clone drops it
+    some = sorted(near_ids)[0]
+    text = ds.filter(lambda r: r["doc_id"] == some).take(1)[0]["text"]
+    probe = rd.from_arrow(
+        pa.table({"doc_id": pa.array([10_000_000], pa.int64()),
+                  "text": pa.array([text])})
+    )
+    kept2 = DD.exact_dedup_incremental(
+        probe, store, text_col="text", id_col="doc_id", append=False
+    )
+    assert kept2.count() == 0
