@@ -75,15 +75,12 @@ def _line_pool() -> np.ndarray:
     return np.array(out, dtype=object)
 
 
-def plan(n_docs: int, *, dup_frac: float = 0.3, hot_frac: float = 0.5,
-         n_hot: int = 10) -> dict:
-    """The planted-duplicate plan, derived purely from hashing — the
-    generator and any verifier compute the identical plan without
-    shipping state. Returns numpy arrays over the DUP id range:
-    ``dup_ids``, ``source`` (base doc cloned), ``is_near`` (mutated
-    clone vs byte-exact clone)."""
-    n_base = n_docs - int(round(n_docs * dup_frac))
-    dup_ids = np.arange(n_base, n_docs, dtype=np.uint64)
+def _plan_for(dup_ids: np.ndarray, n_base: int, *, hot_frac: float,
+              n_hot: int) -> tuple[np.ndarray, np.ndarray]:
+    """(source, is_near) for exactly the given dup ids — pure hashing,
+    O(len(dup_ids)) memory, so a shard task never materializes the
+    whole dup range (at 1e10 docs the full plan is ~10^2 GB)."""
+    dup_ids = dup_ids.astype(np.uint64)
     h_hot = _mix(dup_ids, 11)
     h_src = _mix(dup_ids, 12)
     hot_sources = (_mix(np.arange(n_hot, dtype=np.uint64), 13)
@@ -95,10 +92,24 @@ def plan(n_docs: int, *, dup_frac: float = 0.3, hot_frac: float = 0.5,
         h_src % np.uint64(max(n_base, 1)),
     )
     is_near = (_mix(dup_ids, 14) % np.uint64(2)).astype(bool)
+    return source.astype(np.int64), is_near
+
+
+def plan(n_docs: int, *, dup_frac: float = 0.3, hot_frac: float = 0.5,
+         n_hot: int = 10) -> dict:
+    """The planted-duplicate plan, derived purely from hashing — the
+    generator and any verifier compute the identical plan without
+    shipping state. Returns numpy arrays over the DUP id range:
+    ``dup_ids``, ``source`` (base doc cloned), ``is_near`` (mutated
+    clone vs byte-exact clone)."""
+    n_base = n_docs - int(round(n_docs * dup_frac))
+    dup_ids = np.arange(n_base, n_docs, dtype=np.int64)
+    source, is_near = _plan_for(dup_ids, n_base,
+                                hot_frac=hot_frac, n_hot=n_hot)
     return {
         "n_base": n_base,
-        "dup_ids": dup_ids.astype(np.int64),
-        "source": source.astype(np.int64),
+        "dup_ids": dup_ids,
+        "source": source,
         "is_near": is_near,
     }
 
@@ -111,16 +122,16 @@ def _doc_texts(ids: np.ndarray, n_docs: int, dup_frac: float,
     ``concat_str`` join."""
     import polars as pl
 
-    p = plan(n_docs, dup_frac=dup_frac, hot_frac=hot_frac, n_hot=n_hot)
-    n_base = p["n_base"]
+    n_base = n_docs - int(round(n_docs * dup_frac))
     ids = ids.astype(np.int64)
     is_dup = ids >= n_base
     content_id = ids.copy()
     near = np.zeros(len(ids), dtype=bool)
     if is_dup.any():
-        off = ids[is_dup] - n_base
-        content_id[is_dup] = p["source"][off]
-        near[is_dup] = p["is_near"][off]
+        src, isn = _plan_for(ids[is_dup], n_base,
+                             hot_frac=hot_frac, n_hot=n_hot)
+        content_id[is_dup] = src
+        near[is_dup] = isn
     cid = content_id.astype(np.uint64)
     idx = np.empty((len(ids), _LINES_PER_DOC), dtype=np.int64)
     for j in range(_LINES_PER_DOC):
