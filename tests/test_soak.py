@@ -283,3 +283,45 @@ def test_incremental_sha_store_dedup(ray_session, tmp_path):
         probe, store, text_col="text", id_col="doc_id", append=False
     )
     assert kept2.count() == 0
+
+
+def test_incremental_store_double_append_idempotent(ray_session, tmp_path):
+    """A retried append (same kept slice written twice, e.g. a crash
+    after data files but before the caller observed success) must not
+    change any future dedup decision: duplicate band rows collapse in
+    the bucket reduce."""
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dlp_plugins_ray.stages import dedup as DD
+
+    n = 3_000
+    d = soak.write_soak_corpus(str(tmp_path / "c"), n, n_shards=2)
+    files = sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    )
+    ds = rd.read_parquet(files, columns=["doc_id", "text"])
+    p = soak.plan(n)
+    n_base = p["n_base"]
+    slice1 = ds.filter(lambda r: r["doc_id"] < n_base)
+
+    store = str(tmp_path / "store")
+    DD.minhash_band_store_write(
+        slice1, store, text_col="text", id_col="doc_id",
+        num_perm=64, bands=8,
+    )
+    # simulate the torn retry: write the SAME corpus bands again
+    DD._banded_with_bucket(
+        slice1, text_col="text", id_col="doc_id", num_perm=64, bands=8,
+        shingle_k=5, num_buckets=64,
+    ).write_parquet(store, partition_cols=["bucket"])
+
+    slice2 = ds.filter(lambda r: r["doc_id"] >= n_base)
+    kept = DD.minhash_dedup_incremental(
+        slice2, store, text_col="text", id_col="doc_id", append=False
+    )
+    # every slice-2 doc is a clone of a stored base -> all drop,
+    # duplicated store rows notwithstanding
+    assert kept.count() <= max(2, (n - n_base) // 500)
