@@ -2936,8 +2936,8 @@ QUERIES["hash_join_revenue"] = q_hash_join_revenue
 ORACLE_SQL["hash_join_revenue"] = r"""
     SELECT o_orderpriority,
            count(*) AS n_items,
-           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
-               AS BIGINT)) AS revenue_cents
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+               AS BIGINT)) AS BIGINT) AS revenue_cents
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
 """
@@ -3090,8 +3090,8 @@ def q_tpch_q3_lite(sf_dir: str):
 QUERIES["tpch_q3_lite"] = q_tpch_q3_lite
 ORACLE_SQL["tpch_q3_lite"] = r"""
     SELECT l_orderkey, o_orderdate, o_orderpriority,
-           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
-               AS BIGINT)) AS revenue_cents
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+               AS BIGINT)) AS BIGINT) AS revenue_cents
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -3232,11 +3232,11 @@ def q_running_total(sf_dir: str):
 QUERIES["running_total"] = q_running_total
 ORACLE_SQL["running_total"] = r"""
     SELECT o_orderkey, o_custkey,
-           sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
              PARTITION BY o_custkey
              ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS running_cents
+           ) AS BIGINT) AS running_cents
     FROM orders
 """
 
@@ -3707,9 +3707,9 @@ ORACLE_SQL["sequence_packing"] = r"""
       FROM documents WHERE text IS NOT NULL
     ), c AS (
       SELECT doc_id, range_id, n_tokens,
-             coalesce(sum(n_tokens) OVER (
+             CAST(coalesce(sum(n_tokens) OVER (
                PARTITION BY range_id ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
       FROM t WHERE n_tokens > 0
     )
     SELECT doc_id, range_id, n_tokens, start_tok,
@@ -4160,8 +4160,8 @@ QUERIES["tpch_q5_lite"] = q_tpch_q5_lite
 ORACLE_SQL["tpch_q5_lite"] = r"""
     SELECT n_name,
            count(*) AS n_items,
-           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
-               AS BIGINT)) AS revenue_cents
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+               AS BIGINT)) AS BIGINT) AS revenue_cents
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -4351,7 +4351,7 @@ QUERIES["events_rollup"] = q_events_rollup
 ORACLE_SQL["events_rollup"] = r"""
     SELECT event_type, date_trunc('day', ts) AS day,
            count(*) AS n,
-           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS value_cents
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
     FROM events
     GROUP BY ROLLUP (event_type, day)
 """
@@ -4735,66 +4735,71 @@ ORACLE_SQL["cohort_retention"] = r"""
 # registered are skipped harmlessly — they are reserved slots for
 # queries added later in the module's lifetime.
 _DRIVER_PREFIX = [
-    # round-4 additions (reserved slots, registered above when present)
-    "redact_map_values",
-    "fpe_wrapped_key_roundtrip",
-    "minhash_dedup_soak",
-    # round-3 operators: never in a driver-checked prefix before
+    # --- round-5 rotation (explicit, documented — see also the committed
+    # full-suite gate: tests/test_entry.py runs ALL queries dtype-strict
+    # value-exact against their oracles at sf0.001 on every pytest run,
+    # so no query is ever locally unattested regardless of this order).
+    # Goal of this order: every registered query has a driver-green row
+    # in CORRECTNESS_r04 union r05.
+    # (a) round-5 additions (reserved slots; skipped until registered)
+    "lineage_partition_metrics",
+    "incremental_dedup_soak",
+    # (b) the six round-4 driver-red (dtype-only) queries — fixed via
+    # CAST(sum(...) AS BIGINT) in their oracle SQL; kept in the checked
+    # window to prove the fix
     "hash_join_revenue",
     "tpch_q3_lite",
-    "kmeans_clusters",
-    "cdc_scd2_history",
-    "running_total",
-    "grouped_quantiles",
-    "snapshot_diff",
-    "doc_chunks",
-    "chunk_dedup",
-    "decontaminate",
-    "sequence_packing",
-    "distinct_users_by_type",
-    "inverted_index",
-    "value_gate_p90",
-    "tfidf_top_terms",
     "tpch_q5_lite",
-    "events_pivot",
+    "running_total",
+    "sequence_packing",
     "events_rollup",
-    "normalize_text",
-    "word_repetition",
-    "top_bigrams",
-    "funnel_signup_purchase",
-    "cohort_retention",
-    "minhash_dedup_verified",
+    # (c) all 28 queries with no round-4 driver row (green in r3 or in
+    # the local full-suite gate; rotated in so each gets a fresh
+    # external attestation)
+    "langid",
+    "quality_scores",
+    "token_count",
+    "tpch_q1_lite",
+    "fingerprint_sha256",
+    "simhash_fingerprints",
+    "ann_topk_cosine",
+    "join_orders_customers",
+    "events_hourly",
+    "top10_orders",
+    "distinct_langs",
+    "events_sessions",
+    "asof_purchase_signup",
+    "orders_anti_building",
+    "approx_distinct_users",
+    "range_join_values",
+    "suppliers_per_region",
+    "parts_by_brand",
+    "profile_lineitem",
+    "events_sliding",
+    "top_words",
+    "heavy_hitters",
+    "median_order_price",
+    "bloom_semi_orders",
+    "stratified_sample",
+    "approx_quantiles",
+    "purchases_daily_pushdown",
+    "top3_orders_per_segment",
+    # (d) operators whose code is touched this round — re-attest
     "minhash_dedup_incremental",
     "exact_dedup_incremental",
-    # representative earlier-round coverage: CDC north-rule core
+    "minhash_dedup_verified",
+    "minhash_dedup_keep",
+    "dedup_minhash_pairs",
+    "jaccard_verified_pairs",
+    # (e) CDC north-rule core, kept fresh
     "cdc_full_replay",
     "upsert_lww_events",
     "upsert_lww_tombstones",
     "cdc_replay_versions",
     "schema_evolution",
-    # the seven primitive transforms + filter/redaction policies
     "redact_mask",
-    "redact_replace",
-    "redact_redact",
-    "filter_split_counts",
-    "filter_sensitive_ids",
-    "crypto_hash",
     "fpe_roundtrip",
-    "det_encrypt_roundtrip",
-    "date_shift_bounded",
-    # LLM-data layer: dedup / similarity / text analysis
     "dedup_exact",
-    "dedup_minhash_pairs",
-    "minhash_dedup_keep",
-    "jaccard_verified_pairs",
-    "simhash_near_dup_pairs",
-    "embedding_near_dup",
-    "ann_ivf_topk",
-    "media_features",
-    "langid",
-    "quality_scores",
-    "token_count",
-    "tpch_q1_lite",
 ]
 
 

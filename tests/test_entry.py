@@ -39,10 +39,11 @@ def _to_pandas(result) -> pd.DataFrame:
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    # No float rounding, no dtype laxness: the external driver's value
+    # hash is dtype- and bit-sensitive, so this gate must be too
+    # (round-4 escape: six oracles returned HUGEINT->float64 where the
+    # engine emitted int64 — value-identical, driver-red).
     df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].round(9)
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
@@ -71,7 +72,7 @@ def test_query_matches_oracle(con, name):
         f"{name}: columns {list(got.columns)} != {list(want.columns)}"
     )
     assert len(got) == len(want), f"{name}: {len(got)} rows != {len(want)}"
-    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=False)
+    pd.testing.assert_frame_equal(got, want, check_dtype=True, check_exact=True)
 
 
 NON_ORACLE = sorted(set(E.queries()) - set(E.oracle_sql()))
