@@ -6,16 +6,15 @@
   set (semi) or its complement (anti).
 - ``asof_join``: per-key ordered as-of join (each left row matched to
   the latest right row with ts <= left ts) — implemented as
-  union-with-side-tag -> ONE groupby(key) shuffle -> pd.merge_asof per
-  key group. Partitioning assumption: one key's rows fit a reduce task
-  (same assumption as any keyed window); salt hot keys upstream if
-  not.
+  union-with-side-tag -> ONE groupby(key) shuffle -> polars
+  ``join_asof(by=key)`` per bucket block. Partitioning assumption: one
+  key's rows fit a reduce task (same assumption as any keyed window);
+  salt hot keys upstream if not.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -305,8 +304,9 @@ def asof_join(
     Output = left columns + right_value_cols (null when no match).
     One shuffle: both sides union under a unified schema with a side
     tag, shuffled on hash(key) % buckets, and every key of a bucket
-    block resolved in ONE vectorized ``pd.merge_asof(..., by=key)``
-    pass (per-key map_groups would pay pandas overhead per key)."""
+    block resolved in ONE vectorized ``polars.join_asof(..., by=key)``
+    pass on the Arrow block (per-key map_groups would pay per-key
+    overhead; pandas would float-promote nullable int columns)."""
 
     def tag_left(batch: pa.Table) -> pa.Table:
         return batch.append_column(
@@ -350,48 +350,47 @@ def asof_join(
     out_right_names = [
         c if c not in left_cols else f"{c}_right" for c in right_value_cols
     ]
-    # the union schema forces left int columns nullable (right rows hold
-    # nulls there) -> pandas silently promotes to float; restore after
-    # the side filter, where no nulls remain
-    left_int_cols = [
-        f.name
-        for f in l_schema
-        if f.name != _SIDE_COL and pa.types.is_integer(f.type)
-    ]
-    # integer RIGHT value columns float-promote the same way, and an
-    # as-of LEFT join can leave genuine nulls (no match) — restore via
-    # pandas nullable Int64, which round-trips to Arrow int64
-    right_int_out = [
-        out
-        for c, out in zip(right_value_cols, out_right_names)
-        if pa.types.is_integer(r_schema.field(c).type)
-    ]
+    out_schema = pa.schema(
+        [(c, union_schema.field(c).type) for c in left_cols]
+        + [
+            (o, union_schema.field(c).type)
+            for c, o in zip(right_value_cols, out_right_names)
+        ]
+    )
+    strategy = {"backward": "backward", "forward": "forward"}[direction]
 
-    def per_bucket(block: pd.DataFrame) -> pd.DataFrame:
-        lf = block[block[_SIDE_COL] == 0][left_cols].sort_values(
-            ts_col, kind="mergesort"
+    def per_bucket(block: pa.Table) -> pa.Table:
+        import polars as pl
+
+        side = block.column(_SIDE_COL)
+        lf = block.filter(pc.equal(side, 0)).select(left_cols)
+        if lf.num_rows == 0:
+            return out_schema.empty_table()
+        rf = block.filter(pc.equal(side, 1)).select(
+            [key, ts_col] + right_value_cols
         )
-        rf = block[block[_SIDE_COL] == 1][[key, ts_col] + right_value_cols].sort_values(
-            ts_col, kind="mergesort"
+        if rf.num_rows == 0:
+            out = lf
+            for c, o in zip(right_value_cols, out_right_names):
+                out = out.append_column(
+                    o, pa.nulls(lf.num_rows, union_schema.field(c).type)
+                )
+            return out.select(out_schema.names).cast(out_schema)
+        # join_asof requires both frames sorted by the on-column; by=key
+        # then resolves EVERY key in the bucket in one vectorized pass
+        ldf = pl.from_arrow(lf).sort(ts_col)
+        rdf = (
+            pl.from_arrow(rf)
+            .rename(dict(zip(right_value_cols, out_right_names)))
+            .sort(ts_col)
         )
-        if lf.empty:
-            return lf.assign(**{c: pd.Series(dtype=object) for c in out_right_names})
-        if left_int_cols:
-            lf = lf.astype({c: "int64" for c in left_int_cols})
-        rf = rf.rename(columns=dict(zip(right_value_cols, out_right_names)))
-        if rf.empty:
-            out = lf.assign(**{c: None for c in out_right_names})
-        else:
-            # by=key resolves EVERY key in the bucket in one C pass
-            out = pd.merge_asof(lf, rf, on=ts_col, by=key, direction=direction)
-        if right_int_out:
-            out = out.astype({c: "Int64" for c in right_int_out})
-        return out
+        joined = ldf.join_asof(rdf, on=ts_col, by=key, strategy=strategy)
+        return joined.to_arrow().select(out_schema.names).cast(out_schema)
 
     from .shuffle import bucketed_group_reduce
 
     return bucketed_group_reduce(
-        unioned, [key], per_bucket, batch_format="pandas"
+        unioned, [key], per_bucket, out_schema=out_schema
     )
 
 

