@@ -99,6 +99,156 @@ def quality_score(text: str) -> float:
     return score
 
 
+# --- vectorized column kernels --------------------------------------------
+# Column-level re-expressions of the per-row heuristics above, for the
+# map_batches hot path (no to_pylist / Python loop per document). Each
+# is pinned equal to its naive sibling by tests/test_properties.py over
+# the corpus character domain (ASCII text + Latin-1 letters; the naive
+# Python, the SQL oracles and these kernels can legitimately diverge
+# outside it — e.g. exotic Unicode whitespace, 'ß' — and the oracle SQL
+# already fixes the ASCII interpretation).
+
+
+def _pl_text_series(texts):
+    """Accept a pyarrow Array/ChunkedArray (or any iterable of str) and
+    return a null-filled polars String series."""
+    import polars as pl
+    import pyarrow as pa
+
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        s = pl.from_arrow(texts)
+    else:
+        s = pl.Series(values=list(texts), dtype=pl.String)
+    return s.fill_null("")
+
+
+def whitespace_token_counts(texts):
+    """Vectorized ``whitespace_token_count`` (= len(text.split())):
+    count of non-whitespace runs. Returns a pyarrow int64 array."""
+    import pyarrow as pa
+
+    s = _pl_text_series(texts)
+    out = s.str.count_matches(r"\S+")
+    return pa.array(out.to_numpy().astype(np.int64), pa.int64())
+
+
+def detect_languages(texts):
+    """Vectorized ``detect_language``: stopword-profile argmax with
+    first-language-wins tie-break (dict order), 'und' when no word
+    scores. Returns a pyarrow string array."""
+    import polars as pl
+    import pyarrow as pa
+
+    s = _pl_text_series(texts)
+    df = s.to_frame("text").with_columns(
+        pl.col("text")
+        .str.extract_all(r"[a-zA-ZÀ-ÿ]+")
+        .list.eval(pl.element().str.to_lowercase())
+        .alias("words")
+    )
+    langs = list(_LANG_PROFILES)
+    df = df.with_columns(
+        [
+            pl.col("words")
+            .list.eval(pl.element().is_in(sorted(_LANG_PROFILES[lang])).cast(pl.Int64))
+            .list.sum()
+            .fill_null(0)
+            .alias(f"s_{lang}")
+            for lang in langs
+        ]
+    )
+    # first lang (profile order) whose score >= every LATER lang's ==
+    # the naive loop's strict-> update rule; 'und' when the max is 0
+    expr = None
+    for i, lang in enumerate(langs[:-1]):
+        cond = pl.lit(True)
+        for other in langs[i + 1 :]:
+            cond = cond & (pl.col(f"s_{lang}") >= pl.col(f"s_{other}"))
+        expr = pl.when(cond).then(pl.lit(lang)) if expr is None else expr.when(cond).then(pl.lit(lang))
+    best = expr.otherwise(pl.lit(langs[-1]))
+    pred = (
+        pl.when(pl.max_horizontal([pl.col(f"s_{l}") for l in langs]) == 0)
+        .then(pl.lit("und"))
+        .otherwise(best)
+        .alias("lang_pred")
+    )
+    out = df.select(pred)["lang_pred"].to_arrow()
+    return out.cast(pa.string()) if out.type != pa.string() else out
+
+
+_STOP_LIST = sorted(_STOPWORDS_EN)
+
+
+def quality_columns(texts):
+    """Vectorized ``quality_features`` + ``quality_score`` over a text
+    column: returns (n_words int64 array, quality float64 array) with
+    the scalar multiplications applied in the naive function's exact
+    IEEE order (1.0 * c1 * c2 * c3 * c4)."""
+    import polars as pl
+    import pyarrow as pa
+
+    s = _pl_text_series(texts)
+    df = s.to_frame("text").with_columns(
+        pl.col("text").str.len_chars().cast(pl.Int64).alias("n_chars"),
+        pl.col("text").str.count_matches(r"\S+").cast(pl.Int64).alias("n_words"),
+        (
+            pl.col("text").str.len_chars()
+            - pl.col("text").str.count_matches(r"\s")
+        ).cast(pl.Int64).alias("sum_word_len"),
+        # exactly str.isalpha(): Unicode categories Lu/Ll/Lt/Lm/Lo
+        pl.col("text")
+        .str.count_matches(r"[\p{Lu}\p{Ll}\p{Lt}\p{Lm}\p{Lo}]")
+        .cast(pl.Int64)
+        .alias("n_alpha"),
+        pl.col("text")
+        .str.extract_all(r"\S+")
+        .list.eval(
+            pl.element()
+            .str.to_lowercase()
+            .str.strip_chars(".,;:!?")
+            .is_in(_STOP_LIST)
+            .cast(pl.Int64)
+        )
+        .list.sum()
+        .fill_null(0)
+        .alias("n_stop"),
+    )
+    zero = pl.lit(0.0, dtype=pl.Float64)
+    alpha_ratio = (
+        pl.when(pl.col("n_chars") == 0)
+        .then(zero)
+        .otherwise(pl.col("n_alpha").cast(pl.Float64) / pl.col("n_chars"))
+    )
+    stop_ratio = (
+        pl.when(pl.col("n_words") == 0)
+        .then(zero)
+        .otherwise(pl.col("n_stop").cast(pl.Float64) / pl.col("n_words"))
+    )
+    mwl = (
+        pl.when(pl.col("n_words") == 0)
+        .then(zero)
+        .otherwise(pl.col("sum_word_len").cast(pl.Float64) / pl.col("n_words"))
+    )
+
+    def gate(cond, factor):
+        return pl.when(cond).then(pl.lit(factor, dtype=pl.Float64)).otherwise(
+            pl.lit(1.0, dtype=pl.Float64)
+        )
+
+    quality = (
+        pl.lit(1.0, dtype=pl.Float64)
+        * gate(pl.col("n_words") < 5, 0.2)
+        * gate(alpha_ratio < 0.5, 0.5)
+        * gate(stop_ratio < 0.05, 0.7)
+        * gate((mwl > 15) | ((mwl > 0) & (mwl < 2)), 0.5)
+    ).alias("quality")
+    out = df.select(pl.col("n_words"), quality)
+    return (
+        pa.array(out["n_words"].to_numpy().astype(np.int64), pa.int64()),
+        pa.array(out["quality"].to_numpy(), pa.float64()),
+    )
+
+
 # --- fingerprinting --------------------------------------------------------
 
 _MOD = (1 << 61) - 1

@@ -629,13 +629,12 @@ def q_token_count(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def f(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
+        # column kernel (polars \S+ count), pinned to the naive
+        # len(text.split()) by tests/test_properties.py
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "n_tokens": pa.array(
-                    [TX.whitespace_token_count(t or "") for t in texts], pa.int64()
-                ),
+                "n_tokens": TX.whitespace_token_counts(batch.column("text")),
             }
         )
 
@@ -646,13 +645,12 @@ def q_langid(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def f(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
+        # column kernel (polars extract_all + profile scoring), pinned
+        # to the naive per-row loop by tests/test_properties.py
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "lang_pred": pa.array(
-                    [TX.detect_language(t or "") for t in texts], pa.string()
-                ),
+                "lang_pred": TX.detect_languages(batch.column("text")),
             }
         )
 
@@ -663,15 +661,12 @@ def q_quality_scores(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def f(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        feats = [TX.quality_features(t or "") for t in texts]
+        n_words, quality = TX.quality_columns(batch.column("text"))
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "n_words": pa.array([f_["n_words"] for f_ in feats], pa.int64()),
-                "quality": pa.array(
-                    [TX.quality_score(t or "") for t in texts], pa.float64()
-                ),
+                "n_words": n_words,
+                "quality": quality,
             }
         )
 

@@ -464,3 +464,62 @@ class TestMinhashBatchEquivalence:
             if t:
                 expect[i] = mh.signature(t)
         assert np.array_equal(got, expect)
+
+
+class TestTextKernelEquivalence:
+    """The vectorized text-analysis column kernels must match the naive
+    per-row heuristics over the corpus character domain (ASCII incl.
+    whitespace/punct + Latin-1 letters à-ö; outside it — exotic Unicode
+    whitespace, 'ß', combining chars — naive Python, the SQL oracles
+    and the kernels legitimately diverge and the oracle SQL pins the
+    ASCII interpretation)."""
+
+    CORPUS_TEXT = st.text(
+        alphabet=st.sampled_from(
+            list(string.ascii_letters + string.digits + " \t\n.,;:!?'\"()-_/")
+            + list("àâäçéèêëîïôöùûüñ")
+        ),
+        max_size=120,
+    )
+    TEXTS = st.lists(st.one_of(st.none(), CORPUS_TEXT), min_size=0, max_size=16)
+
+    @given(texts=TEXTS)
+    @settings(max_examples=150, deadline=None)
+    def test_token_counts_match_naive(self, texts):
+        from dlp_plugins_ray.functions import text as TX
+
+        got = TX.whitespace_token_counts(pa.array(texts, pa.string())).to_pylist()
+        assert got == [TX.whitespace_token_count(t or "") for t in texts]
+
+    @given(texts=TEXTS)
+    @settings(max_examples=150, deadline=None)
+    def test_langid_matches_naive(self, texts):
+        from dlp_plugins_ray.functions import text as TX
+
+        got = TX.detect_languages(pa.array(texts, pa.string())).to_pylist()
+        assert got == [TX.detect_language(t or "") for t in texts]
+
+    def test_langid_profile_words_detected(self):
+        from dlp_plugins_ray.functions import text as TX
+
+        samples = {
+            "en": "the cat is on the mat and it is warm",
+            "es": "el perro y la casa que no se ve por la calle",
+            "fr": "le chien et la maison qui ne se voit pas dans la rue",
+            "de": "der hund und das haus das man nicht sieht mit der zeit",
+            "pt": "o cachorro e a casa que nao se ve na rua com o tempo",
+        }
+        got = TX.detect_languages(pa.array(list(samples.values()))).to_pylist()
+        assert got == list(samples)
+
+    @given(texts=TEXTS)
+    @settings(max_examples=150, deadline=None)
+    def test_quality_matches_naive(self, texts):
+        from dlp_plugins_ray.functions import text as TX
+
+        n_words, quality = TX.quality_columns(pa.array(texts, pa.string()))
+        exp_words = [TX.quality_features(t or "")["n_words"] for t in texts]
+        exp_quality = [TX.quality_score(t or "") for t in texts]
+        assert n_words.to_pylist() == exp_words
+        # scalar gates multiplied in the same IEEE order -> bit-equal
+        assert quality.to_pylist() == exp_quality
