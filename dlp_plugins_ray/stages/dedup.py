@@ -271,11 +271,16 @@ def minhash_duplicate_pairs(
     (``verify_jaccard_pairs``).
 
     ``with_band_count`` adds an ``n_bands`` column — in how many of the
-    LSH bands the pair's bucket hashes agreed. Band agreement is the
-    MinHash estimator itself: a pair matching >= half the bands has
-    J >= the band threshold with near-certainty, so callers can skip
-    exact verification for high-agreement pairs (``minhash_dedup``'s
-    ``verify_skip_bands``)."""
+    LSH bands the pair was emitted as a (bucket-min, member) link. This
+    UNDERCOUNTS true per-band co-membership: a band whose bucket holds
+    neither pair member as its minimum contributes a shared bucket but
+    no emitted link, so ``n_bands`` is a LOWER bound on band agreement
+    (min-star linking is what keeps huge buckets O(n), not O(n^2)).
+    The skip rule built on it stays conservative: band agreement is the
+    MinHash estimator itself, a pair whose COUNTED links already reach
+    >= half the bands has J >= the band threshold with near-certainty,
+    and an undercounted pair merely gets exact-verified when it could
+    have been skipped (``minhash_dedup``'s ``verify_skip_bands``)."""
     # plain TASK pool (repo idiom): the hasher state is ~1 KB, and an
     # autoscaling actor pool was observed stuck at ONE actor for the
     # whole 8.4M-doc soak (Ray Data's pool autoscaler under a
@@ -1386,6 +1391,7 @@ def minhash_dedup(
     broadcast_threshold: int = 2_000_000,
     verify_threshold: float | None = None,
     verify_skip_bands: int | None = None,
+    unsure_pull_threshold: int = 2_000_000,
 ):
     """End-to-end near-dup removal: LSH candidate pairs -> distributed
     connected components (hierarchical union-find — the pair list is
@@ -1416,7 +1422,14 @@ def minhash_dedup(
     ~(J^r)^(b/2) ~ 0. True duplicates match nearly all bands, so this
     removes ~all verification volume (8.4M-doc soak: the verify
     exchange was 1278 s of a 1544 s run at full verification; see
-    BASELINE.md for the bypassed run)."""
+    BASELINE.md for the bypassed run).
+
+    ``unsure_pull_threshold`` caps the driver-side pull of
+    low-band-agreement candidate pairs (the member-doc-restricted
+    verify fast path): beyond it — e.g. a boilerplate corpus whose
+    shared shingles put the unsure set at corpus scale — verification
+    falls back to the fully distributed join-based
+    ``verify_pairs_jaccard``, which holds no driver state."""
     import pyarrow.compute as _pc
 
     # Materialize the candidate-pair stage boundaries: pairs are tiny
@@ -1452,17 +1465,35 @@ def minhash_dedup(
             # MEMBERS: verify_pairs_jaccard ships every doc's text
             # through its join exchange, which costs the full corpus
             # (8.4M-doc soak: a 483 s exchange to verify a few
-            # thousand floor pairs). The unsure-id set is bounded by
-            # the LSH false-positive floor, so a driver pull +
-            # broadcast is the cheap side (~8 B/id).
-            id_tables = [
-                t
-                for t in _ray.get(unsure.to_arrow_refs())
-                if t.num_rows and "id_a" in t.column_names
-            ]
-            if not id_tables:
+            # thousand floor pairs). The unsure-id set is NORMALLY
+            # bounded by the LSH false-positive floor, so a driver
+            # pull + broadcast is the cheap side (~8 B/id) — but a
+            # boilerplate-heavy corpus with corpus-scale shared
+            # shingles can blow past the floor, so COUNT first (free
+            # on a materialized dataset) and fall back to the fully
+            # distributed join-based verify when the set is too big
+            # for one heap (round-4 ADVICE).
+            n_unsure = unsure.count()
+            if n_unsure > unsure_pull_threshold:
+                verified = verify_pairs_jaccard(
+                    ds, unsure, text_col=text_col, id_col=id_col,
+                    k=shingle_k, threshold=verify_threshold,
+                ).map_batches(
+                    lambda b: b.select(["id_a", "id_b"]),
+                    batch_format="pyarrow",
+                )
+                pairs = sure.union(verified).materialize()
+                id_tables = None
+            elif n_unsure == 0:
                 pairs = sure.materialize()
+                id_tables = None
             else:
+                id_tables = [
+                    t
+                    for t in _ray.get(unsure.to_arrow_refs())
+                    if t.num_rows and "id_a" in t.column_names
+                ]
+            if id_tables:
                 cand = pa.concat_tables(id_tables)
                 cand_ids = _pc.unique(
                     pa.concat_arrays(

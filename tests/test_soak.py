@@ -160,6 +160,11 @@ def test_band_count_and_bypass_equivalence(ray_session, tmp_path):
         return set(out["doc_id"])
 
     assert kept_ids(verify_skip_bands=4) == kept_ids()
+    # unsure set over the pull cap -> fully distributed join-based
+    # verify; must keep the identical set (no driver state either way)
+    assert (
+        kept_ids(verify_skip_bands=4, unsure_pull_threshold=0) == kept_ids()
+    )
 
 
 def test_incremental_band_store_dedup(ray_session, tmp_path):
