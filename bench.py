@@ -503,10 +503,53 @@ def dedup_soak() -> None:
         pass
 
 
+def incremental_soak() -> None:
+    """STREAMING dedup soak (round-4 VERDICT item 7): the interleaved
+    planted corpus arrives as 3 contiguous slices; slice 0 seeds the
+    persisted band store via the batch pipeline, later slices run
+    minhash_dedup_incremental against the growing store (min_bands=2
+    gates old-new pairs — the store keeps no historical text). Prints
+    ONE JSON line; recorded in BASELINE.md."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+
+    ctx = rd.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.op_resource_reservation_enabled = False
+    try:
+        from ray.data.context import ShuffleStrategy
+
+        ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    except Exception:
+        pass
+    from dlp_plugins_ray.pipelines.soak import run_incremental_soak
+
+    n = int(os.environ.get("RAY_GRAFT_SOAK_DOCS", "8400000"))
+    res = run_incremental_soak(n)
+    res = {"metric": "minhash_dedup_incremental_soak_seconds",
+           "value": res["seconds"], "unit": "sec", "num_cpus": NUM_CPUS,
+           **res}
+    print(json.dumps(res), flush=True)
+    try:
+        ray.shutdown()
+    except Exception:
+        pass
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
     elif "--dedup-soak" in sys.argv:
         dedup_soak()
+    elif "--incremental-soak" in sys.argv:
+        incremental_soak()
     else:
         main()

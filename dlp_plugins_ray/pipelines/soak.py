@@ -114,24 +114,13 @@ def plan(n_docs: int, *, dup_frac: float = 0.3, hot_frac: float = 0.5,
     }
 
 
-def _doc_texts(ids: np.ndarray, n_docs: int, dup_frac: float,
-               hot_frac: float, n_hot: int, pool: np.ndarray) -> list[str]:
-    """Texts for an arbitrary id slice, fully vectorized: content ids
-    (the base doc each row's text derives from) -> (n, LINES) pool
-    index matrix -> near-dup single-line mutation -> polars
-    ``concat_str`` join."""
+def _render_texts(ids: np.ndarray, content_id: np.ndarray,
+                  near: np.ndarray, pool: np.ndarray) -> list[str]:
+    """Render texts from (id, content_id, near) triples, fully
+    vectorized: content ids -> (n, LINES) pool index matrix -> near-dup
+    single-line mutation -> polars ``concat_str`` join."""
     import polars as pl
 
-    n_base = n_docs - int(round(n_docs * dup_frac))
-    ids = ids.astype(np.int64)
-    is_dup = ids >= n_base
-    content_id = ids.copy()
-    near = np.zeros(len(ids), dtype=bool)
-    if is_dup.any():
-        src, isn = _plan_for(ids[is_dup], n_base,
-                             hot_frac=hot_frac, n_hot=n_hot)
-        content_id[is_dup] = src
-        near[is_dup] = isn
     cid = content_id.astype(np.uint64)
     idx = np.empty((len(ids), _LINES_PER_DOC), dtype=np.int64)
     for j in range(_LINES_PER_DOC):
@@ -166,12 +155,109 @@ def _doc_texts(ids: np.ndarray, n_docs: int, dup_frac: float,
     )["text"].to_list()
 
 
+def _doc_texts(ids: np.ndarray, n_docs: int, dup_frac: float,
+               hot_frac: float, n_hot: int, pool: np.ndarray) -> list[str]:
+    """Texts for an id slice of the SORTED layout (all base ids first,
+    then all dup ids)."""
+    n_base = n_docs - int(round(n_docs * dup_frac))
+    ids = ids.astype(np.int64)
+    is_dup = ids >= n_base
+    content_id = ids.copy()
+    near = np.zeros(len(ids), dtype=bool)
+    if is_dup.any():
+        src, isn = _plan_for(ids[is_dup], n_base,
+                             hot_frac=hot_frac, n_hot=n_hot)
+        content_id[is_dup] = src
+        near[is_dup] = isn
+    return _render_texts(ids, content_id, near, pool)
+
+
+# --- interleaved layout (streaming-slice soak) -----------------------------
+# Period-10 id pattern: positions i%10 < 7 are BASE docs, the rest are
+# duplicates (dup_frac fixed at exactly 0.3). Unlike the sorted layout,
+# dup docs are spread uniformly through the id space, so slicing the
+# corpus into contiguous id ranges (the monotonic-id contract of the
+# incremental band store) yields slices that each carry fresh base docs
+# AND duplicates of both earlier-slice and same-slice sources — the
+# shape a continuously-ingesting crawl stream actually has.
+
+_PERIOD = 10
+_BASE_PER_PERIOD = 7
+
+
+def _n_base_before(i: np.ndarray | int):
+    """Closed-form count of base ids < i."""
+    return (i // _PERIOD) * _BASE_PER_PERIOD + np.minimum(
+        i % _PERIOD, _BASE_PER_PERIOD
+    )
+
+
+def _base_id(b: np.ndarray | int):
+    """Closed-form b-th base id (0-indexed)."""
+    return (b // _BASE_PER_PERIOD) * _PERIOD + b % _BASE_PER_PERIOD
+
+
+def plan_interleaved(n_docs: int, *, hot_frac: float = 0.5,
+                     n_hot: int = 10) -> dict:
+    """Planted plan for the interleaved layout, derived purely from
+    hashing (any verifier recomputes it without shipping state).
+    A dup id i clones a base id < i: with prob ``hot_frac`` one of the
+    ``n_hot`` hot bases (the first base ids — always in the earliest
+    slice), else a uniform earlier base."""
+    ids = np.arange(n_docs, dtype=np.int64)
+    is_dup = (ids % _PERIOD) >= _BASE_PER_PERIOD
+    dup_ids = ids[is_dup]
+    source, is_near = _plan_interleaved_for(
+        dup_ids, hot_frac=hot_frac, n_hot=n_hot
+    )
+    return {
+        "n_base": int(_n_base_before(n_docs)),
+        "dup_ids": dup_ids,
+        "source": source,
+        "is_near": is_near,
+    }
+
+
+def _plan_interleaved_for(dup_ids: np.ndarray, *, hot_frac: float,
+                          n_hot: int) -> tuple[np.ndarray, np.ndarray]:
+    """O(len(dup_ids))-memory plan derivation for any dup-id subset."""
+    d = dup_ids.astype(np.uint64)
+    h_hot = _mix(d, 11)
+    h_src = _mix(d, 12)
+    n_before = _n_base_before(dup_ids.astype(np.int64)).astype(np.uint64)
+    # every dup id has >= 7 base ids before it (first dup id is 7)
+    uniform = _base_id((h_src % np.maximum(n_before, 1)).astype(np.int64))
+    hot = _base_id((h_src % np.uint64(n_hot)).astype(np.int64))
+    take_hot = (h_hot % np.uint64(1000)) < np.uint64(int(hot_frac * 1000))
+    source = np.where(take_hot, hot, uniform)
+    is_near = (_mix(d, 14) % np.uint64(2)).astype(bool)
+    return source.astype(np.int64), is_near
+
+
+def _doc_texts_interleaved(ids: np.ndarray, hot_frac: float, n_hot: int,
+                           pool: np.ndarray) -> list[str]:
+    ids = ids.astype(np.int64)
+    is_dup = (ids % _PERIOD) >= _BASE_PER_PERIOD
+    content_id = ids.copy()
+    near = np.zeros(len(ids), dtype=bool)
+    if is_dup.any():
+        src, isn = _plan_interleaved_for(
+            ids[is_dup], hot_frac=hot_frac, n_hot=n_hot
+        )
+        content_id[is_dup] = src
+        near[is_dup] = isn
+    return _render_texts(ids, content_id, near, pool)
+
+
 def write_soak_corpus(out_dir: str, n_docs: int, *, dup_frac: float = 0.3,
                       hot_frac: float = 0.5, n_hot: int = 10,
-                      n_shards: int = 64) -> str:
+                      n_shards: int = 64, layout: str = "sorted") -> str:
     """Parallel deterministic corpus writer (idempotent via marker).
     Each Ray task renders one contiguous id range and writes one
-    parquet shard — nothing corpus-sized ever exists on the driver."""
+    parquet shard — nothing corpus-sized ever exists on the driver.
+    ``layout='interleaved'`` uses the period-10 streaming plan (shards
+    stay contiguous id ranges, so any shard grouping is a valid
+    monotonic slice; ``dup_frac`` is fixed at 0.3 there)."""
     import ray
 
     marker = os.path.join(out_dir, _COMPLETE)
@@ -189,7 +275,10 @@ def write_soak_corpus(out_dir: str, n_docs: int, *, dup_frac: float = 0.3,
         if hi <= lo:
             return 0
         ids = np.arange(lo, hi, dtype=np.int64)
-        texts = _doc_texts(ids, n_docs, dup_frac, hot_frac, n_hot, pool)
+        if layout == "interleaved":
+            texts = _doc_texts_interleaved(ids, hot_frac, n_hot, pool)
+        else:
+            texts = _doc_texts(ids, n_docs, dup_frac, hot_frac, n_hot, pool)
         t = pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)})
         pq.write_table(
             t, os.path.join(out_dir, f"docs-{i:04d}.parquet"),
@@ -327,4 +416,193 @@ def run_soak(n_docs: int, *, dup_frac: float = 0.3, hot_frac: float = 0.5,
         "band_rows": n_docs * bands,
         "verify_threshold": verify_threshold,
         "stats_path": stats_path,
+    }
+
+
+def run_incremental_soak(n_docs: int, *, n_slices: int = 3,
+                         hot_frac: float = 0.5, n_hot: int = 10,
+                         corpus_dir: str | None = None,
+                         store_dir: str | None = None,
+                         num_perm: int = 64, bands: int = 8,
+                         min_bands: int | None = 2,
+                         verify_threshold: float | None = 0.72,
+                         broadcast_threshold: int = 2_000_000,
+                         n_shards: int = 60) -> dict:
+    """The STREAMING dedup soak: the interleaved corpus arrives as
+    ``n_slices`` contiguous id ranges. Slice 0 is deduplicated with the
+    batch pipeline (exact-Jaccard verified) and seeds the persisted
+    band store; every later slice runs
+    :func:`dlp_plugins_ray.stages.dedup.minhash_dedup_incremental`
+    against the GROWING store — historical text is never re-read, and
+    old-new candidate pairs are gated by ``min_bands`` band agreement
+    (the store holds no text to exact-verify against).
+
+    Teeth, checked against the hash-derived plan:
+    - no base doc dropped in any slice (first-writer-wins both ways);
+    - exact-clone recall 1.0, near-clone recall >= 0.99;
+    - recall reported split by source location (earlier slice vs same
+      slice) so the CROSS-SLICE path is explicitly evidenced.
+    """
+    import shutil
+    import time
+
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from dlp_plugins_ray.stages import dedup as DD
+
+    d = corpus_dir or os.path.join(
+        tempfile.gettempdir(), f"dlp_ray_soak_inc_{n_docs}"
+    )
+    write_soak_corpus(d, n_docs, hot_frac=hot_frac, n_hot=n_hot,
+                      n_shards=n_shards, layout="interleaved")
+    store = store_dir or os.path.join(
+        tempfile.gettempdir(), f"dlp_ray_bandstore_soak_{n_docs}"
+    )
+    if os.path.exists(store):
+        shutil.rmtree(store)
+
+    files = sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    )
+    per = len(files) // n_slices
+    slice_files = [
+        files[s * per: (s + 1) * per if s < n_slices - 1 else len(files)]
+        for s in range(n_slices)
+    ]
+    # warm worker pool/page cache outside the timed window
+    rd.read_parquet(files, columns=["doc_id"]).count()
+
+    slice_secs: list[float] = []
+    drop_paths: list[str] = []
+    kept_total = 0
+    kept_base = 0
+    surviving: list[int] = []
+    t_all = time.time()
+    for s in range(n_slices):
+        ds = rd.read_parquet(slice_files[s], columns=["doc_id", "text"])
+        t0 = time.time()
+        if s == 0:
+            kept = DD.minhash_dedup(
+                ds, text_col="text", id_col="doc_id",
+                num_perm=num_perm, bands=bands,
+                verify_threshold=verify_threshold,
+                verify_skip_bands=bands // 2,
+                broadcast_threshold=broadcast_threshold,
+            ).materialize()
+            DD.minhash_band_store_write(
+                kept, store, text_col="text", id_col="doc_id",
+                num_perm=num_perm, bands=bands,
+            )
+            drop_paths.append("batch_bootstrap")
+        else:
+            kept = DD.minhash_dedup_incremental(
+                ds, store, text_col="text", id_col="doc_id",
+                min_bands=min_bands,
+                broadcast_threshold=broadcast_threshold,
+            ).materialize()
+            drop_paths.append(
+                "anti_join"
+                if n_docs // n_slices > broadcast_threshold * 3
+                else "broadcast"
+            )
+        slice_secs.append(round(time.time() - t0, 3))
+
+        def partials(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            n_b = int(((ids % _PERIOD) < _BASE_PER_PERIOD).sum())
+            return pa.table(
+                {
+                    "kept": pa.array([b.num_rows], pa.int64()),
+                    "kept_base": pa.array([n_b], pa.int64()),
+                }
+            )
+
+        parts = [
+            t
+            for t in ray.get(
+                kept.map_batches(
+                    partials, batch_format="pyarrow", batch_size=None
+                ).to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        k = sum(pc.sum(t.column("kept")).as_py() for t in parts)
+        kb = sum(pc.sum(t.column("kept_base")).as_py() for t in parts)
+        kept_total += k
+        kept_base += kb
+        k_dup = k - kb
+        # survivor dup ids: misses-only, bounded pull (capped)
+        if 0 < k_dup <= 200_000:
+            def dup_only(b: pa.Table) -> pa.Table:
+                ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+                mask = (ids % _PERIOD) >= _BASE_PER_PERIOD
+                return b.select(["doc_id"]).filter(pa.array(mask))
+
+            surv = kept.map_batches(
+                dup_only, batch_format="pyarrow"
+            ).take_all()
+            surviving.extend(r["doc_id"] for r in surv)
+    dt = time.time() - t_all
+
+    n_base = int(_n_base_before(n_docs))
+    n_dups = n_docs - n_base
+    surv_ids = np.array(sorted(surviving), dtype=np.int64)
+    # slice boundaries from the actual shard grouping (contiguous ids)
+    bounds = [s * per * n_docs // len(files) for s in range(n_slices)]
+
+    def which_slice(ids: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(ids), dtype=np.int64)
+        for i, b in enumerate(bounds):
+            out[ids >= b] = i
+        return out
+
+    if len(surv_ids):
+        src, isn = _plan_interleaved_for(
+            surv_ids, hot_frac=hot_frac, n_hot=n_hot
+        )
+        cross = which_slice(src) < which_slice(surv_ids)
+        surv_near = int(isn.sum())
+        surv_exact = len(surv_ids) - surv_near
+        surv_cross = int(cross.sum())
+        surv_within = len(surv_ids) - surv_cross
+    else:
+        surv_near = surv_exact = surv_cross = surv_within = 0
+
+    # plan-wide denominators
+    p = plan_interleaved(n_docs, hot_frac=hot_frac, n_hot=n_hot)
+    n_near = int(p["is_near"].sum())
+    n_exact = n_dups - n_near
+    cross_all = which_slice(p["source"]) < which_slice(p["dup_ids"])
+    n_cross = int(cross_all.sum())
+    n_within = n_dups - n_cross
+
+    meta = DD._band_store_meta(store)
+    return {
+        "seconds": round(dt, 3),
+        "slice_seconds": slice_secs,
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / dt, 1),
+        "n_slices": n_slices,
+        "n_base": n_base,
+        "n_dups": n_dups,
+        "kept": int(kept_total),
+        "kept_base": int(kept_base),
+        "surviving_dups": len(surviving),
+        "recall": round((n_dups - len(surviving)) / max(n_dups, 1), 6),
+        "recall_exact": round((n_exact - surv_exact) / max(n_exact, 1), 6),
+        "recall_near": round((n_near - surv_near) / max(n_near, 1), 6),
+        "n_cross_slice": n_cross,
+        "n_within_slice": n_within,
+        "recall_cross_slice": round(
+            (n_cross - surv_cross) / max(n_cross, 1), 6
+        ),
+        "recall_within_slice": round(
+            (n_within - surv_within) / max(n_within, 1), 6
+        ),
+        "base_preserved": bool(kept_base == n_base),
+        "min_bands": min_bands,
+        "store_max_id": int(meta["max_id"]),
+        "drop_paths": drop_paths,
     }

@@ -1623,7 +1623,8 @@ def minhash_band_store_write(ds, store_dir: str, *, text_col: str,
 
 def minhash_dedup_incremental(new_ds, store_dir: str, *, text_col: str,
                               id_col: str, append: bool = True,
-                              broadcast_threshold: int = 2_000_000):
+                              broadcast_threshold: int = 2_000_000,
+                              min_bands: int | None = None):
     """Dedup a NEW slice against the historical corpus WITHOUT touching
     the historical text: probe the persisted band store (first-writer
     wins — a new doc near-duplicating any stored doc is dropped; new
@@ -1637,7 +1638,17 @@ def minhash_dedup_incremental(new_ds, store_dir: str, *, text_col: str,
     (monotonic ids, natural for append logs; enforced against the
     store's ``max_id``) so 'first writer wins' == 'min id wins' and
     the component labels inherited from the batch machinery decide
-    drops unambiguously."""
+    drops unambiguously.
+
+    ``min_bands``: require a candidate pair to share a bucket in at
+    least this many LSH bands before it links (counted exactly — every
+    band's link for a pair lands in one count bucket). The store keeps
+    no historical TEXT, so exact-Jaccard verification is impossible
+    for old-new pairs; band agreement is the MinHash estimate itself
+    and ``min_bands=2`` kills the single-band false-positive floor
+    (floor pair at J~0.05, r=8: P(>=2 of 8 bands) ~ 1e-19) while
+    losing ~1.4e-4 of true near-dups at J~0.97 (P(Bin(8, 0.97^8)<=1)).
+    Default None preserves the single-link behavior."""
     import json
     import os
 
@@ -1695,15 +1706,37 @@ def minhash_dedup_incremental(new_ds, store_dir: str, *, text_col: str,
 
     pairs = bucketed_group_reduce(both, ["band", "band_hash"], pairs_block)
 
-    def unique_pairs(block: pa.Table) -> pa.Table:
-        import polars as pl
+    if min_bands is not None and min_bands > 1:
+        # exact per-pair band-link counts: pairs_block emits one link
+        # row per band where the pair shares a bucket (never two per
+        # band), and the (id_a, id_b) exchange co-locates every copy
+        def count_links(block: pa.Table) -> pa.Table:
+            import polars as pl
 
-        return pl.from_arrow(block).unique().to_arrow().cast(block.schema)
+            return (
+                pl.from_arrow(block)
+                .group_by(["id_a", "id_b"])
+                .len()
+                .filter(pl.col("len") >= min_bands)
+                .select(["id_a", "id_b"])
+                .to_arrow()
+                .cast(pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]))
+            )
 
-    pairs = pairs.map_batches(unique_pairs, batch_format="pyarrow")
-    pairs = bucketed_group_reduce(
-        pairs, ["id_a", "id_b"], unique_pairs
-    ).materialize()
+        pairs = bucketed_group_reduce(
+            pairs, ["id_a", "id_b"], count_links
+        ).materialize()
+    else:
+
+        def unique_pairs(block: pa.Table) -> pa.Table:
+            import polars as pl
+
+            return pl.from_arrow(block).unique().to_arrow().cast(block.schema)
+
+        pairs = pairs.map_batches(unique_pairs, batch_format="pyarrow")
+        pairs = bucketed_group_reduce(
+            pairs, ["id_a", "id_b"], unique_pairs
+        ).materialize()
 
     labels = connected_component_labels(pairs)
     drop_ds = labels.map_batches(

@@ -330,3 +330,46 @@ def test_incremental_store_double_append_idempotent(ray_session, tmp_path):
     # every slice-2 doc is a clone of a stored base -> all drop,
     # duplicated store rows notwithstanding
     assert kept.count() <= max(2, (n - n_base) // 500)
+
+
+def test_interleaved_plan_properties():
+    p = soak.plan_interleaved(10_000)
+    assert p["n_base"] == 7_000
+    assert len(p["dup_ids"]) == 3_000
+    # sources are earlier base docs — first-writer-wins is well-defined
+    assert (p["source"] < p["dup_ids"]).all()
+    assert ((p["source"] % soak._PERIOD) < soak._BASE_PER_PERIOD).all()
+    # hot skew present
+    top10 = sum(
+        v for _, v in Counter(p["source"].tolist()).most_common(10)
+    )
+    assert 0.4 * 3_000 < top10 < 0.6 * 3_000
+    # closed forms agree with brute force
+    ids = np.arange(500)
+    base_mask = (ids % soak._PERIOD) < soak._BASE_PER_PERIOD
+    brute = np.cumsum(base_mask) - base_mask.astype(int)
+    assert (soak._n_base_before(ids) == brute).all()
+    bs = ids[base_mask]
+    assert (soak._base_id(np.arange(len(bs))) == bs).all()
+
+
+def test_incremental_soak_streaming_slices(ray_session, tmp_path):
+    """3 contiguous slices of the interleaved corpus through the
+    band-store incremental path: no base doc dropped in any slice,
+    exact recall 1.0, near recall >= 0.99, and BOTH cross-slice and
+    within-slice duplicate sources exercised and fully dropped."""
+    r = soak.run_incremental_soak(
+        3_000,
+        n_shards=6,
+        corpus_dir=str(tmp_path / "c"),
+        store_dir=str(tmp_path / "store"),
+    )
+    assert r["base_preserved"], r
+    assert r["recall_exact"] == 1.0, r
+    assert r["recall_near"] >= 0.99, r
+    # the stream shape really has both duplicate-source locations
+    assert r["n_cross_slice"] > 100 and r["n_within_slice"] > 100, r
+    assert r["recall_cross_slice"] == 1.0, r
+    assert r["recall_within_slice"] >= 0.99, r
+    # store grew to cover the last slice's kept docs
+    assert r["store_max_id"] > 2_000
