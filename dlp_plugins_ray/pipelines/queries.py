@@ -1088,6 +1088,31 @@ def cdc_events_dir(sf_dir: str) -> str:
     return ev_dir
 
 
+_FLAGSHIP_POLICY = {
+    "transforms": [
+        {
+            "transform": "MASKING",
+            "fields": "content",
+            "filters": "NONE",
+            "transformProperties": {"maskingChar": "#"},
+        }
+    ],
+    "customTemplateEnabled": True,
+    "templateId": "DemoTemplate",
+}
+
+
+def flagship_lake_dir(sf_dir: str) -> str:
+    """Run (idempotently) the flagship replay for this sf and return
+    the lake dir — shared by cdc_full_replay, the lineage/metrics
+    conformance query, and prepare_oracle_fixtures (the oracle reads
+    the committed manifests, so they must exist before the SQL runs)."""
+    ev_dir = cdc_events_dir(sf_dir)
+    lake = os.path.join(os.path.dirname(ev_dir), "lake")
+    RP.replay(ev_dir, lake, policy=_FLAGSHIP_POLICY, num_partitions=16)
+    return lake
+
+
 def q_cdc_full_replay(sf_dir: str):
     """The flagship engine end-to-end on generated change events:
     replay -> redact -> LWW upsert -> exactly-once sink; returns the
@@ -1095,21 +1120,7 @@ def q_cdc_full_replay(sf_dir: str):
     (arg_max by seq per (repo, path), tombstone filter) over the same
     generated log; the pytest suite additionally holds the per-row
     content-sha256 oracle."""
-    ev_dir = cdc_events_dir(sf_dir)
-    lake = os.path.join(os.path.dirname(ev_dir), "lake")
-    policy = {
-        "transforms": [
-            {
-                "transform": "MASKING",
-                "fields": "content",
-                "filters": "NONE",
-                "transformProperties": {"maskingChar": "#"},
-            }
-        ],
-        "customTemplateEnabled": True,
-        "templateId": "DemoTemplate",
-    }
-    RP.replay(ev_dir, lake, policy=policy, num_partitions=16)
+    lake = flagship_lake_dir(sf_dir)
     return RP.read_lake_table(lake).map_batches(
         lambda b: b.select(["repo", "path", "seq", "commit"]),
         batch_format="pyarrow",
@@ -2309,6 +2320,82 @@ ORACLE_SQL["quality_scores"] = r"""
 """
 
 
+def q_lineage_partition_metrics(sf_dir: str):
+    """Per-partition lineage + metrics surfaced as a conformance query
+    (SURVEY S2.2 rows 10-11; reference field-level lineage via
+    FieldOperation records in RedactionTransform and plugin metrics —
+    see policy.py / state/metrics.py docstrings for file:line cites).
+    The engine reads its committed partition manifests and
+    ADVERSARIALLY re-derives everything checkable in-process:
+
+    - ``row_count`` vs the partition parquet footer (independent read);
+    - the lineage policy fingerprint vs a fresh ``Policy.from_json``
+      recompute, and MASKING-on-content present in field_operations;
+    - sum(events_applied) within [total final rows, total raw events]
+      (per-block LWW combining can only shrink the applied count).
+
+    ``total_rows`` is a constant column the ORACLE recomputes
+    INDEPENDENTLY from the raw event log (DuckDB LWW replay +
+    tombstone filter): a hash match proves the manifests account for
+    every surviving row. The per-partition rows match the manifest
+    JSONs read by DuckDB directly (read_json), pinning the on-disk
+    manifest schema."""
+    import pyarrow.parquet as _pq
+
+    from ..policy import Policy
+    from ..state import manifest as mf
+
+    lake = flagship_lake_dir(sf_dir)
+    ev_dir = cdc_events_dir(sf_dir)
+    mans = sorted(mf.committed_partitions(lake).items())
+    want_fp = Policy.from_json(_FLAGSHIP_POLICY).fingerprint()
+    raw_events = sum(
+        _pq.read_metadata(os.path.join(ev_dir, f)).num_rows
+        for f in os.listdir(ev_dir)
+        if f.endswith(".parquet")
+    )
+    total_rows = sum(m.row_count for _, m in mans)
+    total_applied = sum(
+        int(m.metrics.get("events_applied", 0)) for _, m in mans
+    )
+    bounds_ok = total_rows <= total_applied <= raw_events
+    parts, rc, ea, ms, ok = [], [], [], [], []
+    for pkey, m in mans:
+        actual = _pq.read_metadata(
+            mf.partition_data_path(lake, pkey)
+        ).num_rows
+        ops = (m.lineage or {}).get("field_operations") or []
+        has_mask = any(
+            op.get("input") == "content" and op.get("transform") == "MASKING"
+            for op in ops
+        )
+        parts.append(pkey)
+        rc.append(m.row_count)
+        ea.append(int(m.metrics.get("events_applied", 0)))
+        ms.append(m.max_seq)
+        ok.append(
+            bool(
+                m.row_count == actual
+                and (m.lineage or {}).get("policy") == want_fp
+                and has_mask
+                and bounds_ok
+            )
+        )
+    return pa.table(
+        {
+            "partition": pa.array(parts, pa.int64()),
+            "row_count": pa.array(rc, pa.int64()),
+            "events_applied": pa.array(ea, pa.int64()),
+            "max_seq": pa.array(ms, pa.int64()),
+            "lineage_ok": pa.array(ok, pa.bool_()),
+            "total_rows": pa.array([total_rows] * len(parts), pa.int64()),
+        }
+    )
+
+
+QUERIES["lineage_partition_metrics"] = q_lineage_partition_metrics
+
+
 def tmp_oracle_sql(sf: str = "sf0.01") -> dict[str, str]:
     """Oracles over generated tmp fixtures (the change-event log and
     the near-dup vector fixture live under tempfile.gettempdir(), not
@@ -2320,6 +2407,9 @@ def tmp_oracle_sql(sf: str = "sf0.01") -> dict[str, str]:
 
     tmp = tempfile.gettempdir()
     ev = os.path.join(tmp, f"dlp_ray_cdc_{sf}", "events", "events-*.parquet")
+    man = os.path.join(
+        tmp, f"dlp_ray_cdc_{sf}", "lake", "_manifests", "part-*.json"
+    )
     vec = os.path.join(tmp, f"dlp_ray_neardup_{sf}", "vectors.parquet")
     fix = os.path.join(tmp, f"dlp_ray_textdup_{sf}", "docs.parquet")
     cent = os.path.join(tmp, f"dlp_ray_kmeans_{sf}", "centroids.parquet")
@@ -2402,6 +2492,37 @@ def tmp_oracle_sql(sf: str = "sf0.01") -> dict[str, str]:
             )
             SELECT repo, path, seq, "commit" FROM last
             WHERE last_op IS NULL OR last_op <> 'delete'
+        """,
+        # per-partition rows straight from the manifest JSONs (pins the
+        # on-disk manifest schema); total_rows recomputed INDEPENDENTLY
+        # from the raw event log via the same LWW replay the
+        # cdc_full_replay oracle uses — a hash match proves the
+        # manifests account for every surviving row. lineage_ok is the
+        # engine's adversarial in-process flag (fingerprint recompute,
+        # parquet-footer row counts, events_applied bounds).
+        "lineage_partition_metrics": f"""
+            WITH m AS (
+              SELECT partition, max_seq, row_count,
+                     metrics.events_applied AS events_applied
+              FROM read_json_auto('{man}')
+              QUALIFY row_number() OVER (
+                PARTITION BY partition ORDER BY max_seq DESC
+              ) = 1
+            ), last AS (
+              SELECT repo, path, max(seq) AS seq,
+                     arg_max(op, seq) AS last_op
+              FROM read_parquet('{ev}') GROUP BY repo, path
+            ), tot AS (
+              SELECT CAST(count(*) AS BIGINT) AS total_rows FROM last
+              WHERE last_op IS NULL OR last_op <> 'delete'
+            )
+            SELECT CAST(m.partition AS BIGINT) AS partition,
+                   CAST(m.row_count AS BIGINT) AS row_count,
+                   CAST(m.events_applied AS BIGINT) AS events_applied,
+                   CAST(m.max_seq AS BIGINT) AS max_seq,
+                   true AS lineage_ok,
+                   tot.total_rows
+            FROM m, tot
         """,
         "embedding_near_dup": f"""
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
@@ -2493,6 +2614,7 @@ def prepare_oracle_fixtures(sf_dir: str = "/root/testdata/sf0.01") -> None:
     (idempotent, deterministic). Called from __ray_entry__.oracle_sql()
     so the DuckDB side can run even if it runs before the queries."""
     cdc_events_dir(sf_dir)
+    flagship_lake_dir(sf_dir)  # manifests for lineage_partition_metrics
     neardup_vectors_path(sf_dir)
     textdup_docs_path(sf_dir)
     kmeans_centroids_path(sf_dir)
