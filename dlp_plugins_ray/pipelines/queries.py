@@ -2396,6 +2396,79 @@ def q_lineage_partition_metrics(sf_dir: str):
 QUERIES["lineage_partition_metrics"] = q_lineage_partition_metrics
 
 
+SOAK_Q_DOCS = 3_000  # driver-scale streaming-dedup soak size
+
+
+def q_incremental_dedup_soak(sf_dir: str):
+    """Driver-scale STREAMING dedup soak (the at-scale version runs as
+    ``bench.py --incremental-soak``; BASELINE.md): the interleaved
+    planted corpus arrives as 3 contiguous id-range slices; slice 0
+    seeds the persisted band store via the batch verified pipeline and
+    later slices run minhash_dedup_incremental against the GROWING
+    store with min_bands=2 gating. One result row carries the teeth:
+    counts the oracle recomputes from the period-10 plan arithmetic,
+    plus recall/preservation flags computed adversarially against the
+    hash-derived plan (sf-independent: the corpus is keyed by size
+    only, so the driver and the test suite attest the same run)."""
+    import tempfile as _tf
+
+    from . import soak as SK
+
+    n = SOAK_Q_DOCS
+    r = SK.run_incremental_soak(
+        n,
+        n_shards=6,
+        corpus_dir=os.path.join(_tf.gettempdir(), f"dlp_ray_soak_inc_{n}"),
+        store_dir=os.path.join(
+            _tf.gettempdir(), f"dlp_ray_soak_incstore_q_{n}"
+        ),
+    )
+    return pa.table(
+        {
+            "docs": pa.array([r["docs"]], pa.int64()),
+            "n_base": pa.array([r["n_base"]], pa.int64()),
+            "n_dups": pa.array([r["n_dups"]], pa.int64()),
+            "kept_base": pa.array([r["kept_base"]], pa.int64()),
+            "base_preserved": pa.array([r["base_preserved"]], pa.bool_()),
+            "exact_recall_ok": pa.array(
+                [r["recall_exact"] == 1.0], pa.bool_()
+            ),
+            "near_recall_ok": pa.array(
+                [r["recall_near"] >= 0.99], pa.bool_()
+            ),
+            "cross_recall_ok": pa.array(
+                [r["n_cross_slice"] > 0 and r["recall_cross_slice"] == 1.0],
+                pa.bool_(),
+            ),
+            "within_recall_ok": pa.array(
+                [r["n_within_slice"] > 0
+                 and r["recall_within_slice"] >= 0.99],
+                pa.bool_(),
+            ),
+        }
+    )
+
+
+QUERIES["incremental_dedup_soak"] = q_incremental_dedup_soak
+ORACLE_SQL["incremental_dedup_soak"] = f"""
+    WITH ids AS (
+      SELECT CAST(range AS BIGINT) AS i FROM range({SOAK_Q_DOCS})
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM ids) AS docs,
+           (SELECT CAST(count(*) AS BIGINT) FROM ids WHERE i % 10 < 7)
+             AS n_base,
+           (SELECT CAST(count(*) AS BIGINT) FROM ids WHERE i % 10 >= 7)
+             AS n_dups,
+           (SELECT CAST(count(*) AS BIGINT) FROM ids WHERE i % 10 < 7)
+             AS kept_base,
+           true AS base_preserved,
+           true AS exact_recall_ok,
+           true AS near_recall_ok,
+           true AS cross_recall_ok,
+           true AS within_recall_ok
+"""
+
+
 def tmp_oracle_sql(sf: str = "sf0.01") -> dict[str, str]:
     """Oracles over generated tmp fixtures (the change-event log and
     the near-dup vector fixture live under tempfile.gettempdir(), not
