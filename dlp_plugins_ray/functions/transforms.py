@@ -531,13 +531,46 @@ def apply_whole_column(
 ) -> list:
     """Whole-cell application over a column; None cells are skipped —
     reference behavior: null cells are never sent nor overwritten
-    (Utils.java:77-79, 216-218)."""
+    (Utils.java:77-79, 216-218).
+
+    Every config's ``transform_cell`` is deterministic in
+    (value, context) — HMAC, FF1, AES-SIV, keyed date-shift, masking
+    are all pure keyed functions (the reference's DLP deidentify is
+    likewise deterministic for these transform types) — so distinct
+    cell values are transformed ONCE per batch and repeats are served
+    from a per-call memo. On low-cardinality columns this removes the
+    crypto cost entirely (e.g. 100 distinct over 100k rows = 1000x
+    fewer FF1 invocations); on all-unique columns it costs one dict
+    probe per row, negligible next to any keyed transform."""
+    cache: dict = {}
     if contexts is None:
-        return [None if v is None else cfg.transform_cell(v) for v in values]
-    return [
-        None if v is None else cfg.transform_cell(v, c)
-        for v, c in zip(values, contexts)
-    ]
+        out = []
+        for v in values:
+            if v is None:
+                out.append(None)
+                continue
+            try:
+                r = cache[v]
+            except KeyError:
+                r = cache[v] = cfg.transform_cell(v)
+            except TypeError:  # unhashable cell — compute directly
+                r = cfg.transform_cell(v)
+            out.append(r)
+        return out
+    out = []
+    for v, c in zip(values, contexts):
+        if v is None:
+            out.append(None)
+            continue
+        k = (v, c)
+        try:
+            r = cache[k]
+        except KeyError:
+            r = cache[k] = cfg.transform_cell(v, c)
+        except TypeError:
+            r = cfg.transform_cell(v, c)
+        out.append(r)
+    return out
 
 
 def apply_spans_column(
@@ -556,15 +589,36 @@ def apply_spans_column(
     non-overlapping matches of one regex == global sub."""
     pat = bank.single_pattern
     if pat is not None:
+        # matched spans repeat heavily (same token/SSN across rows);
+        # transform_cell is deterministic in (span, context) — memo per
+        # call, same rationale as apply_whole_column's cache
+        cache: dict = {}
         if contexts is None:
-            repl = lambda m: cfg.transform_cell(m.group(0))  # noqa: E731
+
+            def repl(m):
+                t = m.group(0)
+                try:
+                    return cache[t]
+                except KeyError:
+                    r = cache[t] = cfg.transform_cell(t)
+                    return r
+
             return [None if v is None else pat.sub(repl, v) for v in values]
         out = []
         for v, c in zip(values, contexts):
             if v is None:
                 out.append(None)
-            else:
-                out.append(pat.sub(lambda m: cfg.transform_cell(m.group(0), c), v))
+                continue
+
+            def repl_c(m, _c=c):
+                k = (m.group(0), _c)
+                try:
+                    return cache[k]
+                except KeyError:
+                    r = cache[k] = cfg.transform_cell(m.group(0), _c)
+                    return r
+
+            out.append(pat.sub(repl_c, v))
         return out
 
     # detector-level vectorized pruning: one RE2 kernel per detector

@@ -103,17 +103,27 @@ class DecryptStage:
                 if idx < 0:
                     continue
                 values = batch.column(idx).to_pylist()
+                # detokenize is deterministic in (cell, context); repeated
+                # cells (low-cardinality columns) are inverted once per
+                # batch — mirrors apply_whole_column's memo on the
+                # encrypt side
+                cache: dict = {}
                 out = []
                 for i, v in enumerate(values):
                     if v is None:
                         out.append(None)
                         continue
                     c = contexts[i] if contexts else ""
-                    out.append(
-                        self._detokenize_text(v, pattern, cfg, c)
-                        if pattern.search(v)
-                        else v
-                    )
+                    k = (v, c)
+                    try:
+                        r = cache[k]
+                    except KeyError:
+                        r = cache[k] = (
+                            self._detokenize_text(v, pattern, cfg, c)
+                            if pattern.search(v)
+                            else v
+                        )
+                    out.append(r)
                 batch = batch.set_column(
                     idx,
                     batch.schema.field(idx),
