@@ -923,6 +923,81 @@ def verify_pairs_jaccard(
     )
 
 
+def _verify_pairs_local_task(
+    cand: pa.Table,
+    threshold: float,
+    k: int,
+    text_col: str,
+    id_col: str,
+    *doc_tables: pa.Table,
+) -> pa.Table:
+    """Single-task exact-Jaccard verify for a SMALL candidate-pair set
+    whose member docs were already corpus-filtered — the size-adaptive
+    twin of ``verify_pairs_jaccard`` (same shingle kernel, same
+    missing-member drop, same duplicate-pair collapse, same
+    ``j >= threshold`` rule; equivalence pinned in
+    tests/test_properties.py). Runs as a Ray task (never on the
+    driver); replaces the member-text join exchange when the pair set
+    is far below one task's heap. Returns ``(id_a, id_b)`` of the
+    verified pairs."""
+    import polars as pl
+
+    out_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+    docs_parts = [
+        t.select([id_col, text_col])
+        for t in doc_tables
+        if t.num_rows and id_col in t.column_names
+    ]
+    if not docs_parts or cand.num_rows == 0:
+        return out_schema.empty_table()
+    docs = (
+        pl.from_arrow(pa.concat_tables(docs_parts))
+        .unique(subset=[id_col])
+        .sort(id_col)
+    )
+    keys = docs[id_col].cast(pl.Int64).to_numpy()
+    rows, hashes = _char_shingle_hashes_many(
+        docs[text_col].fill_null("").to_list(), k
+    )
+    nd = docs.height
+    starts = np.searchsorted(rows, np.arange(nd))
+    ends = np.searchsorted(rows, np.arange(nd), side="right")
+    cp = (
+        pl.from_arrow(cand.select(["id_a", "id_b"]))
+        .unique()
+        .cast(pl.Int64)
+        .to_numpy()
+    )
+    slot_a = np.searchsorted(keys, cp[:, 0])
+    slot_b = np.searchsorted(keys, cp[:, 1])
+    # a candidate id absent from the corpus has no text — drop its pair
+    ok = (
+        (slot_a < nd)
+        & (slot_b < nd)
+        & (keys[np.minimum(slot_a, nd - 1)] == cp[:, 0])
+        & (keys[np.minimum(slot_b, nd - 1)] == cp[:, 1])
+    )
+    out_a: list[int] = []
+    out_b: list[int] = []
+    for (x, y), sa, sb, valid in zip(cp, slot_a, slot_b, ok):
+        if not valid:
+            continue
+        A = hashes[starts[sa]:ends[sa]]
+        B = hashes[starts[sb]:ends[sb]]
+        inter = np.intersect1d(A, B, assume_unique=True).size
+        union = A.size + B.size - inter
+        j = inter / union if union else 1.0
+        if j >= threshold:
+            out_a.append(int(x))
+            out_b.append(int(y))
+    return pa.table(
+        {
+            "id_a": pa.array(out_a, pa.int64()),
+            "id_b": pa.array(out_b, pa.int64()),
+        }
+    )
+
+
 def pairs_same_component(labels, pairs, *, num_buckets: int = 64):
     """For each pair (id_a, id_b): ``linked`` = both ids carry the SAME
     non-null component label in ``labels`` (a Dataset of (id, label),
@@ -1146,7 +1221,9 @@ class _UnionFind:
             self.parent[max(ra, rb)] = min(ra, rb)
 
 
-def connected_component_labels(pairs, *, num_buckets: int = 64):
+def connected_component_labels(
+    pairs, *, num_buckets: int = 64, single_task_threshold: int = 200_000
+):
     """Distributed connected components over an undirected pair list —
     hierarchical union-find in a CONSTANT number of shuffles (iterated
     label propagation paid one all-to-all per graph-diameter step):
@@ -1162,12 +1239,46 @@ def connected_component_labels(pairs, *, num_buckets: int = 64):
        driver; the root->final map is broadcast by ObjectRef.
     4. A map stage rewrites each id's root through the broadcast map.
 
+    Size-adaptive: a pair list at or under ``single_task_threshold``
+    rows (thin int64 pairs — 200k = ~3 MB) is solved by the SAME
+    union-by-min in ONE remote task instead (zero shuffles, still
+    never on the driver). The hierarchy exists to bound per-task edge
+    volume; when the whole edge set fits one task there is nothing to
+    bound, and the two exchanges are pure fixed cost (~2-4 s each on a
+    busy cluster). The 8.4M-doc soak's 2.5M-pair graph takes the
+    hierarchical path; equivalence of the two paths is pinned by
+    tests/test_properties.py. Pass ``single_task_threshold=0`` to
+    force the hierarchical path.
+
     Returns a Dataset of ``(id, label)``, label = min id of the
     component (deterministic under any block order)."""
     import ray
     import ray.data as rd
 
     from .shuffle import bucketed_group_reduce
+
+    pairs = pairs.materialize()
+    if pairs.count() <= single_task_threshold:
+        @ray.remote
+        def solve_all(*tables) -> pa.Table:
+            uf = _UnionFind()
+            for t in tables:
+                if t.num_rows == 0 or "id_a" not in t.column_names:
+                    continue  # empty blocks carry an empty schema
+                for x, y in zip(
+                    t.column("id_a").to_pylist(),
+                    t.column("id_b").to_pylist(),
+                ):
+                    uf.union(int(x), int(y))
+            ids = sorted(uf.parent)
+            return pa.table(
+                {
+                    "id": pa.array(ids, pa.int64()),
+                    "label": pa.array([uf.find(i) for i in ids], pa.int64()),
+                }
+            )
+
+        return rd.from_arrow_refs([solve_all.remote(*pairs.to_arrow_refs())])
 
     def per_bucket_uf(block: pa.Table) -> pa.Table:
         uf = _UnionFind()
@@ -1392,6 +1503,7 @@ def minhash_dedup(
     verify_threshold: float | None = None,
     verify_skip_bands: int | None = None,
     unsure_pull_threshold: int = 2_000_000,
+    local_verify_threshold: int = 20_000,
 ):
     """End-to-end near-dup removal: LSH candidate pairs -> distributed
     connected components (hierarchical union-find — the pair list is
@@ -1517,14 +1629,28 @@ def minhash_dedup(
                         )
                     )
 
-                verified = verify_pairs_jaccard(
-                    ds.map_batches(member_docs, batch_format="pyarrow"),
-                    unsure, text_col=text_col, id_col=id_col,
-                    k=shingle_k, threshold=verify_threshold,
-                ).map_batches(
-                    lambda b: b.select(["id_a", "id_b"]),
-                    batch_format="pyarrow",
-                )
+                member = ds.map_batches(member_docs, batch_format="pyarrow")
+                if n_unsure <= local_verify_threshold:
+                    # size-adaptive: a tiny unsure set (LSH floor pairs
+                    # only) doesn't need the member-text join exchange —
+                    # one Ray task verifies it with the identical kernel
+                    # (member doc volume is bounded by 2 docs/pair)
+                    import ray.data as _rd
+
+                    vref = _ray.remote(_verify_pairs_local_task).remote(
+                        cand, verify_threshold, shingle_k,
+                        text_col, id_col, *member.to_arrow_refs(),
+                    )
+                    verified = _rd.from_arrow_refs([vref])
+                else:
+                    verified = verify_pairs_jaccard(
+                        member,
+                        unsure, text_col=text_col, id_col=id_col,
+                        k=shingle_k, threshold=verify_threshold,
+                    ).map_batches(
+                        lambda b: b.select(["id_a", "id_b"]),
+                        batch_format="pyarrow",
+                    )
                 pairs = sure.union(verified).materialize()
         else:
             pairs = verify_pairs_jaccard(
@@ -1548,6 +1674,35 @@ def minhash_dedup(
 # ---------------------------------------------------------------------------
 
 _STORE_META = "_store_meta.json"
+
+
+def _write_store_partitioned(rows_ds, store_dir: str) -> None:
+    """Bucket-partitioned store append with a BOUNDED file count: one
+    exchange co-locates each ``bucket``'s rows (sorted, so each file's
+    bytes are deterministic in the row set), then the hive write emits
+    ~one parquet file per bucket per append. Without the coalesce,
+    every (output block x bucket value) pair becomes its own file — a
+    T-block slice appends up to T*num_buckets near-empty files
+    (measured: 3,042 files for a 5,600-row bootstrap) and every later
+    probe pays a file-open per handful of rows; at continuous-ingest
+    scale the store degenerates into millions of tiny files. The
+    exchanged rows are the store's THIN wire rows (~24-40 B), so one
+    exchange per append is noise next to the slice's text pass."""
+    import polars as pl
+
+    from .shuffle import bucketed_group_reduce
+
+    def coalesce(block: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(block)
+            .sort(block.column_names)
+            .to_arrow()
+            .cast(block.schema)
+        )
+
+    bucketed_group_reduce(rows_ds, ["bucket"], coalesce).write_parquet(
+        store_dir, partition_cols=["bucket"]
+    )
 
 
 def _band_store_meta(store_dir: str) -> dict:
@@ -1603,7 +1758,7 @@ def minhash_band_store_write(ds, store_dir: str, *, text_col: str,
         ds, text_col=text_col, id_col=id_col, num_perm=num_perm,
         bands=bands, shingle_k=shingle_k, num_buckets=num_buckets,
     )
-    banded.write_parquet(store_dir, partition_cols=["bucket"])
+    _write_store_partitioned(banded, store_dir)
     # max id via a tiny distributed aggregate (no driver
     # materialization)
     max_id = ds.max(id_col)
@@ -1761,7 +1916,7 @@ def minhash_dedup_incremental(new_ds, store_dir: str, *, text_col: str,
             shingle_k=int(meta["shingle_k"]),
             num_buckets=int(meta["num_buckets"]),
         )
-        kept_banded.write_parquet(store_dir, partition_cols=["bucket"])
+        _write_store_partitioned(kept_banded, store_dir)
         new_max = kept.max(id_col) if kept.count() else None
         if new_max is not None:
             meta["max_id"] = max(max_old, int(new_max))
@@ -1807,8 +1962,8 @@ def sha_store_write(ds, store_dir: str, *, text_col: str, id_col: str,
             }
         )
 
-    ds2.map_batches(rows, batch_format="pyarrow").write_parquet(
-        store_dir, partition_cols=["bucket"]
+    _write_store_partitioned(
+        ds2.map_batches(rows, batch_format="pyarrow"), store_dir
     )
     meta = {
         "num_buckets": num_buckets,
@@ -1901,8 +2056,8 @@ def exact_dedup_incremental(new_ds, store_dir: str, *, text_col: str,
             ]
             return b.append_column("bucket", pa.array(bucket, pa.int64()))
 
-        sha_kept.map_batches(rows, batch_format="pyarrow").write_parquet(
-            store_dir, partition_cols=["bucket"]
+        _write_store_partitioned(
+            sha_kept.map_batches(rows, batch_format="pyarrow"), store_dir
         )
         if kept.count():
             meta["max_id"] = max(max_old, int(kept.max(id_col)))

@@ -365,15 +365,20 @@ class TestConnectedComponentsProperty:
                 }
             )
         ).repartition(3)
-        got = {
-            r["id"]: r["label"]
-            for r in connected_component_labels(pairs, num_buckets=4).take_all()
-        }
         uf = _UnionFind()
         for a, b in edges:
             uf.union(a, b)
         want = {x: uf.find(x) for x in uf.parent}
-        assert got == want
+        # both the single-task fast path (default at this size) and the
+        # hierarchical shuffle path (forced via threshold=0) must agree
+        for thr in (200_000, 0):
+            got = {
+                r["id"]: r["label"]
+                for r in connected_component_labels(
+                    pairs, num_buckets=4, single_task_threshold=thr
+                ).take_all()
+            }
+            assert got == want, f"single_task_threshold={thr}"
 
 
 class TestVectorizedJaccardProperty:
@@ -436,6 +441,62 @@ class TestVectorizedJaccardProperty:
             assert got[i] == pytest.approx(jaccard(a, b, k), abs=1e-12), (
                 i, a, b, k,
             )
+
+
+class TestLocalVerifyEquivalence:
+    """minhash_dedup's single-task verify fast path
+    (_verify_pairs_local_task) must emit exactly the pairs the
+    distributed verify_pairs_jaccard keeps — same >= threshold rule,
+    same duplicate-pair collapse, same missing-member drop (pairs
+    referencing an id with no corpus row vanish in both)."""
+
+    @given(
+        texts=st.lists(TEXT, min_size=2, max_size=8),
+        raw_pairs=st.lists(
+            st.tuples(st.integers(0, 9), st.integers(0, 9)),
+            min_size=0,
+            max_size=12,
+        ),
+        k=st.integers(min_value=2, max_value=5),
+        thr=st.sampled_from([0.0, 0.35, 0.7, 1.0]),
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_local_matches_distributed(self, texts, raw_pairs, k, thr):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from dlp_plugins_ray.stages.dedup import (
+            _verify_pairs_local_task,
+            verify_pairs_jaccard,
+        )
+
+        n = len(texts)
+        docs = pa.table(
+            {
+                "doc_id": pa.array(list(range(n)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        pairs = [(a, b) for a, b in raw_pairs if a != b]
+        cand = pa.table(
+            {
+                "id_a": pa.array([a for a, _ in pairs], pa.int64()),
+                "id_b": pa.array([b for _, b in pairs], pa.int64()),
+            }
+        )
+        local = _verify_pairs_local_task(
+            cand, thr, k, "text", "doc_id", docs
+        )
+        got_local = sorted(
+            zip(local.column("id_a").to_pylist(),
+                local.column("id_b").to_pylist())
+        )
+        dist = verify_pairs_jaccard(
+            rd.from_arrow(docs), rd.from_arrow(cand),
+            text_col="text", id_col="doc_id", k=k, threshold=thr,
+        ).take_all()
+        got_dist = sorted((r["id_a"], r["id_b"]) for r in dist)
+        assert got_local == got_dist
 
 
 class TestMinhashBatchEquivalence:
