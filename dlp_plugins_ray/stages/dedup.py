@@ -1829,7 +1829,12 @@ def minhash_dedup_incremental(new_ds, store_dir: str, *, text_col: str,
             f"({max_old}); got {min_new}"
         )
 
-    old_banded = rd.read_parquet(store_dir)
+    # prune at the read: the probe needs 3 of the store's columns —
+    # skipping the hive bucket column cuts ~25% of the scanned bytes
+    # (at 10^10 docs the store is TB-scale thin rows)
+    old_banded = rd.read_parquet(
+        store_dir, columns=["band", "band_hash", id_col]
+    )
 
     def strip(b: pa.Table) -> pa.Table:
         return b.select(["band", "band_hash", id_col])
@@ -2008,7 +2013,9 @@ def exact_dedup_incremental(new_ds, store_dir: str, *, text_col: str,
                 f"({max_old}); got {min_new}"
             )
 
-    old = rd.read_parquet(store_dir).map_batches(
+    old = rd.read_parquet(
+        store_dir, columns=[hash_col, id_col]
+    ).map_batches(
         lambda b: b.select([hash_col, id_col]), batch_format="pyarrow"
     )
     both = old.union(
