@@ -19,6 +19,7 @@ id, so results are deterministic under any block order.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -1676,7 +1677,8 @@ def minhash_dedup(
 _STORE_META = "_store_meta.json"
 
 
-def _write_store_partitioned(rows_ds, store_dir: str) -> None:
+def _write_store_partitioned(rows_ds, store_dir: str, *,
+                             local_threshold: int = 2_000_000) -> None:
     """Bucket-partitioned store append with a BOUNDED file count: one
     exchange co-locates each ``bucket``'s rows (sorted, so each file's
     bytes are deterministic in the row set), then the hive write emits
@@ -1687,10 +1689,52 @@ def _write_store_partitioned(rows_ds, store_dir: str) -> None:
     probe pays a file-open per handful of rows; at continuous-ingest
     scale the store degenerates into millions of tiny files. The
     exchanged rows are the store's THIN wire rows (~24-40 B), so one
-    exchange per append is noise next to the slice's text pass."""
+    exchange per append is noise next to the slice's text pass.
+
+    Size-adaptive (round-5 idiom): an append of at most
+    ``local_threshold`` thin rows skips the exchange and coalesces in
+    ONE remote task writing the same sorted per-bucket hive files
+    (pass 0 to force the exchange; file CONTENT is identical either
+    way — bytes are pinned by the full-column sort)."""
     import polars as pl
 
     from .shuffle import bucketed_group_reduce
+
+    rows_ds = rows_ds.materialize()
+    if local_threshold and rows_ds.count() <= local_threshold:
+        import uuid
+
+        import ray
+
+        run_id = uuid.uuid4().hex[:12]
+
+        @ray.remote
+        def write_local(*tables) -> int:
+            import pyarrow.parquet as pq
+
+            tabs = [
+                t for t in tables
+                if t.num_rows and "bucket" in t.column_names
+            ]
+            if not tabs:
+                return 0
+            df = pl.from_arrow(
+                pa.concat_tables([t.cast(tabs[0].schema) for t in tabs])
+            )
+            df = df.sort(df.columns)
+            n = 0
+            for (b,), g in df.group_by(["bucket"], maintain_order=True):
+                sub = g.drop("bucket").to_arrow()
+                part = os.path.join(store_dir, f"bucket={int(b)}")
+                os.makedirs(part, exist_ok=True)
+                pq.write_table(
+                    sub, os.path.join(part, f"append-{run_id}-{n}.parquet")
+                )
+                n += 1
+            return n
+
+        ray.get(write_local.remote(*rows_ds.to_arrow_refs()))
+        return
 
     def coalesce(block: pa.Table) -> pa.Table:
         return (
@@ -1776,10 +1820,89 @@ def minhash_band_store_write(ds, store_dir: str, *, text_col: str,
     return meta
 
 
+def _store_nbytes(store_dir: str) -> int:
+    """On-disk parquet bytes of a band/sha store — the cheap size probe
+    that gates the local fast path (thin rows compress to ~10-20 B, so
+    64 MB of files is a few million rows: trivially one task's work)."""
+    total = 0
+    for root, _dirs, names in os.walk(store_dir):
+        for f in names:
+            if f.endswith(".parquet"):
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    return total
+
+
+def _probe_band_store_local(new_banded, store_dir: str, *, max_old: int,
+                            min_bands: int | None, id_col: str):
+    """Size-adaptive fast path for the incremental band-store probe
+    (round-5 idiom: a multi-exchange distributed op whose input
+    measures tiny collapses to ONE remote task with the identical
+    kernel). The distributed probe pays two bucketed exchanges —
+    (band, band_hash) pair emission, then (id_a, id_b) band-link
+    counting — plus the component solve; each exchange is ~0.5-3 s of
+    fixed cost regardless of size. When the store's thin rows and the
+    new slice's banded rows both fit one task, the same polars
+    group-min + link-count + union-by-min runs there in milliseconds.
+    Equivalence with the distributed branch is pinned by
+    tests/test_properties.py. Returns a Dataset of drop ids
+    (column ``id``), NEW ids only."""
+    import ray
+    import ray.data as rd
+
+    @ray.remote
+    def probe(*new_tables) -> pa.Table:
+        import polars as pl
+        import pyarrow.dataset as pads
+
+        old = pads.dataset(
+            store_dir, format="parquet", partitioning="hive"
+        ).to_table(columns=["band", "band_hash", id_col])
+        parts = [
+            t.select(["band", "band_hash", id_col]).cast(old.schema)
+            for t in new_tables
+            if t.num_rows and "band" in t.column_names
+        ]
+        df = pl.from_arrow(pa.concat_tables([old, *parts])).unique()
+        df = df.with_columns(
+            pl.col(id_col).min().over(["band", "band_hash"]).alias("_min")
+        )
+        dup = df.filter(
+            (pl.col(id_col) != pl.col("_min"))
+            & (pl.col(id_col) > max_old)  # member must be NEW
+        )
+        pairs = dup.select(
+            pl.col("_min").cast(pl.Int64).alias("id_a"),
+            pl.col(id_col).cast(pl.Int64).alias("id_b"),
+        )
+        if min_bands is not None and min_bands > 1:
+            pairs = (
+                pairs.group_by(["id_a", "id_b"])
+                .len()
+                .filter(pl.col("len") >= min_bands)
+                .select(["id_a", "id_b"])
+            )
+        else:
+            pairs = pairs.unique()
+        uf = _UnionFind()
+        for a, b in zip(pairs["id_a"].to_list(), pairs["id_b"].to_list()):
+            uf.union(int(a), int(b))
+        drops = sorted(
+            i for i in uf.parent if i > max_old and uf.find(i) != i
+        )
+        return pa.table({"id": pa.array(drops, pa.int64())})
+
+    return rd.from_arrow_refs([probe.remote(*new_banded.to_arrow_refs())])
+
+
 def minhash_dedup_incremental(new_ds, store_dir: str, *, text_col: str,
                               id_col: str, append: bool = True,
                               broadcast_threshold: int = 2_000_000,
-                              min_bands: int | None = None):
+                              min_bands: int | None = None,
+                              local_probe_threshold: int = 2_000_000,
+                              local_probe_store_bytes: int = 64 << 20):
     """Dedup a NEW slice against the historical corpus WITHOUT touching
     the historical text: probe the persisted band store (first-writer
     wins — a new doc near-duplicating any stored doc is dropped; new
@@ -1803,7 +1926,16 @@ def minhash_dedup_incremental(new_ds, store_dir: str, *, text_col: str,
     and ``min_bands=2`` kills the single-band false-positive floor
     (floor pair at J~0.05, r=8: P(>=2 of 8 bands) ~ 1e-19) while
     losing ~1.4e-4 of true near-dups at J~0.97 (P(Bin(8, 0.97^8)<=1)).
-    Default None preserves the single-link behavior."""
+    Default None preserves the single-link behavior.
+
+    Size-adaptive: when the new slice's banded rows fit
+    ``local_probe_threshold`` AND the store's parquet bytes fit
+    ``local_probe_store_bytes``, the whole probe (pair emission,
+    band-link counting, component solve) runs in ONE remote task with
+    the identical kernel (see :func:`_probe_band_store_local`); pass
+    ``local_probe_threshold=0`` to force the distributed branch. The
+    8.4M-doc streaming soak's 22M-banded-row slices sit far above the
+    threshold and always take the distributed path."""
     import json
     import os
 
@@ -1822,11 +1954,27 @@ def minhash_dedup_incremental(new_ds, store_dir: str, *, text_col: str,
         num_buckets=int(meta["num_buckets"]),
     ).materialize()
 
-    min_new = new_banded.min(id_col) if new_banded.count() else None
+    n_banded = new_banded.count()
+    min_new = new_banded.min(id_col) if n_banded else None
     if min_new is not None and int(min_new) <= max_old:
         raise ValueError(
             f"incremental dedup requires new ids > stored max_id "
             f"({max_old}); got {min_new}"
+        )
+
+    if (
+        local_probe_threshold
+        and n_banded <= local_probe_threshold
+        and _store_nbytes(store_dir) <= local_probe_store_bytes
+    ):
+        drop_ds = _probe_band_store_local(
+            new_banded, store_dir, max_old=max_old,
+            min_bands=min_bands, id_col=id_col,
+        ).materialize()
+        return _finish_incremental(
+            new_ds, new_banded, drop_ds, store_dir, meta,
+            id_col=id_col, append=append,
+            broadcast_threshold=broadcast_threshold, max_old=max_old,
         )
 
     # prune at the read: the probe needs 3 of the store's columns —
@@ -1908,19 +2056,44 @@ def minhash_dedup_incremental(new_ds, store_dir: str, *, text_col: str,
         ),
         batch_format="pyarrow",
     ).materialize()
-    if drop_ds.count() <= broadcast_threshold:
+    return _finish_incremental(
+        new_ds, new_banded, drop_ds, store_dir, meta,
+        id_col=id_col, append=append,
+        broadcast_threshold=broadcast_threshold, max_old=max_old,
+    )
+
+
+def _finish_incremental(new_ds, new_banded, drop_ds, store_dir: str,
+                        meta: dict, *, id_col: str, append: bool,
+                        broadcast_threshold: int, max_old: int):
+    """Shared tail of the incremental band-store dedup: drop the losing
+    NEW docs, then append the kept docs' bands. The append FILTERS the
+    already-computed ``new_banded`` thin rows by the same drop set
+    instead of re-reading the kept text and re-hashing — the old
+    re-band path paid a second full shingle+minhash pass over every
+    kept doc per slice (at 100 TB that doubles the dominant per-slice
+    compute for literally identical rows: the banding stage is
+    deterministic in the text)."""
+    import json
+
+    n_drop = drop_ds.count()
+    if n_drop <= broadcast_threshold:
         kept = _drop_via_broadcast(new_ds, drop_ds, id_col=id_col)
     else:
         kept = _drop_via_anti_join(new_ds, drop_ds, id_col=id_col)
 
     if append:
         kept = kept.materialize()
-        kept_banded = _banded_with_bucket(
-            kept, text_col=text_col, id_col=id_col,
-            num_perm=int(meta["num_perm"]), bands=int(meta["bands"]),
-            shingle_k=int(meta["shingle_k"]),
-            num_buckets=int(meta["num_buckets"]),
-        )
+        if n_drop == 0:
+            kept_banded = new_banded
+        elif n_drop <= broadcast_threshold:
+            kept_banded = _drop_via_broadcast(
+                new_banded, drop_ds, id_col=id_col
+            )
+        else:
+            kept_banded = _drop_via_anti_join(
+                new_banded, drop_ds, id_col=id_col
+            )
         _write_store_partitioned(kept_banded, store_dir)
         new_max = kept.max(id_col) if kept.count() else None
         if new_max is not None:
@@ -1982,13 +2155,53 @@ def sha_store_write(ds, store_dir: str, *, text_col: str, id_col: str,
     return meta
 
 
+def _probe_sha_store_local(thin_ds, store_dir: str, *, max_old: int,
+                           hash_col: str, id_col: str):
+    """Sha-store analogue of :func:`_probe_band_store_local`: the
+    single hash-bucketed exchange collapses to ONE remote task running
+    the identical min-over-sha kernel when the store and the slice's
+    thin (sha, id) rows measure tiny. Returns drop ids (``id``)."""
+    import ray
+    import ray.data as rd
+
+    @ray.remote
+    def probe(*new_tables) -> pa.Table:
+        import polars as pl
+        import pyarrow.dataset as pads
+
+        old = pads.dataset(
+            store_dir, format="parquet", partitioning="hive"
+        ).to_table(columns=[hash_col, id_col])
+        parts = [
+            t.select([hash_col, id_col]).cast(old.schema)
+            for t in new_tables
+            if t.num_rows and hash_col in t.column_names
+        ]
+        df = pl.from_arrow(pa.concat_tables([old, *parts])).unique()
+        df = df.with_columns(
+            pl.col(id_col).min().over(hash_col).alias("_min")
+        )
+        dup = df.filter(
+            (pl.col(id_col) != pl.col("_min"))
+            & (pl.col(id_col) > max_old)
+        ).sort(id_col)
+        return pa.table(
+            {"id": dup[id_col].cast(pl.Int64).to_arrow()}
+        ).cast(pa.schema([("id", pa.int64())]))
+
+    return rd.from_arrow_refs([probe.remote(*thin_ds.to_arrow_refs())])
+
+
 def exact_dedup_incremental(new_ds, store_dir: str, *, text_col: str,
                             id_col: str, append: bool = True,
-                            broadcast_threshold: int = 2_000_000):
+                            broadcast_threshold: int = 2_000_000,
+                            local_probe_threshold: int = 2_000_000,
+                            local_probe_store_bytes: int = 64 << 20):
     """Drop new docs whose content sha already exists in the store
     (first writer wins), dedup the slice among itself, and append the
-    kept docs' shas. Monotonic-id contract as in
-    ``minhash_dedup_incremental``."""
+    kept docs' shas. Monotonic-id contract and size-adaptive local
+    probe (``local_probe_threshold=0`` forces the distributed branch)
+    as in ``minhash_dedup_incremental``."""
     import json
     import os
 
@@ -2005,7 +2218,8 @@ def exact_dedup_incremental(new_ds, store_dir: str, *, text_col: str,
         lambda b: add_content_hash(b, text_col, hash_col),
         batch_format="pyarrow",
     ).materialize()
-    if hashed.count():
+    n_new = hashed.count()
+    if n_new:
         min_new = int(hashed.min(id_col))
         if min_new <= max_old:
             raise ValueError(
@@ -2013,34 +2227,43 @@ def exact_dedup_incremental(new_ds, store_dir: str, *, text_col: str,
                 f"({max_old}); got {min_new}"
             )
 
-    old = rd.read_parquet(
-        store_dir, columns=[hash_col, id_col]
-    ).map_batches(
+    thin = hashed.map_batches(
         lambda b: b.select([hash_col, id_col]), batch_format="pyarrow"
     )
-    both = old.union(
-        hashed.map_batches(
+    if (
+        local_probe_threshold
+        and n_new <= local_probe_threshold
+        and _store_nbytes(store_dir) <= local_probe_store_bytes
+    ):
+        drop_ds = _probe_sha_store_local(
+            thin, store_dir, max_old=max_old,
+            hash_col=hash_col, id_col=id_col,
+        ).materialize()
+    else:
+        old = rd.read_parquet(
+            store_dir, columns=[hash_col, id_col]
+        ).map_batches(
             lambda b: b.select([hash_col, id_col]), batch_format="pyarrow"
         )
-    )
+        both = old.union(thin)
 
-    def drops_block(block: pa.Table) -> pa.Table:
-        import polars as pl
+        def drops_block(block: pa.Table) -> pa.Table:
+            import polars as pl
 
-        df = pl.from_arrow(block).unique()
-        df = df.with_columns(
-            pl.col(id_col).min().over(hash_col).alias("_min")
-        )
-        dup = df.filter(
-            (pl.col(id_col) != pl.col("_min"))
-            & (pl.col(id_col) > max_old)
-        )
-        return pa.table({"id": dup[id_col].cast(pl.Int64).to_arrow()})
+            df = pl.from_arrow(block).unique()
+            df = df.with_columns(
+                pl.col(id_col).min().over(hash_col).alias("_min")
+            )
+            dup = df.filter(
+                (pl.col(id_col) != pl.col("_min"))
+                & (pl.col(id_col) > max_old)
+            )
+            return pa.table({"id": dup[id_col].cast(pl.Int64).to_arrow()})
 
-    drop_ds = bucketed_group_reduce(
-        both, [hash_col], drops_block,
-        out_schema=pa.schema([("id", pa.int64())]),
-    ).materialize()
+        drop_ds = bucketed_group_reduce(
+            both, [hash_col], drops_block,
+            out_schema=pa.schema([("id", pa.int64())]),
+        ).materialize()
     if drop_ds.count() <= broadcast_threshold:
         kept = _drop_via_broadcast(hashed, drop_ds, id_col=id_col)
     else:

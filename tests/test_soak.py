@@ -373,3 +373,61 @@ def test_incremental_soak_streaming_slices(ray_session, tmp_path):
     assert r["recall_within_slice"] >= 0.99, r
     # store grew to cover the last slice's kept docs
     assert r["store_max_id"] > 2_000
+
+
+def test_incremental_local_probe_matches_distributed(ray_session, tmp_path):
+    """Round-5 size-adaptive rule: the ONE-task local probe
+    (_probe_band_store_local / _probe_sha_store_local) must make
+    decisions identical to the distributed exchanges — same kept ids
+    AND byte-equivalent store contents after the append (the append
+    also switched from re-banding kept text to filtering the already
+    banded rows; the store rows must not change)."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dlp_plugins_ray.stages import dedup as DD
+
+    n = 3_000
+    d = soak.write_soak_corpus(
+        str(tmp_path / "c"), n, n_shards=4, layout="interleaved"
+    )
+    files = sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    )
+    ds = rd.read_parquet(files, columns=["doc_id", "text"])
+    cut = n // 2
+    slice1 = ds.filter(lambda r: r["doc_id"] < cut)
+    slice2 = ds.filter(lambda r: r["doc_id"] >= cut)
+
+    def store_rows(path):
+        return duckdb.sql(
+            f"SELECT * FROM read_parquet('{path}/*/*.parquet') ORDER BY ALL"
+        ).fetchall()
+
+    results = {}
+    for mode, thresh in [("local", 10_000_000), ("dist", 0)]:
+        store = str(tmp_path / f"band_{mode}")
+        DD.minhash_band_store_write(
+            slice1, store, text_col="text", id_col="doc_id",
+            num_perm=64, bands=8,
+        )
+        kept = DD.minhash_dedup_incremental(
+            slice2, store, text_col="text", id_col="doc_id",
+            min_bands=2, local_probe_threshold=thresh,
+        ).to_pandas()
+        results[mode] = (sorted(kept["doc_id"]), store_rows(store))
+    assert results["local"][0] == results["dist"][0]
+    assert results["local"][1] == results["dist"][1]
+
+    results = {}
+    for mode, thresh in [("local", 10_000_000), ("dist", 0)]:
+        store = str(tmp_path / f"sha_{mode}")
+        DD.sha_store_write(slice1, store, text_col="text", id_col="doc_id")
+        kept = DD.exact_dedup_incremental(
+            slice2, store, text_col="text", id_col="doc_id",
+            local_probe_threshold=thresh,
+        ).to_pandas()
+        results[mode] = (sorted(kept["doc_id"]), store_rows(store))
+    assert results["local"][0] == results["dist"][0]
+    assert results["local"][1] == results["dist"][1]
