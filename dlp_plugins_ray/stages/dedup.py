@@ -257,6 +257,57 @@ class MinHashLshStage:
         )
 
 
+def _minhash_pairs_local(banded, *, id_col: str, with_band_count: bool):
+    """ONE-task fast path of :func:`minhash_duplicate_pairs`: the same
+    unique -> group-min-over-(band, band_hash) -> (min, member) pair
+    emission (and distinct-band count) the two bucketed exchanges
+    compute, on the whole banded row set at once. Equivalence pinned
+    by tests/test_properties.py."""
+    import ray
+    import ray.data as rd
+
+    pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+    count_schema = pair_schema.append(pa.field("n_bands", pa.int64()))
+
+    @ray.remote
+    def pairs_local(*tables) -> pa.Table:
+        import polars as pl
+
+        tabs = [
+            t for t in tables if t.num_rows and "band" in t.column_names
+        ]
+        if not tabs:
+            return (count_schema if with_band_count else pair_schema).empty_table()
+        df = pl.from_arrow(
+            pa.concat_tables([t.cast(tabs[0].schema) for t in tabs])
+        ).unique()
+        df = df.with_columns(
+            pl.col(id_col).min().over(["band", "band_hash"]).alias("_min")
+        )
+        dup = df.filter(pl.col(id_col) != pl.col("_min"))
+        pairs = dup.select(
+            pl.col("_min").cast(pl.Int64).alias("id_a"),
+            pl.col(id_col).cast(pl.Int64).alias("id_b"),
+            pl.col("band").cast(pl.Int64),
+        )
+        if with_band_count:
+            out = (
+                pairs.group_by(["id_a", "id_b"])
+                .agg(pl.col("band").n_unique().cast(pl.Int64).alias("n_bands"))
+                .sort(["id_a", "id_b"])
+            )
+            return out.to_arrow().cast(count_schema)
+        return (
+            pairs.select(["id_a", "id_b"])
+            .unique()
+            .sort(["id_a", "id_b"])
+            .to_arrow()
+            .cast(pair_schema)
+        )
+
+    return rd.from_arrow_refs([pairs_local.remote(*banded.to_arrow_refs())])
+
+
 def minhash_duplicate_pairs(
     ds,
     *,
@@ -266,6 +317,7 @@ def minhash_duplicate_pairs(
     bands: int = 16,
     shingle_k: int = 5,
     with_band_count: bool = False,
+    local_pairs_threshold: int = 2_000_000,
 ):
     """Candidate duplicate pairs (id_a < id_b) from shared LSH buckets,
     deduplicated across bands. Downstream can verify with exact Jaccard
@@ -281,7 +333,13 @@ def minhash_duplicate_pairs(
     MinHash estimator itself, a pair whose COUNTED links already reach
     >= half the bands has J >= the band threshold with near-certainty,
     and an undercounted pair merely gets exact-verified when it could
-    have been skipped (``minhash_dedup``'s ``verify_skip_bands``)."""
+    have been skipped (``minhash_dedup``'s ``verify_skip_bands``).
+
+    Size-adaptive (round-5 idiom): when the banded thin rows fit
+    ``local_pairs_threshold`` (docs x bands rows of ~24 B), the two
+    pair exchanges collapse to ONE remote task running the identical
+    group-min kernel; pass 0 to force the distributed branch (the
+    8.4M-doc soak's 67M banded rows always take it)."""
     # plain TASK pool (repo idiom): the hasher state is ~1 KB, and an
     # autoscaling actor pool was observed stuck at ONE actor for the
     # whole 8.4M-doc soak (Ray Data's pool autoscaler under a
@@ -295,6 +353,13 @@ def minhash_duplicate_pairs(
         ),
         batch_format="pyarrow",
     )
+
+    if local_pairs_threshold:
+        banded = banded.materialize()
+        if banded.count() <= local_pairs_threshold:
+            return _minhash_pairs_local(
+                banded, id_col=id_col, with_band_count=with_band_count
+            )
 
     from .shuffle import bucketed_group_reduce
 
@@ -784,6 +849,7 @@ def verify_pairs_jaccard(
     id_col: str,
     k: int = 5,
     threshold: float = 0.5,
+    local_threshold: int = 0,
 ):
     """Exact n-gram Jaccard verification of candidate pairs — fully
     shuffle-based, nothing on the driver: each pair emits two member
@@ -795,10 +861,32 @@ def verify_pairs_jaccard(
     impossible, and duplicate pairs in the input are deduplicated
     rather than silently dropped (round-2 ADVICE). Document texts ship
     once per pair membership — exactly the minimum the verification
-    needs."""
+    needs.
+
+    Size-adaptive: ``local_threshold`` > 0 makes a candidate set at or
+    under that many pairs skip both exchanges — member docs broadcast-
+    filtered in one map pass, ONE remote task verifying with the
+    identical shingle kernel (:func:`_verify_pairs_local_task`).
+    DEFAULT OFF (0), unlike the other round-5 local fast paths: the
+    verify kernel allocates shingle-hash arenas big enough to pay this
+    host's fresh-worker first-touch penalty (interleaved A/B at sf0.1:
+    local 2.6-10 s vs distributed 1.0-1.7 s — the two thin exchanges
+    ride the already-hot Ray Data pool and verify volume is
+    LSH-bounded, so the distributed branch is already near-fixed-cost).
+    ``minhash_dedup``'s unsure-pair local verify keeps its own gate:
+    there the alternative is a member-join exchange over the corpus,
+    which a single task beats even cold."""
     import polars as pl
 
     from .shuffle import bucketed_group_reduce
+
+    if local_threshold:
+        pairs = pairs.materialize()
+        if pairs.count() <= local_threshold:
+            return _verify_pairs_jaccard_local(
+                ds, pairs, text_col=text_col, id_col=id_col,
+                k=k, threshold=threshold,
+            )
 
     def pair_members(b: pa.Table) -> pa.Table:
         a = b.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -924,6 +1012,61 @@ def verify_pairs_jaccard(
     )
 
 
+def _verify_pairs_jaccard_local(ds, pairs, *, text_col: str, id_col: str,
+                                k: int, threshold: float):
+    """ONE-task branch of :func:`verify_pairs_jaccard` for small
+    (materialized) candidate sets: pull the thin pair rows, broadcast
+    the member-id set, filter the corpus to member docs in one map
+    pass, verify in one remote task. Returns the same
+    (id_a, id_b, jaccard) contract."""
+    import pyarrow.compute as _pc
+    import ray
+    import ray.data as rd
+
+    out_schema = pa.schema(
+        [
+            ("id_a", pa.int64()),
+            ("id_b", pa.int64()),
+            ("jaccard", pa.float64()),
+        ]
+    )
+    id_tables = [
+        t.select(["id_a", "id_b"])
+        for t in ray.get(pairs.to_arrow_refs())
+        if t.num_rows and "id_a" in t.column_names
+    ]
+    if not id_tables:
+        return rd.from_arrow(out_schema.empty_table())
+    cand = pa.concat_tables(
+        [t.cast(pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]))
+         for t in id_tables]
+    )
+    cand_ids = _pc.unique(
+        pa.concat_arrays(
+            [
+                cand.column("id_a").combine_chunks(),
+                cand.column("id_b").combine_chunks(),
+            ]
+        )
+    )
+    ids_ref = ray.put(cand_ids)
+
+    def member_docs(b: pa.Table) -> pa.Table:
+        return b.filter(
+            _pc.is_in(
+                _pc.cast(b.column(id_col), pa.int64()),
+                value_set=ray.get(ids_ref),
+            )
+        )
+
+    member = ds.map_batches(member_docs, batch_format="pyarrow")
+    vref = ray.remote(_verify_pairs_local_task).remote(
+        cand, threshold, k, text_col, id_col,
+        *member.to_arrow_refs(), with_jaccard=True,
+    )
+    return rd.from_arrow_refs([vref])
+
+
 def _verify_pairs_local_task(
     cand: pa.Table,
     threshold: float,
@@ -931,6 +1074,7 @@ def _verify_pairs_local_task(
     text_col: str,
     id_col: str,
     *doc_tables: pa.Table,
+    with_jaccard: bool = False,
 ) -> pa.Table:
     """Single-task exact-Jaccard verify for a SMALL candidate-pair set
     whose member docs were already corpus-filtered — the size-adaptive
@@ -944,6 +1088,8 @@ def _verify_pairs_local_task(
     import polars as pl
 
     out_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+    if with_jaccard:
+        out_schema = out_schema.append(pa.field("jaccard", pa.float64()))
     docs_parts = [
         t.select([id_col, text_col])
         for t in doc_tables
@@ -980,6 +1126,7 @@ def _verify_pairs_local_task(
     )
     out_a: list[int] = []
     out_b: list[int] = []
+    out_j: list[float] = []
     for (x, y), sa, sb, valid in zip(cp, slot_a, slot_b, ok):
         if not valid:
             continue
@@ -991,15 +1138,83 @@ def _verify_pairs_local_task(
         if j >= threshold:
             out_a.append(int(x))
             out_b.append(int(y))
-    return pa.table(
-        {
-            "id_a": pa.array(out_a, pa.int64()),
-            "id_b": pa.array(out_b, pa.int64()),
-        }
+            out_j.append(j)
+    cols = {
+        "id_a": pa.array(out_a, pa.int64()),
+        "id_b": pa.array(out_b, pa.int64()),
+    }
+    if with_jaccard:
+        cols["jaccard"] = pa.array(out_j, pa.float64())
+    return pa.table(cols)
+
+
+def _pairs_same_component_local(labels, pairs):
+    """ONE-task branch of :func:`pairs_same_component`: same unique
+    pair collapse, same first-label-per-id, same null-safe equality."""
+    import ray
+    import ray.data as rd
+
+    out_schema = pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()), ("linked", pa.bool_())]
     )
 
+    @ray.remote
+    def solve(n_lab: int, *tables) -> pa.Table:
+        import polars as pl
 
-def pairs_same_component(labels, pairs, *, num_buckets: int = 64):
+        labs = [
+            t.select(["id", "label"])
+            for t in tables[:n_lab]
+            if t.num_rows and "id" in t.column_names
+        ]
+        prs = [
+            t.select(["id_a", "id_b"])
+            for t in tables[n_lab:]
+            if t.num_rows and "id_a" in t.column_names
+        ]
+        if not prs:
+            return out_schema.empty_table()
+        pr = (
+            pl.from_arrow(pa.concat_tables(prs))
+            .cast({"id_a": pl.Int64, "id_b": pl.Int64})
+            .unique()
+        )
+        if labs:
+            lab = (
+                pl.from_arrow(pa.concat_tables(labs))
+                .cast({"id": pl.Int64, "label": pl.Int64})
+                .unique(subset=["id"])
+            )
+        else:
+            lab = pl.DataFrame(schema={"id": pl.Int64, "label": pl.Int64})
+        g = pr.join(
+            lab.rename({"id": "id_a", "label": "la"}), on="id_a", how="left"
+        ).join(
+            lab.rename({"id": "id_b", "label": "lb"}), on="id_b", how="left"
+        )
+        g = g.with_columns(
+            (
+                pl.col("la").is_not_null()
+                & pl.col("lb").is_not_null()
+                & (pl.col("la") == pl.col("lb"))
+            )
+            .fill_null(False)
+            .alias("linked")
+        )
+        return (
+            g.select(["id_a", "id_b", "linked"])
+            .sort(["id_a", "id_b"])
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    lab_refs = labels.to_arrow_refs()
+    pair_refs = pairs.to_arrow_refs()
+    return rd.from_arrow_refs([solve.remote(len(lab_refs), *lab_refs, *pair_refs)])
+
+
+def pairs_same_component(labels, pairs, *, num_buckets: int = 64,
+                         local_threshold: int = 2_000_000):
     """For each pair (id_a, id_b): ``linked`` = both ids carry the SAME
     non-null component label in ``labels`` (a Dataset of (id, label),
     e.g. from ``connected_component_labels``). Fully shuffle-based: each
@@ -1007,10 +1222,21 @@ def pairs_same_component(labels, pairs, *, num_buckets: int = 64):
     the label onto members (ids absent from labels stay null = not in
     any component); one shuffle on (id_a, id_b) combines the sides.
     Zero driver state — the conformance-flag primitive for the planted
-    near-duplicate oracles."""
+    near-duplicate oracles.
+
+    Size-adaptive (round-5 idiom): when labels + pairs together fit
+    ``local_threshold`` thin rows, both exchanges collapse to ONE
+    remote task doing the identical left-join + label-equality; pass 0
+    to force the distributed branch."""
     import polars as pl
 
     from .shuffle import bucketed_group_reduce
+
+    if local_threshold:
+        labels = labels.materialize()
+        pairs = pairs.materialize()
+        if labels.count() + pairs.count() <= local_threshold:
+            return _pairs_same_component_local(labels, pairs)
 
     def pair_members(b: pa.Table) -> pa.Table:
         a = b.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1505,6 +1731,7 @@ def minhash_dedup(
     verify_skip_bands: int | None = None,
     unsure_pull_threshold: int = 2_000_000,
     local_verify_threshold: int = 20_000,
+    local_pairs_threshold: int = 2_000_000,
 ):
     """End-to-end near-dup removal: LSH candidate pairs -> distributed
     connected components (hierarchical union-find — the pair list is
@@ -1557,6 +1784,7 @@ def minhash_dedup(
         ds, text_col=text_col, id_col=id_col,
         num_perm=num_perm, bands=bands, shingle_k=shingle_k,
         with_band_count=skip is not None,
+        local_pairs_threshold=local_pairs_threshold,
     ).materialize()
     if verify_threshold is not None:
         if skip is not None:

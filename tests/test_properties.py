@@ -584,3 +584,142 @@ class TestTextKernelEquivalence:
         assert n_words.to_pylist() == exp_words
         # scalar gates multiplied in the same IEEE order -> bit-equal
         assert quality.to_pylist() == exp_quality
+
+
+class TestLocalPairsEquivalence:
+    """minhash_duplicate_pairs' single-task fast path
+    (_minhash_pairs_local) must emit exactly the (id_a, id_b[,
+    n_bands]) rows the two bucketed exchanges produce — same unique
+    collapse, same group-min pairing, same distinct-band count."""
+
+    @given(
+        texts=st.lists(TEXT, min_size=2, max_size=10),
+        dup_of=st.lists(st.integers(0, 9), min_size=0, max_size=6),
+        wbc=st.booleans(),
+    )
+    @settings(max_examples=8, deadline=None)
+    def test_local_matches_distributed(self, texts, dup_of, wbc):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from dlp_plugins_ray.stages.dedup import minhash_duplicate_pairs
+
+        all_texts = list(texts) + [
+            texts[i % len(texts)] for i in dup_of
+        ]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(len(all_texts)), pa.int64()),
+                "text": pa.array(all_texts, pa.string()),
+            }
+        )
+        cols = ["id_a", "id_b"] + (["n_bands"] if wbc else [])
+        got = {}
+        for mode, thresh in [("local", 10_000_000), ("dist", 0)]:
+            p = minhash_duplicate_pairs(
+                rd.from_arrow(tbl), text_col="text", id_col="doc_id",
+                num_perm=32, bands=8, with_band_count=wbc,
+                local_pairs_threshold=thresh,
+            ).to_pandas()
+            # the distributed exchange's empty result carries no schema
+            got[mode] = (
+                sorted(map(tuple, p[cols].values.tolist()))
+                if len(p)
+                else []
+            )
+        assert got["local"] == got["dist"]
+
+
+class TestLocalFlagOpsEquivalence:
+    """pairs_same_component and verify_pairs_jaccard single-task fast
+    paths must equal their two-exchange distributed branches: same
+    unique-pair collapse, same left-join label semantics (absent id =
+    not linked), same >= threshold rule and jaccard values."""
+
+    @given(
+        lab=st.lists(
+            st.tuples(st.integers(0, 12), st.integers(0, 12)),
+            min_size=0, max_size=10, unique_by=lambda t: t[0],
+        ),
+        prs=st.lists(
+            st.tuples(st.integers(0, 14), st.integers(0, 14)),
+            min_size=1, max_size=12,
+        ),
+    )
+    @settings(max_examples=8, deadline=None)
+    def test_same_component_local_matches_distributed(self, lab, prs):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from dlp_plugins_ray.stages.dedup import pairs_same_component
+
+        labels = pa.table(
+            {
+                "id": pa.array([a for a, _ in lab], pa.int64()),
+                "label": pa.array([b for _, b in lab], pa.int64()),
+            }
+        )
+        pairs = pa.table(
+            {
+                "id_a": pa.array([a for a, _ in prs], pa.int64()),
+                "id_b": pa.array([b for _, b in prs], pa.int64()),
+            }
+        )
+        got = {}
+        for mode, thresh in [("local", 10_000_000), ("dist", 0)]:
+            f = pairs_same_component(
+                rd.from_arrow(labels), rd.from_arrow(pairs),
+                local_threshold=thresh,
+            ).to_pandas()
+            got[mode] = sorted(
+                map(tuple, f[["id_a", "id_b", "linked"]].values.tolist())
+            )
+        assert got["local"] == got["dist"]
+
+    @given(
+        texts=st.lists(TEXT, min_size=2, max_size=8),
+        raw_pairs=st.lists(
+            st.tuples(st.integers(0, 9), st.integers(0, 9)),
+            min_size=1, max_size=10,
+        ),
+        thr=st.sampled_from([0.0, 0.4, 1.0]),
+    )
+    @settings(max_examples=8, deadline=None)
+    def test_verify_jaccard_local_matches_distributed(
+        self, texts, raw_pairs, thr
+    ):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from dlp_plugins_ray.stages.dedup import verify_pairs_jaccard
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        pairs = [(a, b) for a, b in raw_pairs if a != b]
+        if not pairs:
+            return
+        cand = pa.table(
+            {
+                "id_a": pa.array([a for a, _ in pairs], pa.int64()),
+                "id_b": pa.array([b for _, b in pairs], pa.int64()),
+            }
+        )
+        got = {}
+        for mode, thresh in [("local", 10_000_000), ("dist", 0)]:
+            v = verify_pairs_jaccard(
+                rd.from_arrow(docs), rd.from_arrow(cand),
+                text_col="text", id_col="doc_id", k=3, threshold=thr,
+                local_threshold=thresh,
+            ).to_pandas()
+            got[mode] = (
+                sorted(
+                    map(tuple, v[["id_a", "id_b", "jaccard"]].values.tolist())
+                )
+                if len(v)
+                else []
+            )
+        assert got["local"] == got["dist"]
