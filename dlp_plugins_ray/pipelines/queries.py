@@ -588,7 +588,7 @@ def q_ann_topk_cosine(sf_dir: str):
     match the DuckDB oracle exactly)."""
     q = _query_vector(sf_dir)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    out = ANN.brute_force_topk(ds, q.astype(np.float64), k=10, concurrency=(1, 8))
+    out = ANN.brute_force_topk(ds, q.astype(np.float64), k=10)
     return out.map_batches(lambda b: b.select(["vec_id"]), batch_format="pyarrow")
 
 
@@ -601,7 +601,11 @@ def q_ann_ivf_topk(sf_dir: str):
     import pyarrow.parquet as pq
 
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"])
-    sample = np.asarray(t.column("embedding").to_pylist()[:2000], dtype=np.float32)
+    # slice BEFORE to_pylist: only the 2000 sampled rows pay the
+    # Python-object conversion, not the whole column
+    sample = np.asarray(
+        t.column("embedding").slice(0, 2000).to_pylist(), dtype=np.float32
+    )
     cent = ANN.train_centroids(sample, n_centroids=8)
     q = _query_vector(sf_dir)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])

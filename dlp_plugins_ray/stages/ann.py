@@ -78,34 +78,90 @@ def brute_force_topk(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     k: int = 10,
-    concurrency=(1, 16),
+    local_merge_threshold: int = 2_000_000,
+    concurrency=None,
 ):
     """Global top-k per query by cosine similarity. Returns a Dataset of
     (id, query_idx, score), exactly k rows per query, ordered by score
-    desc (ties broken by id asc for determinism)."""
+    desc (ties broken by id asc for determinism).
+
+    Scoring runs as a plain TASK pool via ``cached_task_stage`` (repo
+    idiom — an actor pool paid 1-2 s of process spin-up per search;
+    pass ``concurrency`` to get a bounded actor pool back when the
+    query matrix is big enough to need capping). The per-block
+    partials (k rows per query per block) merge in ONE remote task
+    when they fit ``local_merge_threshold``; above it — a 10^10-vector
+    corpus at 10^5 blocks x many queries — they take a bucketed
+    exchange on ``query_idx`` instead (pass 0 to force it)."""
+    import polars as pl
+
+    from .cache import cached_task_stage
+    from .shuffle import bucketed_group_reduce
+
     queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
     qref = ray.put(queries)
-    partials = ds.map_batches(
-        BruteForceTopK,
-        fn_constructor_args=(qref, id_col, emb_col, k),
-        batch_format="pyarrow",
-        concurrency=concurrency,
+    if concurrency is not None:
+        partials = ds.map_batches(
+            BruteForceTopK,
+            fn_constructor_args=(qref, id_col, emb_col, k),
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
+    else:
+        partials = ds.map_batches(
+            cached_task_stage(BruteForceTopK, qref, id_col, emb_col, k),
+            batch_format="pyarrow",
+        )
+    out_schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            ("query_idx", pa.int64()),
+            ("score", pa.float64()),
+        ]
     )
 
     def final_topk(group: pa.Table) -> pa.Table:
-        import polars as pl
-
+        """Per-query head-k; all rows of a query are co-located (whole
+        partial set in the local branch, one hash bucket in the
+        distributed one)."""
         return (
             pl.from_arrow(group)
-            .sort(["score", id_col], descending=[True, False])
-            .head(k)
+            .sort(
+                ["query_idx", "score", id_col],
+                descending=[False, True, False],
+            )
+            .with_columns(
+                pl.int_range(pl.len()).over("query_idx").alias("_rank")
+            )
+            .filter(pl.col("_rank") < k)
+            .drop("_rank")
             .to_arrow()
-            .select(group.column_names)
-            .cast(group.schema)
+            .cast(out_schema)
         )
 
-    return partials.groupby("query_idx").map_groups(
-        final_topk, batch_format="pyarrow"
+    if local_merge_threshold:
+        partials = partials.materialize()
+        if partials.count() <= local_merge_threshold:
+            import ray.data as rd
+
+            @ray.remote
+            def merge(*tables) -> pa.Table:
+                tabs = [
+                    t for t in tables
+                    if t.num_rows and "query_idx" in t.column_names
+                ]
+                if not tabs:
+                    return out_schema.empty_table()
+                return final_topk(
+                    pa.concat_tables([t.cast(tabs[0].schema) for t in tabs])
+                )
+
+            return rd.from_arrow_refs(
+                [merge.remote(*partials.to_arrow_refs())]
+            )
+
+    return bucketed_group_reduce(
+        partials, ["query_idx"], final_topk, out_schema=out_schema
     )
 
 
@@ -173,12 +229,12 @@ def ivf_topk(
         probe.update(np.argsort(-q_cent[qi])[:nprobe].tolist())
     probe_arr = pa.array(sorted(probe), type=pa.int64())
 
+    from .cache import cached_task_stage
+
     cref = ray.put(cent)
     assigned = ds.map_batches(
-        IvfAssignStage,
-        fn_constructor_args=(cref, emb_col),
+        cached_task_stage(IvfAssignStage, cref, emb_col),
         batch_format="pyarrow",
-        concurrency=(1, 16),
     )
     pruned = assigned.map_batches(
         lambda b: b.filter(pa.compute.is_in(b.column("centroid"), value_set=probe_arr)),
@@ -204,12 +260,12 @@ def ivf_write_partitioned(
     layer before any byte leaves disk, which is the real IVF layout at
     100 TB (the in-batch filter in ``ivf_topk`` scans everything
     once)."""
+    from .cache import cached_task_stage
+
     cref = ray.put(np.asarray(centroids, dtype=np.float32))
     assigned = ds.map_batches(
-        IvfAssignStage,
-        fn_constructor_args=(cref, emb_col),
+        cached_task_stage(IvfAssignStage, cref, emb_col),
         batch_format="pyarrow",
-        concurrency=(1, 16),
     )
     assigned.write_parquet(out_dir, partition_cols=["centroid"])
     return out_dir

@@ -723,3 +723,46 @@ class TestLocalFlagOpsEquivalence:
                 else []
             )
         assert got["local"] == got["dist"]
+
+
+class TestSimhashLocalPairsEquivalence:
+    """simhash_near_dup_pairs' single-task branch (local_threshold > 0)
+    must equal the two-exchange distributed branch — same singleton
+    pruning, same triu/hot-cap verify, same global pair dedup."""
+
+    @given(
+        texts=st.lists(TEXT, min_size=2, max_size=10),
+        dup_of=st.lists(st.integers(0, 9), min_size=0, max_size=5),
+        maxh=st.sampled_from([0, 3, 8]),
+    )
+    @settings(max_examples=8, deadline=None)
+    def test_local_matches_distributed(self, texts, dup_of, maxh):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from dlp_plugins_ray.stages.dedup import simhash_near_dup_pairs
+
+        all_texts = list(texts) + [texts[i % len(texts)] for i in dup_of]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(len(all_texts)), pa.int64()),
+                "text": pa.array(all_texts, pa.string()),
+            }
+        )
+        got = {}
+        for mode, thresh in [("local", 10_000_000), ("dist", 0)]:
+            p = simhash_near_dup_pairs(
+                rd.from_arrow(tbl), text_col="text", id_col="doc_id",
+                max_hamming=maxh, local_threshold=thresh,
+            ).to_pandas()
+            got[mode] = (
+                sorted(
+                    map(
+                        tuple,
+                        p[["id_a", "id_b", "hamming"]].values.tolist(),
+                    )
+                )
+                if len(p)
+                else []
+            )
+        assert got["local"] == got["dist"]
