@@ -3053,29 +3053,32 @@ ORACLE_SQL["top3_orders_per_segment"] = r"""
 def q_hash_join_revenue(sf_dir: str):
     """Distributed shuffle hash join — LARGE x LARGE, no broadcast:
     lineitem x orders co-partitioned on the order key in ONE exchange
-    (stages/joins.py hash_join), then revenue per order priority via a
-    per-block partial aggregate + tiny bucketed reduce. Revenue is
-    summed in exact integer cents (floor(x*100 + 0.5) per row — the
-    identical float64 expression DuckDB evaluates) so the distributed
-    sum is order-insensitive and matches the oracle bit-exactly."""
+    (stages/joins.py hash_join) with the per-priority revenue partial
+    FUSED into the join's bucket reduce (bucket_post); the driver
+    merges <= 5 priorities x num_buckets partial rows, so the join
+    exchange is the query's ONLY all-to-all. Revenue is summed in
+    exact integer cents (floor(x*100 + 0.5) per row — the identical
+    float64 expression DuckDB evaluates) so the distributed sum is
+    order-insensitive and matches the oracle bit-exactly."""
     from ..stages.joins import hash_join
-    from ..stages.shuffle import bucketed_group_reduce
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    joined = hash_join(
-        li,
-        orders,
-        on="l_orderkey",
-        right_on="o_orderkey",
-        right_value_cols=["o_orderpriority"],
-        how="inner",
+
+    partial_schema = pa.schema(
+        [
+            ("o_orderpriority", pa.string()),
+            ("n_items", pa.int64()),
+            ("revenue_cents", pa.int64()),
+        ]
     )
 
     def partial(b: pa.Table) -> pa.Table:
         import polars as pl
 
-        out = (
+        if b.num_rows == 0:
+            return partial_schema.empty_table()
+        return (
             pl.from_arrow(b)
             .with_columns(
                 (
@@ -3091,38 +3094,34 @@ def q_hash_join_revenue(sf_dir: str):
                 pl.len().cast(pl.Int64).alias("n_items"),
                 pl.col("cents").sum().alias("revenue_cents"),
             )
+            .to_arrow()
+            .select(partial_schema.names)
+            .cast(partial_schema)
         )
-        return out.to_arrow()
 
-    partials = joined.map_batches(
-        partial, batch_format="pyarrow", batch_size=None
+    partials = hash_join(
+        li,
+        orders,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        right_value_cols=["o_orderpriority"],
+        how="inner",
+        bucket_post=partial,
+        post_schema=partial_schema,
     )
 
-    def final(block: pa.Table) -> pa.Table:
-        import polars as pl
+    import polars as pl
 
-        return (
-            pl.from_arrow(block)
-            .group_by("o_orderpriority")
-            .agg(
-                pl.col("n_items").sum().alias("n_items"),
-                pl.col("revenue_cents").sum().alias("revenue_cents"),
-            )
-            .to_arrow()
+    cand = pa.Table.from_pylist(partials.take_all(), schema=partial_schema)
+    return (
+        pl.from_arrow(cand)
+        .group_by("o_orderpriority")
+        .agg(
+            pl.col("n_items").sum().alias("n_items"),
+            pl.col("revenue_cents").sum().alias("revenue_cents"),
         )
-
-    return bucketed_group_reduce(
-        partials,
-        ["o_orderpriority"],
-        final,
-        num_buckets=4,
-        out_schema=pa.schema(
-            [
-                ("o_orderpriority", pa.string()),
-                ("n_items", pa.int64()),
-                ("revenue_cents", pa.int64()),
-            ]
-        ),
+        .to_arrow()
+        .cast(partial_schema)
     )
 
 
@@ -3140,16 +3139,16 @@ ORACLE_SQL["hash_join_revenue"] = r"""
 def q_tpch_q3_lite(sf_dir: str):
     """TPC-H Q3-shaped composition: broadcast SEMI join (customer
     segment filter — small side ships once), date filters pushed to the
-    scans, shuffle hash join lineitem x orders (large x large), grouped
-    revenue in exact cents, then global top-10 via per-bucket top-10
-    combiners + one tiny driver merge. Ties at the boundary break on
-    l_orderkey ASC in both engines."""
+    scans, shuffle hash join lineitem x orders (large x large) with the
+    grouped exact-cents revenue + per-bucket top-10 FUSED into the
+    join's bucket reduce (group key == join key, so one exchange total),
+    then a tiny driver merge of <= 10 x num_buckets candidates. Ties at
+    the boundary break on l_orderkey ASC in both engines."""
     import datetime
 
     import pyarrow.parquet as pq
 
     from ..stages.joins import broadcast_semi_anti, hash_join
-    from ..stages.shuffle import bucketed_group_reduce
 
     cutoff = datetime.datetime(1998, 6, 1)
     cust = pq.read_table(
@@ -3178,7 +3177,47 @@ def q_tpch_q3_lite(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    joined = hash_join(
+    grouped_schema = pa.schema(
+        [
+            ("l_orderkey", pa.int64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("o_orderpriority", pa.string()),
+            ("revenue_cents", pa.int64()),
+        ]
+    )
+
+    # Grouped revenue FUSED into the join's bucket reduce: the group
+    # key IS the join key, so each bucket holds every lineitem of its
+    # orderkeys and a bucket-local group-sum + top-10 is globally
+    # correct per key — no second exchange (the pre-fusion plan paid a
+    # partials map + a 16-bucket keyed reduce for the same result).
+    # Cents floor to Int64 BEFORE the sum, so summation order is moot.
+    def bucket_top10(joined_block: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if joined_block.num_rows == 0:
+            return grouped_schema.empty_table()
+        return (
+            pl.from_arrow(joined_block)
+            .with_columns(
+                (
+                    pl.col("l_extendedprice") * (1 - pl.col("l_discount")) * 100
+                    + 0.5
+                )
+                .floor()
+                .cast(pl.Int64)
+                .alias("cents")
+            )
+            .group_by(["l_orderkey", "o_orderdate", "o_orderpriority"])
+            .agg(pl.col("cents").sum().alias("revenue_cents"))
+            .sort(["revenue_cents", "l_orderkey"], descending=[True, False])
+            .head(10)
+            .to_arrow()
+            .select(grouped_schema.names)
+            .cast(grouped_schema)
+        )
+
+    top_per_bucket = hash_join(
         li,
         orders,
         on="l_orderkey",
@@ -3201,70 +3240,8 @@ def q_tpch_q3_lite(sf_dir: str):
                 ("o_orderpriority", pa.string()),
             ]
         ),
-    )
-
-    grouped_schema = pa.schema(
-        [
-            ("l_orderkey", pa.int64()),
-            ("o_orderdate", pa.timestamp("us")),
-            ("o_orderpriority", pa.string()),
-            ("revenue_cents", pa.int64()),
-        ]
-    )
-
-    # PARTIAL grouped revenue per block — no block-local top-k: Ray can
-    # split a map_groups output block past target_max_block_size, so a
-    # key's lineitems may straddle two batches and a per-block head(10)
-    # would drop fragments of a globally-top key. Instead each block
-    # emits full per-key partial sums, ONE tiny keyed bucketed reduce
-    # totals them and takes a per-bucket top-10 (valid: each bucket
-    # holds every partial of its keys), and the driver merges
-    # <= 10 x num_buckets candidate rows.
-    def block_partials(b: pa.Table) -> pa.Table:
-        import polars as pl
-
-        if b.num_rows == 0:
-            return grouped_schema.empty_table()
-        return (
-            pl.from_arrow(b)
-            .with_columns(
-                (
-                    pl.col("l_extendedprice") * (1 - pl.col("l_discount")) * 100
-                    + 0.5
-                )
-                .floor()
-                .cast(pl.Int64)
-                .alias("cents")
-            )
-            .group_by(["l_orderkey", "o_orderdate", "o_orderpriority"])
-            .agg(pl.col("cents").sum().alias("revenue_cents"))
-            .to_arrow()
-            .select(grouped_schema.names)
-            .cast(grouped_schema)
-        )
-
-    partials = joined.map_batches(
-        block_partials, batch_format="pyarrow", batch_size=None
-    )
-
-    def bucket_top10(block: pa.Table) -> pa.Table:
-        import polars as pl
-
-        return (
-            pl.from_arrow(block)
-            .group_by(["l_orderkey", "o_orderdate", "o_orderpriority"])
-            .agg(pl.col("revenue_cents").sum())
-            .sort(["revenue_cents", "l_orderkey"], descending=[True, False])
-            .head(10)
-            .to_arrow()
-        )
-
-    top_per_bucket = bucketed_group_reduce(
-        partials,
-        ["l_orderkey"],
-        bucket_top10,
-        num_buckets=16,
-        out_schema=grouped_schema,
+        bucket_post=bucket_top10,
+        post_schema=grouped_schema,
     )
     # global merge: <= 10 x num_buckets candidate rows
     import polars as pl
@@ -4211,15 +4188,15 @@ def q_tpch_q5_lite(sf_dir: str):
     pre-filtered to the region's nations AT THE MAP (shrinks the build
     side before any exchange); TWO chained large x large
     ``hash_join``s (orders x customer on custkey, lineitem x that on
-    orderkey); supplier nation looked up via a broadcast probe; exact
-    integer-cents revenue partials + one tiny bucketed reduce."""
+    orderkey) — the broadcast supplier-nation probe and the exact
+    integer-cents partial aggregation are FUSED into the second join's
+    bucket reduce (two exchanges total) and the driver merges
+    <= 5 nations x num_buckets partial rows."""
     import pyarrow.parquet as pq
 
     import ray
 
-    from ..stages.cache import cached_task_stage
     from ..stages.joins import hash_join
-    from ..stages.shuffle import bucketed_group_reduce
 
     nation = pq.read_table(
         os.path.join(sf_dir, "nation.parquet"),
@@ -4256,14 +4233,6 @@ def q_tpch_q5_lite(sf_dir: str):
         "lineitem",
         ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
-    j = hash_join(
-        li,
-        o2,
-        on="l_orderkey",
-        right_on="o_orderkey",
-        right_value_cols=["c_nationkey"],
-        how="inner",
-    )
 
     supp = pq.read_table(
         os.path.join(sf_dir, "supplier.parquet"),
@@ -4272,33 +4241,37 @@ def q_tpch_q5_lite(sf_dir: str):
     supp_ref = ray.put(supp)
     names_ref = ray.put(nat.select(["n_nationkey", "n_name"]).combine_chunks())
 
-    class SupplierNation:
-        def __init__(self, supp_ref, names_ref):
-            supp = ray.get(supp_ref)
-            self.skeys = supp.column("s_suppkey").combine_chunks()
-            self.snat = supp.column("s_nationkey").combine_chunks()
-            names = ray.get(names_ref)
-            self.nkeys = names.column("n_nationkey").combine_chunks()
-            self.nname = names.column("n_name").combine_chunks()
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            idx = pc.index_in(batch.column("l_suppkey"), value_set=self.skeys)
-            snat = self.snat.take(idx)
-            keep = pc.equal(snat, batch.column("c_nationkey"))
-            batch = batch.append_column("s_nationkey", snat).filter(keep)
-            nidx = pc.index_in(
-                batch.column("s_nationkey"), value_set=self.nkeys
-            )
-            return batch.append_column("n_name", self.nname.take(nidx))
-
-    tagged = j.map_batches(
-        cached_task_stage(SupplierNation, supp_ref, names_ref),
-        batch_format="pyarrow",
+    partial_schema = pa.schema(
+        [
+            ("n_name", pa.large_string()),
+            ("n_items", pa.int64()),
+            ("revenue_cents", pa.int64()),
+        ]
     )
 
-    def partial(b: pa.Table) -> pa.Table:
+    # Supplier-nation probe + exact-cents partial aggregation FUSED
+    # into the second join's bucket reduce: the probe is a broadcast
+    # lookup (shipped once via ray.put, fetched zero-copy per task)
+    # and the group key (n_name, 5 values) isn't the bucket key, so
+    # each bucket emits <= 5 PARTIAL rows — the driver merges
+    # <= 5 x num_buckets rows instead of paying a third exchange.
+    def bucket_partial(joined_block: pa.Table) -> pa.Table:
         import polars as pl
 
+        if joined_block.num_rows == 0:
+            return partial_schema.empty_table()
+        supp = ray.get(supp_ref)
+        skeys = supp.column("s_suppkey").combine_chunks()
+        snat_all = supp.column("s_nationkey").combine_chunks()
+        names = ray.get(names_ref)
+        nkeys = names.column("n_nationkey").combine_chunks()
+        nname = names.column("n_name").combine_chunks()
+        idx = pc.index_in(joined_block.column("l_suppkey"), value_set=skeys)
+        snat = snat_all.take(idx)
+        keep = pc.equal(snat, joined_block.column("c_nationkey"))
+        b = joined_block.append_column("s_nationkey", snat).filter(keep)
+        nidx = pc.index_in(b.column("s_nationkey"), value_set=nkeys)
+        b = b.append_column("n_name", nname.take(nidx))
         return (
             pl.from_arrow(b.select(["n_name", "l_extendedprice", "l_discount"]))
             .with_columns(
@@ -4316,37 +4289,33 @@ def q_tpch_q5_lite(sf_dir: str):
                 pl.col("cents").sum().alias("revenue_cents"),
             )
             .to_arrow()
+            .select(partial_schema.names)
+            .cast(partial_schema)
         )
 
-    partials = tagged.map_batches(
-        partial, batch_format="pyarrow", batch_size=None
+    partials = hash_join(
+        li,
+        o2,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        right_value_cols=["c_nationkey"],
+        how="inner",
+        bucket_post=bucket_partial,
+        post_schema=partial_schema,
     )
 
-    def final(block: pa.Table) -> pa.Table:
-        import polars as pl
+    import polars as pl
 
-        return (
-            pl.from_arrow(block)
-            .group_by("n_name")
-            .agg(
-                pl.col("n_items").sum().alias("n_items"),
-                pl.col("revenue_cents").sum().alias("revenue_cents"),
-            )
-            .to_arrow()
+    cand = pa.Table.from_pylist(partials.take_all(), schema=partial_schema)
+    return (
+        pl.from_arrow(cand)
+        .group_by("n_name")
+        .agg(
+            pl.col("n_items").sum().alias("n_items"),
+            pl.col("revenue_cents").sum().alias("revenue_cents"),
         )
-
-    return bucketed_group_reduce(
-        partials,
-        ["n_name"],
-        final,
-        num_buckets=4,
-        out_schema=pa.schema(
-            [
-                ("n_name", pa.large_string()),
-                ("n_items", pa.int64()),
-                ("revenue_cents", pa.int64()),
-            ]
-        ),
+        .to_arrow()
+        .cast(partial_schema)
     )
 
 

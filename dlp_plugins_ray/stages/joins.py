@@ -93,6 +93,8 @@ def hash_join(
     left_schema: pa.Schema | None = None,
     right_schema: pa.Schema | None = None,
     salt: int = 1,
+    bucket_post=None,
+    post_schema: pa.Schema | None = None,
 ):
     """Distributed hash join for LARGE x LARGE inputs — the shuffle
     join ``broadcast_join`` cannot do (its small side must fit one
@@ -121,7 +123,19 @@ def hash_join(
     sees ALL right rows of its key). Cost: build side x s through the
     exchange — use for probe-heavy skew, keep the build side lean.
     'full' would emit unmatched right replicas s times and is rejected.
+
+    ``bucket_post(joined_block) -> pa.Table`` fuses a post-join reduce
+    INTO the join's bucket task (output cast to ``post_schema``): the
+    bucket block holds EVERY joined row of its keys, so an aggregation
+    grouped by the join key(s) computed here is globally complete —
+    the downstream exchange that a separate ``bucketed_group_reduce``
+    would cost disappears. Grouping by any OTHER column yields one
+    partial per bucket (still useful: merge the <= groups x buckets
+    rows on the driver). Not supported with ``salt > 1`` (a key's rows
+    then straddle buckets).
     """
+    if bucket_post is not None and salt > 1:
+        raise ValueError("bucket_post requires salt == 1")
     if salt > 1 and how == "full":
         raise ValueError("salt>1 is not supported for how='full'")
     keys = [on] if isinstance(on, str) else list(on)
@@ -279,12 +293,18 @@ def hash_join(
 
     from .shuffle import bucketed_group_reduce
 
+    if bucket_post is not None:
+        inner_join = per_bucket
+
+        def per_bucket(block: pa.Table) -> pa.Table:  # noqa: F811
+            return bucket_post(inner_join(block))
+
     return bucketed_group_reduce(
         unioned,
         join_keys,
         per_bucket,
         num_buckets=num_buckets,
-        out_schema=out_schema,
+        out_schema=post_schema if bucket_post is not None else out_schema,
     )
 
 

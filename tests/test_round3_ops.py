@@ -86,6 +86,71 @@ class TestHashJoin:
         # semi + anti = left, disjoint
         assert len(semi) + len(anti) == len(lp)
 
+    def test_bucket_post_fused_groupsum_equals_two_stage(self):
+        """Fused bucket_post aggregation (group key == join key) must
+        equal joining first and aggregating after — the plan-shape
+        equivalence q3/q5-style queries rely on."""
+        import ray.data as rd
+
+        from dlp_plugins_ray.stages.joins import hash_join
+
+        left, right = self._sides()
+        post_schema = pa.schema([("k", pa.int64()), ("s", pa.int64())])
+
+        def post(joined: pa.Table) -> pa.Table:
+            import polars as pl
+
+            if joined.num_rows == 0:
+                return post_schema.empty_table()
+            return (
+                pl.from_arrow(joined)
+                .group_by("k")
+                .agg((pl.col("lv") + pl.col("rv")).sum().alias("s"))
+                .to_arrow()
+                .select(post_schema.names)
+                .cast(post_schema)
+            )
+
+        fused = _pdf(
+            hash_join(
+                rd.from_arrow(left),
+                rd.from_arrow(right),
+                on="k",
+                how="inner",
+                num_buckets=8,
+                bucket_post=post,
+                post_schema=post_schema,
+            )
+        )
+        lp, rp = left.to_pandas(), right.to_pandas()
+        joined = lp.merge(rp, on="k", how="inner")
+        expect = (
+            joined.assign(s=joined["lv"] + joined["rv"])
+            .groupby("k", as_index=False)["s"]
+            .sum()
+        )
+        pd.testing.assert_frame_equal(
+            self._canon(fused), self._canon(expect), check_dtype=False
+        )
+        # each join key appears exactly once across all buckets
+        assert fused["k"].is_unique
+
+    def test_bucket_post_rejects_salt(self):
+        import ray.data as rd
+
+        from dlp_plugins_ray.stages.joins import hash_join
+
+        left, right = self._sides()
+        with pytest.raises(ValueError):
+            hash_join(
+                rd.from_arrow(left),
+                rd.from_arrow(right),
+                on="k",
+                salt=2,
+                bucket_post=lambda t: t,
+                post_schema=pa.schema([("k", pa.int64())]),
+            )
+
     def test_right_on_rename(self):
         import ray.data as rd
 
