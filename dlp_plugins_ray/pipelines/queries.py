@@ -4237,9 +4237,17 @@ def q_tpch_q5_lite(sf_dir: str):
     supp = pq.read_table(
         os.path.join(sf_dir, "supplier.parquet"),
         columns=["s_suppkey", "s_nationkey"],
-    ).combine_chunks()
-    supp_ref = ray.put(supp)
-    names_ref = ray.put(nat.select(["n_nationkey", "n_name"]).combine_chunks())
+    )
+    names = nat.select(["n_nationkey", "n_name"])
+    # ship pre-combined ARRAYS so bucket tasks pay zero re-assembly
+    lookup_ref = ray.put(
+        (
+            supp.column("s_suppkey").combine_chunks(),
+            supp.column("s_nationkey").combine_chunks(),
+            names.column("n_nationkey").combine_chunks(),
+            names.column("n_name").combine_chunks(),
+        )
+    )
 
     partial_schema = pa.schema(
         [
@@ -4260,12 +4268,7 @@ def q_tpch_q5_lite(sf_dir: str):
 
         if joined_block.num_rows == 0:
             return partial_schema.empty_table()
-        supp = ray.get(supp_ref)
-        skeys = supp.column("s_suppkey").combine_chunks()
-        snat_all = supp.column("s_nationkey").combine_chunks()
-        names = ray.get(names_ref)
-        nkeys = names.column("n_nationkey").combine_chunks()
-        nname = names.column("n_name").combine_chunks()
+        skeys, snat_all, nkeys, nname = ray.get(lookup_ref)
         idx = pc.index_in(joined_block.column("l_suppkey"), value_set=skeys)
         snat = snat_all.take(idx)
         keep = pc.equal(snat, joined_block.column("c_nationkey"))
@@ -4948,18 +4951,27 @@ _DRIVER_PREFIX = [
     "purchases_daily_pushdown",
     "top3_orders_per_segment",
     # (d) operators whose code is touched this round — re-attest
+    # (simhash kernel pruning, ANN cached task pools, embedding LSH
+    # fast paths, the apply_whole_column memoization shared by every
+    # deterministic transform, size-adaptive dedup plans)
     "minhash_dedup_incremental",
     "exact_dedup_incremental",
     "minhash_dedup_verified",
     "minhash_dedup_keep",
     "dedup_minhash_pairs",
     "jaccard_verified_pairs",
-    # (e) CDC north-rule core, kept fresh
+    "simhash_near_dup_pairs",
+    "ann_ivf_topk",
+    "embedding_near_dup",
+    "det_encrypt_roundtrip",
+    # (e) CDC north-rule core + touched-kernel representatives, kept
+    # fresh (upsert_lww_* / cdc_replay_versions / schema_evolution
+    # rotated out: r4 driver-green AND their code is untouched this
+    # round; date_shift_bounded / crypto_hash share the memoized
+    # apply_whole_column path attested via redact_mask / fpe_roundtrip
+    # / det_encrypt_roundtrip and stay covered by the committed local
+    # full run, CORRECTNESS_LOCAL_r05.json)
     "cdc_full_replay",
-    "upsert_lww_events",
-    "upsert_lww_tombstones",
-    "cdc_replay_versions",
-    "schema_evolution",
     "redact_mask",
     "fpe_roundtrip",
     "dedup_exact",

@@ -28,7 +28,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 # bump to invalidate cached corpora on generator changes
-_VERSION = "v3"
+_VERSION = "v4"
 _COMPLETE = f"_COMPLETE_soak_{_VERSION}"
 
 # 12 lines/doc from a 64k-line pool: the near-dup mutation APPENDS a
@@ -227,7 +227,13 @@ def _plan_interleaved_for(dup_ids: np.ndarray, *, hot_frac: float,
     n_before = _n_base_before(dup_ids.astype(np.int64)).astype(np.uint64)
     # every dup id has >= 7 base ids before it (first dup id is 7)
     uniform = _base_id((h_src % np.maximum(n_before, 1)).astype(np.int64))
-    hot = _base_id((h_src % np.uint64(n_hot)).astype(np.int64))
+    # hot pick bounded by the dup's own prefix: the first dup ids
+    # (7, 8, 9) have only 7 earlier bases, and an UNbounded pick could
+    # clone a base id > the dup id — min-id-wins would then drop the
+    # BASE doc and the 'clones an earlier base' invariant (and
+    # base_preserved) breaks for non-default hot_frac/n_hot.
+    hot_mod = np.minimum(np.uint64(n_hot), n_before)
+    hot = _base_id((h_src % np.maximum(hot_mod, 1)).astype(np.int64))
     take_hot = (h_hot % np.uint64(1000)) < np.uint64(int(hot_frac * 1000))
     source = np.where(take_hot, hot, uniform)
     is_near = (_mix(d, 14) % np.uint64(2)).astype(bool)
@@ -393,6 +399,11 @@ def run_soak(n_docs: int, *, dup_frac: float = 0.3, hot_frac: float = 0.5,
         off = np.array([r["doc_id"] for r in surv], dtype=np.int64) - n_base
         surv_near = int(p["is_near"][off].sum())
         surv_exact = len(off) - surv_near
+    elif kept_dup > 100_000:
+        # past the pull cap the survivors can't be attributed to a
+        # kind — charge them to BOTH categories so truncation only
+        # lowers the reported per-kind recalls (never fabricates 1.0)
+        surv_exact = surv_near = int(kept_dup)
     return {
         "seconds": round(dt, 3),
         "docs": n_docs,
@@ -479,6 +490,7 @@ def run_incremental_soak(n_docs: int, *, n_slices: int = 3,
     kept_total = 0
     kept_base = 0
     surviving: list[int] = []
+    uncounted_dups = 0  # survivors past the per-slice pull cap
     t_all = time.time()
     for s in range(n_slices):
         ds = rd.read_parquet(slice_files[s], columns=["doc_id", "text"])
@@ -533,7 +545,11 @@ def run_incremental_soak(n_docs: int, *, n_slices: int = 3,
         kept_total += k
         kept_base += kb
         k_dup = k - kb
-        # survivor dup ids: misses-only, bounded pull (capped)
+        # survivor dup ids: misses-only, bounded pull (capped). A slice
+        # with MORE survivors than the cap is a gross dedup regression —
+        # count them as uncounted misses rather than silently skipping
+        # the pull (which would inflate every recall to ~1.0 exactly
+        # when the engine is broken).
         if 0 < k_dup <= 200_000:
             def dup_only(b: pa.Table) -> pa.Table:
                 ids = b.column("doc_id").to_numpy(zero_copy_only=False)
@@ -544,6 +560,8 @@ def run_incremental_soak(n_docs: int, *, n_slices: int = 3,
                 dup_only, batch_format="pyarrow"
             ).take_all()
             surviving.extend(r["doc_id"] for r in surv)
+        elif k_dup > 200_000:
+            uncounted_dups += int(k_dup)
     dt = time.time() - t_all
 
     n_base = int(_n_base_before(n_docs))
@@ -578,6 +596,16 @@ def run_incremental_soak(n_docs: int, *, n_slices: int = 3,
     n_cross = int(cross_all.sum())
     n_within = n_dups - n_cross
 
+    # Uncounted (cap-exceeding) survivors cannot be attributed to a
+    # kind or slice; charge them to EVERY category so truncation can
+    # only LOWER the reported recalls (the teeth then fail loudly
+    # instead of passing on fabricated numbers).
+    if uncounted_dups:
+        surv_exact += uncounted_dups
+        surv_near += uncounted_dups
+        surv_cross += uncounted_dups
+        surv_within += uncounted_dups
+
     meta = DD._band_store_meta(store)
     return {
         "seconds": round(dt, 3),
@@ -589,8 +617,11 @@ def run_incremental_soak(n_docs: int, *, n_slices: int = 3,
         "n_dups": n_dups,
         "kept": int(kept_total),
         "kept_base": int(kept_base),
-        "surviving_dups": len(surviving),
-        "recall": round((n_dups - len(surviving)) / max(n_dups, 1), 6),
+        "surviving_dups": len(surviving) + uncounted_dups,
+        "surviving_uncounted": uncounted_dups,
+        "recall": round(
+            (n_dups - len(surviving) - uncounted_dups) / max(n_dups, 1), 6
+        ),
         "recall_exact": round((n_exact - surv_exact) / max(n_exact, 1), 6),
         "recall_near": round((n_near - surv_near) / max(n_near, 1), 6),
         "n_cross_slice": n_cross,

@@ -397,12 +397,17 @@ def asof_join(
                 )
             return out.select(out_schema.names).cast(out_schema)
         # join_asof requires both frames sorted by the on-column; by=key
-        # then resolves EVERY key in the bucket in one vectorized pass
+        # then resolves EVERY key in the bucket in one vectorized pass.
+        # The right sort totally orders duplicate (key, ts) rows by the
+        # value columns too: block row order varies run-to-run after the
+        # exchange and polars' default sort is not stable, so without
+        # the tie-break the matched row among ts-duplicates (join_asof
+        # takes the last in sort order) would be nondeterministic.
         ldf = pl.from_arrow(lf).sort(ts_col)
         rdf = (
             pl.from_arrow(rf)
             .rename(dict(zip(right_value_cols, out_right_names)))
-            .sort(ts_col)
+            .sort([ts_col, *out_right_names])
         )
         joined = ldf.join_asof(rdf, on=ts_col, by=key, strategy=strategy)
         return joined.to_arrow().select(out_schema.names).cast(out_schema)

@@ -353,6 +353,27 @@ def test_interleaved_plan_properties():
     assert (soak._base_id(np.arange(len(bs))) == bs).all()
 
 
+def test_interleaved_plan_invariant_all_params():
+    """source < dup_id must hold for EVERY (hot_frac, n_hot) — the
+    unbounded hot pick let early dup ids (7-9) clone LATER bases at
+    hot_frac=1.0 or n_hot>10, silently breaking first-writer-wins and
+    base_preserved (the defaults passed only by hash luck)."""
+    for n_hot in (10, 20, 100):
+        for hf in (0.0, 0.5, 1.0):
+            p = soak.plan_interleaved(50_000, hot_frac=hf, n_hot=n_hot)
+            assert (p["source"] < p["dup_ids"]).all(), (n_hot, hf)
+            assert (
+                (p["source"] % soak._PERIOD) < soak._BASE_PER_PERIOD
+            ).all()
+            # subset derivation stays consistent with the full plan
+            idx = np.arange(0, len(p["dup_ids"]), 7)
+            s2, n2 = soak._plan_interleaved_for(
+                p["dup_ids"][idx], hot_frac=hf, n_hot=n_hot
+            )
+            assert (s2 == p["source"][idx]).all()
+            assert (n2 == p["is_near"][idx]).all()
+
+
 def test_incremental_soak_streaming_slices(ray_session, tmp_path):
     """3 contiguous slices of the interleaved corpus through the
     band-store incremental path: no base doc dropped in any slice,
