@@ -471,9 +471,19 @@ class CheckpointFilter:
 
 class FinalizeAndCommit:
     """Per-partition group finalizer: LWW within the partition, merge
-    with the base table's existing partition data (incremental runs),
-    drop tombstones, write parquet + manifest atomically. Returns the
-    one-row manifest table (the only data that travels back)."""
+    with the base table's existing partition data AND tombstone sidecar
+    (incremental runs), split tombstone winners out to the sidecar,
+    write parquet + sidecar + manifest atomically. Returns the one-row
+    manifest table (the only data that travels back).
+
+    The sidecar (``tombstones.parquet`` next to ``data.parquet``) holds
+    each deleted key's winning delete row — the per-key delete
+    high-water mark. Without it, a late-arriving upsert with seq BELOW
+    a committed delete's (checkpoint_filter=False replays, or events
+    redelivered after ``repartition_lake``) would win the LWW against
+    an absent row and resurrect deleted data. Tombstones are pruned
+    automatically when a newer upsert supersedes them; otherwise they
+    persist (delete-file retention, as in other table formats)."""
 
     def __init__(
         self,
@@ -504,16 +514,17 @@ class FinalizeAndCommit:
         # wire-packed commits become hex again BEFORE any base merge or
         # LWW pass — lake files, checksums and manifests only see hex
         group = _unpack_commit(group)
+        # applied-event count BEFORE any base merge: the metric (and
+        # the lineage oracle's sum(events_applied) <= raw-events bound)
+        # counts this run's events, not re-read base rows
+        n_events = group.num_rows
 
         if self.merge_base:
-            base_path = mf.partition_data_path(self.out_dir, pkey)
-            if os.path.exists(base_path):
-                import pyarrow.parquet as pq
 
-                base = pq.read_table(base_path)
-                # conform the base to the current schema: a base written
-                # before a column-add lacks the new column — null-fill
-                # (the schema-evolution contract extends to the lake)
+            def conform(base: pa.Table) -> pa.Table:
+                # conform to the current schema: a base written before
+                # a column-add lacks the new column — null-fill (the
+                # schema-evolution contract extends to the lake)
                 cols = []
                 for fld in group.schema:
                     idx = base.schema.get_field_index(fld.name)
@@ -524,14 +535,35 @@ class FinalizeAndCommit:
                         cols.append(col)
                     else:
                         cols.append(pa.nulls(base.num_rows, fld.type))
-                base = pa.Table.from_arrays(cols, schema=group.schema)
-                group = pa.concat_tables([base, group])
+                return pa.Table.from_arrays(cols, schema=group.schema)
 
-        final = lww_reduce(group)
-        final = drop_tombstones(final)
+            parts = []
+            base_path = mf.partition_data_path(self.out_dir, pkey)
+            if os.path.exists(base_path):
+                import pyarrow.parquet as pq
+
+                parts.append(conform(pq.read_table(base_path)))
+            # the tombstone sidecar carries the per-key delete
+            # high-water marks — without it a late upsert BELOW a
+            # committed delete's seq would win the LWW against an
+            # absent row and resurrect deleted data
+            tomb_path = mf.partition_tombstones_path(self.out_dir, pkey)
+            if os.path.exists(tomb_path):
+                import pyarrow.parquet as pq
+
+                parts.append(conform(pq.read_table(tomb_path)))
+            if parts:
+                group = pa.concat_tables(parts + [group])
+
+        final_all = lww_reduce(group)
+        final = drop_tombstones(final_all)
+        tombs = final_all.filter(
+            pc.equal(pc.fill_null(final_all.column("op"), ""), "delete")
+        )
         # deterministic row order -> byte-identical partition files on
         # task retry / re-run (polars group_by order is arbitrary)
         final = final.sort_by([("repo", "ascending"), ("path", "ascending")])
+        tombs = tombs.sort_by([("repo", "ascending"), ("path", "ascending")])
         max_seq = (
             int(pc.max(group.column("seq")).as_py()) if group.num_rows else -1
         )
@@ -548,10 +580,10 @@ class FinalizeAndCommit:
             row_count=final.num_rows,
             checksum=str(_row_checksum(final, self.checksum_mode)),
             lineage=self.lineage,
-            metrics={"events_applied": group.num_rows},
+            metrics={"events_applied": n_events},
             repo_bloom=bloom.to_base64(),
         )
-        mf.commit_partition(self.out_dir, final, man)
+        mf.commit_partition(self.out_dir, final, man, tombstones=tombs)
         return _manifest_row_table([man])
 
 
@@ -774,11 +806,28 @@ def replay(
 
     if pack_commit is None:
         pack_commit = _commit_wire_packable(events_path)
+    _rows_cache: list[int] = []  # footers walked at most once per run
+
+    def _rows() -> int:
+        if not _rows_cache:
+            _rows_cache.append(_input_rows(events_path))
+        return _rows_cache[0]
+
     if pack_blocks is None:
         pack_blocks = _pack_blocks_auto(
             os.environ.get("DLP_RAY_PACK_BLOCKS", "auto"),
             salt_buckets,
-            lambda: _input_rows(events_path),
+            _rows,
+        )
+    elif pack_blocks and salt_buckets > 1:
+        # the salt phase reads per-row columns (seq) that packed
+        # blocks no longer carry — the auto path never combines the
+        # two; reject the explicit combination instead of crashing
+        # inside a map task with an opaque KeyError
+        raise ValueError(
+            "pack_blocks=True is incompatible with salt_buckets > 1 "
+            "(salting needs per-row columns; packing wins only when "
+            "the final exchange dominates anyway)"
         )
 
     policy_json = pol.to_json() if pol else None
@@ -829,10 +878,10 @@ def replay(
     # rows (parquet metadata only — no data read).
     # DLP_RAY_COALESCE=always|never overrides.
     coalesce = os.environ.get("DLP_RAY_COALESCE", "auto")
-    if coalesce == "auto":
-        coalesce = "always" if _input_rows(events_path) < 4_000_000 else "never"
     if pack_blocks:
         coalesce = "never"  # packed rows are already dense fat objects
+    elif coalesce == "auto":
+        coalesce = "always" if _rows() < 4_000_000 else "never"
     if coalesce == "always":
         ds = ds.repartition(max(8, num_partitions // 4))
     if salt_buckets > 1:
@@ -912,6 +961,22 @@ def read_lake_table(out_dir: str):
     return rd.read_parquet(paths)
 
 
+def _read_lake_with_tombstones(src_dir: str):
+    """Data rows PLUS the tombstone sidecars — the stream table
+    maintenance must rewrite (repartition that drops delete high-water
+    marks silently re-opens the late-upsert resurrection window)."""
+    import ray.data as rd
+
+    paths = []
+    for name in sorted(os.listdir(src_dir)):
+        if name.startswith("part-"):
+            for fname in ("data.parquet", "tombstones.parquet"):
+                p = os.path.join(src_dir, name, fname)
+                if os.path.exists(p):
+                    paths.append(p)
+    return rd.read_parquet(paths)
+
+
 def lake_files_for_keys(
     out_dir: str, keys: list[tuple[str, str]]
 ) -> list[str]:
@@ -925,6 +990,19 @@ def lake_files_for_keys(
     if meta is None or "num_partitions" not in meta:
         raise ValueError(
             f"{out_dir} has no _table_meta.json — not a committed lake"
+        )
+    # the pinned algo must be PRODUCIBLE here (same check replay()
+    # performs): hashing lookup keys with a diverged library silently
+    # prunes to the WRONG partition and returns zero rows for keys
+    # that exist — fail fast instead
+    pinned = meta["key_hash"]
+    current = key_hash_algo_id(pinned.split("+", 1)[0])
+    if current != pinned:
+        raise ValueError(
+            f"table meta mismatch for {out_dir}: pinned key_hash "
+            f"{pinned!r} cannot be reproduced by this environment "
+            f"(current identity is {current!r}); migrate the lake with "
+            "repartition_lake or run with the original library versions"
         )
     kt = pa.table(
         {
@@ -1014,11 +1092,14 @@ def repartition_lake(
 ):
     """Table maintenance: rewrite a committed lake under a NEW
     partition count (the migration path the table-meta fail-fast
-    points at). Streams the committed table through the same
-    add_pkey -> groupby(pkey) -> finalize machinery as a replay —
-    exactly-once commits, byte-deterministic partition files,
-    checkpoint (max_seq) carried over per new partition. The source
-    lake is read-only throughout; write to a fresh directory and swap.
+    points at). Streams the committed table — data rows AND the
+    tombstone sidecars — through the same add_pkey -> groupby(pkey) ->
+    finalize machinery as a replay: exactly-once commits,
+    byte-deterministic partition files, and every key's delete
+    high-water mark (hence the max_seq checkpoint) re-homed to its new
+    partition, so post-migration redelivery cannot resurrect deleted
+    rows. The source lake is read-only throughout; write to a fresh
+    directory and swap.
 
     Returns (manifest DataFrame, epoch)."""
     import ray.data as rd
@@ -1038,7 +1119,7 @@ def repartition_lake(
     def tag(batch: pa.Table) -> pa.Table:
         return add_pkey(batch, num_partitions, algo)
 
-    ds = read_lake_table(src_dir).map_batches(
+    ds = _read_lake_with_tombstones(src_dir).map_batches(
         tag, batch_format="pyarrow", batch_size=batch_size
     )
     committer = FinalizeAndCommit(

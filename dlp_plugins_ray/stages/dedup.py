@@ -829,11 +829,25 @@ def embedding_near_dup_pairs(
     n_tables: int = 8,
     n_planes: int = 8,
     num_buckets: int = 16,
+    hot_bucket_cap: int = 65536,
+    tile: int = 4096,
 ):
     """Embedding-cosine near-duplicate pairs (id_a < id_b): multi-table
     hyperplane LSH -> per-(table, bucket) exact cosine verification ->
     global pair dedup. Only (table, bucket, id, vec) rows shuffle —
-    never a full cross join."""
+    never a full cross join.
+
+    Verification memory is bounded: the per-bucket similarity matrix is
+    computed in ``tile`` x ``tile`` blocks (never a full b x b / triu
+    allocation). Buckets past ``hot_bucket_cap`` members — a dup-heavy
+    corpus can drop millions of near-identical vectors into one bucket
+    of every table, where the PAIR LIST itself is Theta(b^2) — fall
+    back to star verification against the bucket's min-id member:
+    cluster connectivity (what downstream connected-components dedup
+    consumes) is preserved exactly for transitive duplicate groups,
+    while pair output and compute stay O(b). Set it high enough that
+    conformance corpora never hit it; exhaustive pair enumeration above
+    the cap is the caller asking for quadratic output."""
     from .cache import cached_task_stage
     from .shuffle import bucketed_group_reduce
 
@@ -858,13 +872,29 @@ def embedding_near_dup_pairs(
             norms = np.linalg.norm(emb, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             unit = emb / norms
-            sims = unit @ unit.T
-            ii, jj = np.triu_indices(len(ids), k=1)
-            keep = sims[ii, jj] >= threshold
-            a = ids[ii[keep]]
-            b = ids[jj[keep]]
-            out_a.append(np.minimum(a, b))
-            out_b.append(np.maximum(a, b))
+            b_n = len(ids)
+            if b_n > hot_bucket_cap:
+                # star verify vs the min-id member: O(b) exact pairs
+                m = int(np.argmin(ids))
+                sims_m = unit @ unit[m]
+                keep = (sims_m >= threshold) & (np.arange(b_n) != m)
+                a = np.full(int(keep.sum()), ids[m], dtype=np.int64)
+                b = ids[keep]
+                out_a.append(np.minimum(a, b))
+                out_b.append(np.maximum(a, b))
+                continue
+            for i0 in range(0, b_n, tile):
+                hi = unit[i0 : i0 + tile]
+                # only j >= i tiles: pairs are emitted once as (i < j)
+                for j0 in range(i0, b_n, tile):
+                    sims = hi @ unit[j0 : j0 + tile].T
+                    ii, jj = np.nonzero(sims >= threshold)
+                    gi, gj = ii + i0, jj + j0
+                    sel = gi < gj  # strict upper triangle, globally
+                    a = ids[gi[sel]]
+                    b = ids[gj[sel]]
+                    out_a.append(np.minimum(a, b))
+                    out_b.append(np.maximum(a, b))
         if out_a:
             ta = np.concatenate(out_a).astype(np.int64)
             tb = np.concatenate(out_b).astype(np.int64)

@@ -101,16 +101,31 @@ def partition_data_path(root: str, partition: int) -> str:
     return os.path.join(partition_dir(root, partition), "data.parquet")
 
 
+def partition_tombstones_path(root: str, partition: int) -> str:
+    """Delete-file sidecar: the partition's surviving tombstone rows
+    (per-key delete high-water marks). Needed so late-arriving upserts
+    below a committed delete's seq can never resurrect the row — the
+    data file alone forgets that the key was deleted."""
+    return os.path.join(partition_dir(root, partition), "tombstones.parquet")
+
+
 def manifest_path(root: str, partition: int, epoch: str) -> str:
     return os.path.join(root, MANIFEST_DIR, f"part-{partition:05d}-{epoch}.json")
 
 
 def commit_partition(
-    root: str, table, manifest: PartitionManifest
+    root: str, table, manifest: PartitionManifest, tombstones=None
 ) -> PartitionManifest:
-    """Write data then manifest, both atomically. Manifest-last means a
-    visible manifest implies complete data (the commit point)."""
+    """Write data (and the tombstone sidecar) then manifest, all
+    atomically. Manifest-last means a visible manifest implies complete
+    data (the commit point)."""
     atomic_write_parquet(partition_data_path(root, manifest.partition), table)
+    if tombstones is not None:  # None = caller doesn't manage the sidecar
+        tpath = partition_tombstones_path(root, manifest.partition)
+        if tombstones.num_rows > 0:
+            atomic_write_parquet(tpath, tombstones)
+        elif os.path.exists(tpath):
+            os.unlink(tpath)  # every previous delete superseded
     atomic_write_bytes(
         manifest_path(root, manifest.partition, manifest.epoch),
         manifest.to_json().encode(),

@@ -715,6 +715,161 @@ class TestLateEvents:
         pd.testing.assert_frame_equal(a, b)
 
 
+class TestTombstoneSidecar:
+    """The delete-file sidecar (`tombstones.parquet`): a committed
+    delete's seq must keep beating LATE upserts below it across
+    incremental runs (checkpoint_filter=False) and across
+    repartition_lake — without the sidecar the lake forgets the key
+    was ever deleted and the late upsert resurrects it."""
+
+    def _log_with_late_upserts_under_deletes(self):
+        """Full log + an (early, late) split where the late slice holds
+        back low-seq upserts for keys whose FINAL event is a delete."""
+        import pyarrow.compute as pc
+
+        full = EV.generate_change_events(
+            2000, seed=47, delete_fraction=0.15, dup_fraction=0.0
+        )
+        df = full.to_pandas()
+        last = df.sort_values("seq").groupby(["repo", "path"]).tail(1)
+        deleted_keys = last[last["op"] == "delete"][["repo", "path"]]
+        assert len(deleted_keys) >= 5, "fixture needs deleted keys"
+        # hold back one NON-final upsert per deleted key (seq strictly
+        # below the winning delete's) — the resurrection probes
+        k = df.merge(deleted_keys, on=["repo", "path"])
+        k = k[k["op"] != "delete"]
+        held_idx = (
+            k.sort_values("seq").groupby(["repo", "path"]).head(1).index
+        )
+        assert len(held_idx) >= 3, "fixture needs held-back upserts"
+        held_mask = df.index.isin(held_idx)
+        early = full.filter(pa.array(~held_mask))
+        late = full.filter(pa.array(held_mask))
+        return full, early, late, deleted_keys
+
+    @staticmethod
+    def _write(d, t):
+        os.makedirs(d)
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+
+    def _lake_df(self, out_dir):
+        df = RP.read_lake_table(out_dir).to_pandas()
+        if len(df) == 0:
+            return df
+        return df.sort_values(["repo", "path"]).reset_index(drop=True)
+
+    def test_late_upsert_cannot_resurrect_delete(self, tmp_path):
+        import pandas as pd
+
+        full, early, late, deleted = self._log_with_late_upserts_under_deletes()
+        d_full, d_e, d_l = (str(tmp_path / n) for n in ("f", "e", "l"))
+        self._write(d_full, full)
+        self._write(d_e, early)
+        self._write(d_l, late)
+        out_full = str(tmp_path / "lake_full")
+        out_inc = str(tmp_path / "lake_inc")
+        RP.replay(d_full, out_full, num_partitions=8)
+        RP.replay(d_e, out_inc, num_partitions=8)
+        RP.replay(
+            d_l, out_inc, num_partitions=8, incremental=True,
+            checkpoint_filter=False,
+        )
+        a = self._lake_df(out_full)
+        b = self._lake_df(out_inc)
+        pd.testing.assert_frame_equal(a, b)
+        # the deleted keys are genuinely absent from BOTH lakes
+        present = set(map(tuple, b[["repo", "path"]].to_numpy()))
+        for key in map(tuple, deleted.to_numpy()):
+            assert key not in present
+        # and the sidecars carry them: some partition has tombstones
+        sidecars = [
+            os.path.join(out_inc, n, "tombstones.parquet")
+            for n in sorted(os.listdir(out_inc))
+            if n.startswith("part-")
+        ]
+        tomb_rows = sum(
+            pq.read_table(p).num_rows for p in sidecars if os.path.exists(p)
+        )
+        assert tomb_rows >= len(deleted)
+
+    def test_newer_upsert_supersedes_tombstone(self, tmp_path):
+        """An upsert ABOVE the delete's seq resurrects the key (correct
+        LWW) and prunes its tombstone from the sidecar."""
+        rows = {
+            "seq": pa.array([1, 2], pa.int64()),
+            "op": pa.array(["insert", "delete"]),
+            "repo": pa.array(["r0", "r0"]),
+            "path": pa.array(["a.py", "a.py"]),
+            "commit": pa.array(["aa" * 20, "bb" * 20]),
+            "lang": pa.array(["py", "py"]),
+            "content": pa.array(["v1", None]),
+            "body": pa.array([None, None], pa.string()),
+            "schema_ver": pa.array([2, 2], pa.int32()),
+            "ts": pa.array([1, 2], pa.timestamp("us")),
+        }
+        first = pa.table(rows)
+        revive = pa.table(
+            {
+                **rows,
+                "seq": pa.array([5], pa.int64()),
+                "op": pa.array(["insert"]),
+                "repo": pa.array(["r0"]),
+                "path": pa.array(["a.py"]),
+                "commit": pa.array(["cc" * 20]),
+                "lang": pa.array(["py"]),
+                "content": pa.array(["v2"]),
+                "body": pa.array([None], pa.string()),
+                "schema_ver": pa.array([2], pa.int32()),
+                "ts": pa.array([5], pa.timestamp("us")),
+            }
+        )
+        d1, d2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+        self._write(d1, first)
+        self._write(d2, revive)
+        out = str(tmp_path / "lake")
+        RP.replay(d1, out, num_partitions=2)
+        df = self._lake_df(out)
+        assert len(df) == 0  # delete won
+        tombs = [
+            os.path.join(out, n, "tombstones.parquet")
+            for n in sorted(os.listdir(out))
+            if n.startswith("part-")
+        ]
+        assert sum(
+            pq.read_table(p).num_rows for p in tombs if os.path.exists(p)
+        ) == 1
+        RP.replay(d2, out, num_partitions=2, incremental=True)
+        df = self._lake_df(out)
+        assert list(df["content"]) == ["v2"]  # revived by newer seq
+        assert sum(
+            pq.read_table(p).num_rows for p in tombs if os.path.exists(p)
+        ) == 0  # tombstone pruned: superseded by the newer upsert
+
+    def test_repartition_preserves_tombstones(self, tmp_path):
+        """repartition_lake must re-home delete high-water marks: after
+        migration a late low-seq upsert still cannot resurrect."""
+        import pandas as pd
+
+        full, early, late, deleted = self._log_with_late_upserts_under_deletes()
+        d_full, d_e, d_l = (str(tmp_path / n) for n in ("f", "e", "l"))
+        self._write(d_full, full)
+        self._write(d_e, early)
+        self._write(d_l, late)
+        out_full = str(tmp_path / "lake_full")
+        out_inc = str(tmp_path / "lake_inc")
+        out_mig = str(tmp_path / "lake_mig")
+        RP.replay(d_full, out_full, num_partitions=8)
+        RP.replay(d_e, out_inc, num_partitions=8)
+        RP.repartition_lake(out_inc, out_mig, num_partitions=16)
+        RP.replay(
+            d_l, out_mig, num_partitions=16, incremental=True,
+            checkpoint_filter=False,
+        )
+        a = self._lake_df(out_full)
+        b = self._lake_df(out_mig)
+        pd.testing.assert_frame_equal(a, b)
+
+
 class TestCommitWirePacking:
     """Wire packing of the hex commit through the exchange: order
     isomorphism, round-trip, and the driver-side probe's refusal of
@@ -949,6 +1104,24 @@ class TestPointLookup:
     def test_not_a_lake_raises(self, tmp_path):
         with pytest.raises(ValueError, match="_table_meta"):
             RP.lake_files_for_keys(str(tmp_path), [("a", "b")])
+
+    def test_unreproducible_pin_fails_fast(self, events_dir, tmp_path):
+        """A lake pinned to a key-hash identity this environment cannot
+        reproduce (e.g. written under a different polars) must refuse
+        point lookups — hashing with a diverged library would prune to
+        the WRONG partition and silently return zero rows."""
+        import json
+
+        out = str(tmp_path / "lake")
+        RP.replay(events_dir, out, num_partitions=8)
+        meta_path = os.path.join(out, "_table_meta.json")
+        with open(meta_path) as f:
+            meta = json.load(f)
+        meta["key_hash"] = "xxh64-concat-v1+polars=0.0.0-other"
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
+        with pytest.raises(ValueError, match="cannot be reproduced"):
+            RP.lake_files_for_keys(out, [("a", "b")])
 
 
 class TestRepoBloomPrune:

@@ -585,6 +585,57 @@ class TestSimhashNearDupPairs:
         assert all(r["hamming"] == 0 for r in out)
 
 
+class TestEmbeddingNearDup:
+    """Tiled cosine verification: small tiles must emit exactly the
+    same pair set as one full-matrix pass, and the hot-bucket cap must
+    degrade to the O(b) min-id star."""
+
+    @staticmethod
+    def _clustered(n_clusters=5, per=7, dim=8, seed=3):
+        rng = np.random.RandomState(seed)
+        vecs, ids = [], []
+        for c in range(n_clusters):
+            v = rng.randn(dim)
+            for j in range(per):
+                vecs.append(v)  # exact dups -> same bucket every table
+                ids.append(c * per + j)
+        return ids, [list(map(float, v)) for v in vecs]
+
+    def _pairs(self, ids, vecs, dim, **kw):
+        import ray.data as rd
+
+        ds = rd.from_arrow(
+            pa.table({"doc_id": ids, "emb": vecs})
+        ).repartition(3)
+        out = DD.embedding_near_dup_pairs(
+            ds, emb_col="emb", id_col="doc_id", dim=dim, threshold=0.999,
+            **kw,
+        ).take_all()
+        return {(r["id_a"], r["id_b"]) for r in out}
+
+    def test_tiled_equals_full_matrix(self):
+        ids, vecs = self._clustered()
+        # tile=3 forces diagonal + off-diagonal tile paths; tile=4096
+        # is the single-tile full-matrix baseline
+        small = self._pairs(ids, vecs, 8, tile=3)
+        full = self._pairs(ids, vecs, 8, tile=4096)
+        per = 7
+        expected = {
+            (c * per + i, c * per + j)
+            for c in range(5)
+            for i in range(per)
+            for j in range(i + 1, per)
+        }
+        assert small == full == expected
+
+    def test_hot_bucket_star(self):
+        n, dim = 60, 8
+        v = list(np.linspace(0.1, 1.0, dim))
+        ids = list(range(n))
+        got = self._pairs(ids, [v] * n, dim, hot_bucket_cap=16, tile=7)
+        assert got == {(0, i) for i in range(1, n)}
+
+
 class TestJaccardVerify:
     def test_pairs_verified_exactly(self):
         import ray.data as rd
