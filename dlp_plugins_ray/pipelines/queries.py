@@ -1131,6 +1131,127 @@ def q_cdc_full_replay(sf_dir: str):
     )
 
 
+TOMB_GUARD_PARTS = 8
+
+
+def tomb_guard_lake_dir(sf_dir: str) -> str:
+    """Adversarial two-phase replay proving the delete-file sidecar
+    (``tombstones.parquet``, ``cdc/replay.py FinalizeAndCommit``) under
+    the driver's eye. Deterministic split of the generated log:
+
+    - held-back probes = for every key whose FINAL event is a delete,
+      its lowest-seq non-delete event (all exact-dup copies of it);
+    - phase 1 replays everything else (the delete wins; its tombstone
+      commits to the sidecar);
+    - phase 2 replays ONLY the probes, ``incremental=True,
+      checkpoint_filter=False`` — late delivery below the committed
+      checkpoint, the exact window where a lake without delete
+      high-water marks resurrects the row.
+
+    The oracle is plain full-log LWW SQL: early+late partitions the
+    log, so the two-phase lake must equal the one-shot replay row for
+    row — any resurrected key is an extra row and a driver hash red.
+    Returns the lake dir; ``_meta.json`` carries ``n_late_probes`` so
+    the query can prove non-vacuity against the oracle's own count."""
+    import glob as _glob
+    import json as _json
+    import shutil
+
+    import polars as pl
+
+    ev_dir = cdc_events_dir(sf_dir)
+    root = os.path.join(os.path.dirname(ev_dir), "tomb_guard")
+    lake = os.path.join(root, "lake")
+    done = os.path.join(root, "_COMPLETE_v1")
+    if os.path.exists(done):
+        return lake
+    if os.path.exists(root):
+        shutil.rmtree(root)  # stale partial build
+    early_dir = os.path.join(root, "early")
+    late_dir = os.path.join(root, "late")
+    os.makedirs(early_dir)
+    os.makedirs(late_dir)
+
+    files = sorted(_glob.glob(os.path.join(ev_dir, "*.parquet")))
+    # per-key winners from the THIN columns only (bounded driver state:
+    # one row per key, like the other CDC fixture preps)
+    thin = pl.read_parquet(files, columns=["repo", "path", "seq", "op"])
+    last = (
+        thin.sort("seq")
+        .group_by(["repo", "path"])
+        .agg(pl.col("op").last().alias("last_op"))
+    )
+    deleted = last.filter(pl.col("last_op") == "delete").select(
+        ["repo", "path"]
+    )
+    held = (
+        thin.join(deleted, on=["repo", "path"], how="semi")
+        .filter(pl.col("op") != "delete")
+        .group_by(["repo", "path"])
+        .agg(pl.col("seq").min())
+    )
+    n_probes = held.height
+    # split each shard (held rows -> late, rest -> early), preserving
+    # the shard layout; (repo, path, seq) identifies the held event and
+    # every exact-dup copy of it
+    for i, f in enumerate(files):
+        shard = pl.read_parquet(f)
+        late = shard.join(held, on=["repo", "path", "seq"], how="semi")
+        early = shard.join(held, on=["repo", "path", "seq"], how="anti")
+        if early.height:
+            early.write_parquet(
+                os.path.join(early_dir, f"events-{i:03d}.parquet")
+            )
+        if late.height:
+            late.write_parquet(
+                os.path.join(late_dir, f"events-{i:03d}.parquet")
+            )
+
+    RP.replay(early_dir, lake, num_partitions=TOMB_GUARD_PARTS)
+    RP.replay(
+        late_dir,
+        lake,
+        num_partitions=TOMB_GUARD_PARTS,
+        incremental=True,
+        checkpoint_filter=False,
+    )
+    with open(os.path.join(root, "_meta.json"), "w") as fh:
+        _json.dump({"n_late_probes": n_probes}, fh)
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return lake
+
+
+def q_cdc_tombstone_guard(sf_dir: str):
+    """Delete-file-sidecar conformance: the two-phase (early, then
+    late-below-checkpoint probes) replay must equal the one-shot
+    full-log LWW — see :func:`tomb_guard_lake_dir`. ``n_late_probes``
+    (the engine's count of held-back resurrection probes) must equal
+    the oracle's SQL recount, proving the guard actually fired."""
+    import json as _json
+
+    lake = tomb_guard_lake_dir(sf_dir)
+    with open(os.path.join(os.path.dirname(lake), "_meta.json")) as fh:
+        n_probes = int(_json.load(fh)["n_late_probes"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "repo": b.column("repo"),
+                "path": b.column("path"),
+                "seq": b.column("seq"),
+                "commit": b.column("commit"),
+                "n_late_probes": pa.array(
+                    np.full(b.num_rows, n_probes, np.int64)
+                ),
+            }
+        )
+
+    return RP.read_lake_table(lake).map_batches(
+        finish, batch_format="pyarrow"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1162,6 +1283,7 @@ QUERIES = {
     "redact_map_values": q_redact_map_values,
     "media_features": q_media_features,
     "cdc_full_replay": q_cdc_full_replay,
+    "cdc_tombstone_guard": q_cdc_tombstone_guard,
 }
 
 ORACLE_SQL = {
@@ -2569,6 +2691,28 @@ def tmp_oracle_sql(sf: str = "sf0.01") -> dict[str, str]:
             )
             SELECT repo, path, seq, "commit" FROM last
             WHERE last_op IS NULL OR last_op <> 'delete'
+        """,
+        # one-shot full-log LWW — the engine side replayed the SAME log
+        # in two phases (late resurrection probes delivered below the
+        # committed checkpoint); equality proves the tombstone sidecar.
+        # n_late_probes independently recounts the held-back probe keys
+        # from the raw log so a vacuous split (no probes) cannot pass.
+        "cdc_tombstone_guard": f"""
+            WITH last AS (
+              SELECT repo, path, max(seq) AS seq,
+                     arg_max("commit", seq) AS "commit",
+                     arg_max(op, seq) AS last_op
+              FROM read_parquet('{ev}') GROUP BY repo, path
+            ), probes AS (
+              SELECT DISTINCT e.repo, e.path
+              FROM read_parquet('{ev}') e
+              JOIN last l ON e.repo = l.repo AND e.path = l.path
+              WHERE l.last_op = 'delete' AND e.op <> 'delete'
+            )
+            SELECT l.repo, l.path, l.seq, l."commit",
+                   (SELECT CAST(count(*) AS BIGINT) FROM probes)
+                     AS n_late_probes
+            FROM last l WHERE l.last_op IS NULL OR l.last_op <> 'delete'
         """,
         # per-partition rows straight from the manifest JSONs (pins the
         # on-disk manifest schema); total_rows recomputed INDEPENDENTLY
@@ -4910,6 +5054,7 @@ _DRIVER_PREFIX = [
     # (a) round-5 additions (reserved slots; skipped until registered)
     "lineage_partition_metrics",
     "incremental_dedup_soak",
+    "cdc_tombstone_guard",
     # (b) the six round-4 driver-red (dtype-only) queries — fixed via
     # CAST(sum(...) AS BIGINT) in their oracle SQL; kept in the checked
     # window to prove the fix
@@ -4971,10 +5116,11 @@ _DRIVER_PREFIX = [
     # apply_whole_column path attested via redact_mask / fpe_roundtrip
     # / det_encrypt_roundtrip and stay covered by the committed local
     # full run, CORRECTNESS_LOCAL_r05.json)
+    # dedup_exact rotated out for cdc_tombstone_guard (slot a): r4
+    # driver-green and the exact-dedup kernel is untouched this round
     "cdc_full_replay",
     "redact_mask",
     "fpe_roundtrip",
-    "dedup_exact",
 ]
 
 

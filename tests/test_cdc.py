@@ -845,6 +845,37 @@ class TestTombstoneSidecar:
             pq.read_table(p).num_rows for p in tombs if os.path.exists(p)
         ) == 0  # tombstone pruned: superseded by the newer upsert
 
+    def test_guard_query_negative_control(self, tmp_path):
+        """The cdc_tombstone_guard conformance split has teeth: replay
+        its early phase, DELETE the sidecars (a lake without delete
+        files), replay the late probes — the resurrection must appear
+        (exactly one extra surviving key per probe)."""
+        import glob
+
+        from dlp_plugins_ray.pipelines import queries as Q
+
+        sf = "/root/testdata/sf0.001"
+        lake_good = Q.tomb_guard_lake_dir(sf)
+        root = os.path.dirname(lake_good)
+        with open(os.path.join(root, "_meta.json")) as fh:
+            import json
+
+            n_probes = json.load(fh)["n_late_probes"]
+        assert n_probes > 0
+        lake_bad = str(tmp_path / "lake_bad")
+        RP.replay(os.path.join(root, "early"), lake_bad, num_partitions=8)
+        for p in glob.glob(
+            os.path.join(lake_bad, "part-*", "tombstones.parquet")
+        ):
+            os.unlink(p)
+        RP.replay(
+            os.path.join(root, "late"), lake_bad, num_partitions=8,
+            incremental=True, checkpoint_filter=False,
+        )
+        good = RP.read_lake_table(lake_good).count()
+        bad = RP.read_lake_table(lake_bad).count()
+        assert bad == good + n_probes
+
     def test_repartition_preserves_tombstones(self, tmp_path):
         """repartition_lake must re-home delete high-water marks: after
         migration a late low-seq upsert still cannot resurrect."""
