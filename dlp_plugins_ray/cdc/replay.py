@@ -580,7 +580,17 @@ class FinalizeAndCommit:
             row_count=final.num_rows,
             checksum=str(_row_checksum(final, self.checksum_mode)),
             lineage=self.lineage,
-            metrics={"events_applied": n_events},
+            # the sidecar is attested like the data file: silent
+            # tombstone loss (which re-opens the late-upsert
+            # resurrection window) must be detectable from the
+            # manifest alone
+            metrics={
+                "events_applied": n_events,
+                "tombstone_rows": tombs.num_rows,
+                "tombstone_checksum": str(
+                    _row_checksum(tombs, self.checksum_mode)
+                ),
+            },
             repo_bloom=bloom.to_base64(),
         )
         mf.commit_partition(self.out_dir, final, man, tombstones=tombs)
@@ -775,20 +785,10 @@ def replay(
     if key_hash_algo is None:
         if existing_meta and "key_hash" in existing_meta:
             algo = existing_meta["key_hash"]
-            # The adopted pin must still be PRODUCIBLE here: recompute
-            # the pinned identity of its base algo with the currently
-            # installed libraries and fail fast on divergence — without
-            # this, a polars upgrade silently re-keys partitions and the
-            # checkpoint filter consults the wrong partition's max_seq.
-            current = key_hash_algo_id(algo.split("+", 1)[0])
-            if current != algo:
-                raise ValueError(
-                    f"table meta mismatch for {out_dir}: pinned key_hash "
-                    f"{algo!r} cannot be reproduced by this environment "
-                    f"(current identity is {current!r}); migrate the lake "
-                    "with repartition_lake or run with the original "
-                    "library versions"
-                )
+            # The adopted pin must still be PRODUCIBLE here: a polars
+            # upgrade would silently re-key partitions and the
+            # checkpoint filter would consult the wrong max_seq.
+            _ensure_pin_producible(out_dir, algo)
         else:
             algo = key_hash_algo_id(DEFAULT_KEY_HASH_ALGO)
     else:
@@ -947,18 +947,43 @@ def replay(
     return mpdf, epoch
 
 
+def _ensure_pin_producible(out_dir: str, pinned: str) -> None:
+    """Fail fast when the lake's pinned key-hash identity cannot be
+    reproduced by the currently installed libraries: hashing with a
+    diverged library silently re-keys partitions (wrong checkpoint
+    max_seq on replay, wrong partition — zero rows — on point
+    lookups). Shared by :func:`replay` and :func:`lake_files_for_keys`
+    so the two surfaces can never drift apart."""
+    current = key_hash_algo_id(pinned.split("+", 1)[0])
+    if current != pinned:
+        raise ValueError(
+            f"table meta mismatch for {out_dir}: pinned key_hash "
+            f"{pinned!r} cannot be reproduced by this environment "
+            f"(current identity is {current!r}); migrate the lake with "
+            "repartition_lake or run with the original library versions"
+        )
+
+
+def _lake_partition_files(out_dir: str, fnames: tuple[str, ...]):
+    """Walk the committed partition dirs once, returning the existing
+    files among ``fnames`` per partition in sorted order — the single
+    definition of the lake's on-disk layout for readers."""
+    paths = []
+    for name in sorted(os.listdir(out_dir)):
+        if name.startswith("part-"):
+            for fname in fnames:
+                p = os.path.join(out_dir, name, fname)
+                if os.path.exists(p):
+                    paths.append(p)
+    return paths
+
+
 def read_lake_table(out_dir: str):
     """Read the committed table back as a Dataset (one file per
     partition dir)."""
     import ray.data as rd
 
-    paths = []
-    for name in sorted(os.listdir(out_dir)):
-        if name.startswith("part-"):
-            p = os.path.join(out_dir, name, "data.parquet")
-            if os.path.exists(p):
-                paths.append(p)
-    return rd.read_parquet(paths)
+    return rd.read_parquet(_lake_partition_files(out_dir, ("data.parquet",)))
 
 
 def _read_lake_with_tombstones(src_dir: str):
@@ -967,14 +992,9 @@ def _read_lake_with_tombstones(src_dir: str):
     marks silently re-opens the late-upsert resurrection window)."""
     import ray.data as rd
 
-    paths = []
-    for name in sorted(os.listdir(src_dir)):
-        if name.startswith("part-"):
-            for fname in ("data.parquet", "tombstones.parquet"):
-                p = os.path.join(src_dir, name, fname)
-                if os.path.exists(p):
-                    paths.append(p)
-    return rd.read_parquet(paths)
+    return rd.read_parquet(
+        _lake_partition_files(src_dir, ("data.parquet", "tombstones.parquet"))
+    )
 
 
 def lake_files_for_keys(
@@ -991,19 +1011,7 @@ def lake_files_for_keys(
         raise ValueError(
             f"{out_dir} has no _table_meta.json — not a committed lake"
         )
-    # the pinned algo must be PRODUCIBLE here (same check replay()
-    # performs): hashing lookup keys with a diverged library silently
-    # prunes to the WRONG partition and returns zero rows for keys
-    # that exist — fail fast instead
-    pinned = meta["key_hash"]
-    current = key_hash_algo_id(pinned.split("+", 1)[0])
-    if current != pinned:
-        raise ValueError(
-            f"table meta mismatch for {out_dir}: pinned key_hash "
-            f"{pinned!r} cannot be reproduced by this environment "
-            f"(current identity is {current!r}); migrate the lake with "
-            "repartition_lake or run with the original library versions"
-        )
+    _ensure_pin_producible(out_dir, meta["key_hash"])
     kt = pa.table(
         {
             "repo": pa.array([r for r, _ in keys], pa.string()),

@@ -2458,7 +2458,12 @@ def q_lineage_partition_metrics(sf_dir: str):
     - the lineage policy fingerprint vs a fresh ``Policy.from_json``
       recompute, and MASKING-on-content present in field_operations;
     - sum(events_applied) within [total final rows, total raw events]
-      (per-block LWW combining can only shrink the applied count).
+      (per-block LWW combining can only shrink the applied count);
+    - ``tombstone_rows`` vs the delete-file sidecar's parquet footer
+      (a missing/corrupt ``tombstones.parquet`` silently re-opens the
+      late-upsert resurrection window — manifests attest it like the
+      data file; pre-attestation manifests without the key skip the
+      check).
 
     ``total_rows`` is a constant column the ORACLE recomputes
     INDEPENDENTLY from the raw event log (DuckDB LWW replay +
@@ -2495,6 +2500,17 @@ def q_lineage_partition_metrics(sf_dir: str):
             op.get("input") == "content" and op.get("transform") == "MASKING"
             for op in ops
         )
+        tomb_claim = m.metrics.get("tombstone_rows")
+        if tomb_claim is None:  # pre-attestation manifest (older lake)
+            tombs_ok = True
+        else:
+            tpath = mf.partition_tombstones_path(lake, pkey)
+            tomb_actual = (
+                _pq.read_metadata(tpath).num_rows
+                if os.path.exists(tpath)
+                else 0
+            )
+            tombs_ok = int(tomb_claim) == tomb_actual
         parts.append(pkey)
         rc.append(m.row_count)
         ea.append(int(m.metrics.get("events_applied", 0)))
@@ -2505,6 +2521,7 @@ def q_lineage_partition_metrics(sf_dir: str):
                 and (m.lineage or {}).get("policy") == want_fp
                 and has_mask
                 and bounds_ok
+                and tombs_ok
             )
         )
     return pa.table(

@@ -874,7 +874,22 @@ def embedding_near_dup_pairs(
             unit = emb / norms
             b_n = len(ids)
             if b_n > hot_bucket_cap:
-                # star verify vs the min-id member: O(b) exact pairs
+                # star verify vs the min-id member: O(b) exact pairs.
+                # NOT silent: the fallback is exact only for transitive
+                # clusters (a b-c edge with sim(center,b) < threshold
+                # is lost), so an at-scale run must be able to see in
+                # its logs that a bucket tripped the cap.
+                import warnings
+
+                warnings.warn(
+                    f"embedding_near_dup_pairs: bucket with {b_n} "
+                    f"members exceeds hot_bucket_cap={hot_bucket_cap}; "
+                    "falling back to min-id star verification (exact "
+                    "for transitive duplicate clusters; non-transitive "
+                    "near-threshold edges between non-center members "
+                    "are not emitted)",
+                    stacklevel=2,
+                )
                 m = int(np.argmin(ids))
                 sims_m = unit @ unit[m]
                 keep = (sims_m >= threshold) & (np.arange(b_n) != m)

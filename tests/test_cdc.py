@@ -735,13 +735,25 @@ class TestTombstoneSidecar:
         deleted_keys = last[last["op"] == "delete"][["repo", "path"]]
         assert len(deleted_keys) >= 5, "fixture needs deleted keys"
         # hold back one NON-final upsert per deleted key (seq strictly
-        # below the winning delete's) — the resurrection probes
-        k = df.merge(deleted_keys, on=["repo", "path"])
+        # below the winning delete's) — the resurrection probes.
+        # merge() resets the index, so carry the original row label
+        # through as a column (a positional .index here would select
+        # essentially arbitrary rows).
+        k = df.reset_index().merge(deleted_keys, on=["repo", "path"])
         k = k[k["op"] != "delete"]
         held_idx = (
-            k.sort_values("seq").groupby(["repo", "path"]).head(1).index
+            k.sort_values("seq").groupby(["repo", "path"]).head(1)["index"]
         )
         assert len(held_idx) >= 3, "fixture needs held-back upserts"
+        # every held row really is a resurrection probe: a non-delete
+        # event on a finally-deleted key (its seq is below the winning
+        # delete's by construction — the delete is the key's last event)
+        held_rows = df.loc[held_idx]
+        assert (held_rows["op"] != "delete").all()
+        assert (
+            held_rows.merge(deleted_keys, on=["repo", "path"]).shape[0]
+            == len(held_rows)
+        )
         held_mask = df.index.isin(held_idx)
         early = full.filter(pa.array(~held_mask))
         late = full.filter(pa.array(held_mask))
@@ -844,6 +856,33 @@ class TestTombstoneSidecar:
         assert sum(
             pq.read_table(p).num_rows for p in tombs if os.path.exists(p)
         ) == 0  # tombstone pruned: superseded by the newer upsert
+
+    def test_manifest_attests_sidecar(self, tmp_path):
+        """Commit manifests record tombstone_rows/_checksum so silent
+        sidecar loss is detectable from the manifest alone — the counts
+        must match the sidecar parquet footers on a fresh lake."""
+        from dlp_plugins_ray.state import manifest as mf
+
+        full, _, _, deleted = self._log_with_late_upserts_under_deletes()
+        d = str(tmp_path / "ev")
+        self._write(d, full)
+        out = str(tmp_path / "lake")
+        RP.replay(d, out, num_partitions=8)
+        mans = mf.committed_partitions(out)
+        total_claimed = 0
+        for pkey, m in mans.items():
+            claimed = int(m.metrics["tombstone_rows"])
+            total_claimed += claimed
+            tpath = mf.partition_tombstones_path(out, pkey)
+            actual = (
+                pq.read_metadata(tpath).num_rows
+                if os.path.exists(tpath)
+                else 0
+            )
+            assert claimed == actual
+            if claimed:
+                assert int(m.metrics["tombstone_checksum"]) != 0
+        assert total_claimed >= len(deleted)
 
     def test_guard_query_negative_control(self, tmp_path):
         """The cdc_tombstone_guard conformance split has teeth: replay
