@@ -58,6 +58,14 @@ def main(argv=None) -> int:
     qp.add_argument("--dst", required=True)
     qp.add_argument("--partitions", type=int, required=True)
     qp.add_argument("--num-cpus", type=int, default=None)
+    qp.add_argument(
+        "--expire-tombstones-below",
+        type=int,
+        default=None,
+        help="delete-file retention sweep: drop tombstone sidecar rows "
+        "with seq below this value (ONLY safe once the source's low "
+        "watermark has passed it)",
+    )
 
     vp = sub.add_parser(
         "vacuum",
@@ -315,7 +323,10 @@ def main(argv=None) -> int:
 
     if args.cmd == "repartition":
         mpdf, epoch = repartition_lake(
-            args.src, args.dst, num_partitions=args.partitions
+            args.src,
+            args.dst,
+            num_partitions=args.partitions,
+            expire_tombstones_below=args.expire_tombstones_below,
         )
         print(
             json.dumps(

@@ -494,6 +494,7 @@ class FinalizeAndCommit:
         lineage: dict | None = None,
         skip_partitions: frozenset[int] = frozenset(),
         checksum_mode: str = "xxh64",
+        expire_tombstones_below: int | None = None,
     ):
         self.out_dir = out_dir
         self.epoch = epoch
@@ -501,6 +502,7 @@ class FinalizeAndCommit:
         self.lineage = lineage or {}
         self.skip = skip_partitions
         self.checksum_mode = checksum_mode
+        self.expire_below = expire_tombstones_below
 
     def __call__(self, group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
@@ -560,6 +562,14 @@ class FinalizeAndCommit:
         tombs = final_all.filter(
             pc.equal(pc.fill_null(final_all.column("op"), ""), "delete")
         )
+        if self.expire_below is not None:
+            # delete-file retention compaction (on write, like other
+            # table formats): the caller guarantees the source's low
+            # watermark passed expire_below, so a delete mark below it
+            # can never be out-raced by a late event again
+            tombs = tombs.filter(
+                pc.greater_equal(tombs.column("seq"), self.expire_below)
+            )
         # deterministic row order -> byte-identical partition files on
         # task retry / re-run (polars group_by order is arbitrary)
         final = final.sort_by([("repo", "ascending"), ("path", "ascending")])
@@ -740,6 +750,7 @@ def replay(
     checksum_mode: str | None = None,
     pack_commit: bool | None = None,
     pack_blocks: bool | None = None,
+    expire_tombstones_below: int | None = None,
 ):
     """Run the full replay; returns (manifest pandas DataFrame, epoch).
 
@@ -764,6 +775,15 @@ def replay(
     existing lake's table meta, else DEFAULT_KEY_HASH_ALGO for a fresh
     lake; an explicit algo that disagrees with the lake's pin fails
     fast (repartition_lake is the migration).
+
+    ``expire_tombstones_below``: delete-file retention. Tombstone
+    sidecar rows with seq < this value are dropped from every
+    partition this run touches (compaction on write). SAFE only under
+    the caller's guarantee that the source's low watermark has passed
+    it — no event with a smaller seq will ever be delivered, so those
+    delete high-water marks can never be consulted again. Untouched
+    partitions keep their sidecars; use ``repartition_lake`` with the
+    same parameter for a full-lake sweep.
     """
     import ray.data as rd
 
@@ -915,6 +935,7 @@ def replay(
         checksum_mode=(
             checksum_mode or os.environ.get("DLP_RAY_CHECKSUM", "xxh64")
         ),
+        expire_tombstones_below=expire_tombstones_below,
     )
 
     def finalize_and_commit(group: pa.Table) -> pa.Table:
@@ -1097,6 +1118,7 @@ def repartition_lake(
     *,
     num_partitions: int,
     batch_size: int = 32768,
+    expire_tombstones_below: int | None = None,
 ):
     """Table maintenance: rewrite a committed lake under a NEW
     partition count (the migration path the table-meta fail-fast
@@ -1108,6 +1130,11 @@ def repartition_lake(
     partition, so post-migration redelivery cannot resurrect deleted
     rows. The source lake is read-only throughout; write to a fresh
     directory and swap.
+
+    ``expire_tombstones_below``: full-lake delete-file retention sweep
+    (every partition is rewritten here, unlike an incremental replay's
+    touched-only compaction) — see :func:`replay` for the safety
+    contract.
 
     Returns (manifest DataFrame, epoch)."""
     import ray.data as rd
@@ -1135,6 +1162,7 @@ def repartition_lake(
         epoch,
         lineage={"repartitioned_from": str(src_dir)},
         skip_partitions=skip,
+        expire_tombstones_below=expire_tombstones_below,
     )
     manifests = ds.groupby(PKEY_COL).map_groups(
         lambda g: committer(g), batch_format="pyarrow"

@@ -857,6 +857,54 @@ class TestTombstoneSidecar:
             pq.read_table(p).num_rows for p in tombs if os.path.exists(p)
         ) == 0  # tombstone pruned: superseded by the newer upsert
 
+    def test_expire_tombstones_retention(self, tmp_path):
+        """Delete-file retention: repartition_lake with
+        expire_tombstones_below drops old delete marks, the manifests
+        stay truthful (attested counts == footers), live rows are
+        untouched — and an expired delete genuinely loses its guard
+        (the documented low-watermark contract): the late upsert that
+        the full sidecar repels now resurrects."""
+        import pandas as pd
+
+        from dlp_plugins_ray.state import manifest as mf
+
+        full, early, late, deleted = self._log_with_late_upserts_under_deletes()
+        d_e, d_l = str(tmp_path / "e"), str(tmp_path / "l")
+        self._write(d_e, early)
+        self._write(d_l, late)
+        out = str(tmp_path / "lake")
+        RP.replay(d_e, out, num_partitions=8)
+        before = sum(
+            int(m.metrics["tombstone_rows"])
+            for m in mf.committed_partitions(out).values()
+        )
+        assert before >= len(deleted)
+        # sweep EVERYTHING (max seq + 1): all delete marks expire
+        swept = str(tmp_path / "lake_swept")
+        RP.repartition_lake(
+            out, swept, num_partitions=8,
+            expire_tombstones_below=2_000_000_000,
+        )
+        mans = mf.committed_partitions(swept)
+        for pkey, m in mans.items():
+            assert int(m.metrics["tombstone_rows"]) == 0
+            assert not os.path.exists(
+                mf.partition_tombstones_path(swept, pkey)
+            )
+        # live rows byte-equal
+        pd.testing.assert_frame_equal(
+            self._lake_df(out), self._lake_df(swept)
+        )
+        # the guard is genuinely gone: late low-seq upserts resurrect
+        RP.replay(
+            d_l, swept, num_partitions=8, incremental=True,
+            checkpoint_filter=False,
+        )
+        n_resurrected = RP.read_lake_table(swept).count() - len(
+            self._lake_df(out)
+        )
+        assert n_resurrected > 0
+
     def test_manifest_attests_sidecar(self, tmp_path):
         """Commit manifests record tombstone_rows/_checksum so silent
         sidecar loss is detectable from the manifest alone — the counts
