@@ -2,7 +2,8 @@
 
 Commands:
   replay   --events DIR --out DIR [--policy FILE] [--partitions N]
-           [--incremental] [--no-resume] [--salt N]
+           [--incremental] [--no-resume] [--salt N] [--retain-history]
+  expire-history --lake DIR --before-seq N  (snapshot retention)
   gen      --out DIR --events N [--shards N] [--seed N]
   show     --lake DIR  (print committed checkpoint + row counts)
   repartition --src DIR --dst DIR --partitions N  (lake rewrite)
@@ -39,6 +40,12 @@ def main(argv=None) -> int:
     rp.add_argument("--incremental", action="store_true")
     rp.add_argument("--no-resume", action="store_true")
     rp.add_argument("--salt", type=int, default=0)
+    rp.add_argument(
+        "--retain-history", action="store_true",
+        help="also write each committed partition as an epoch-stamped "
+        "snapshot file so read_lake_asof can time-travel to this "
+        "commit point (expire-history is the retention sweep)",
+    )
     rp.add_argument("--num-cpus", type=int, default=None)
 
     gp = sub.add_parser("gen", help="generate a deterministic change-event log")
@@ -73,6 +80,15 @@ def main(argv=None) -> int:
     )
     vp.add_argument("--lake", required=True)
     vp.add_argument("--keep-epochs", type=int, default=2)
+
+    hp = sub.add_parser(
+        "expire-history",
+        help="snapshot retention: delete time-travel snapshot files "
+        "superseded below a seq watermark (asof reads at or above the "
+        "watermark are untouched; travel below it may stop resolving)",
+    )
+    hp.add_argument("--lake", required=True)
+    hp.add_argument("--before-seq", type=int, required=True)
 
     lp = sub.add_parser(
         "lookup",
@@ -154,6 +170,12 @@ def main(argv=None) -> int:
         from .state.manifest import vacuum_manifests
 
         print(json.dumps(vacuum_manifests(args.lake, keep_epochs=args.keep_epochs)))
+        return 0
+
+    if args.cmd == "expire-history":
+        from .state.manifest import expire_history
+
+        print(json.dumps(expire_history(args.lake, args.before_seq)))
         return 0
 
     # replay / repartition / lookup (all need a Ray session)
@@ -351,6 +373,7 @@ def main(argv=None) -> int:
         incremental=args.incremental,
         resume=not args.no_resume,
         salt_buckets=args.salt,
+        retain_history=args.retain_history,
     )
     print(
         json.dumps(

@@ -495,6 +495,7 @@ class FinalizeAndCommit:
         skip_partitions: frozenset[int] = frozenset(),
         checksum_mode: str = "xxh64",
         expire_tombstones_below: int | None = None,
+        retain_history: bool = False,
     ):
         self.out_dir = out_dir
         self.epoch = epoch
@@ -503,6 +504,7 @@ class FinalizeAndCommit:
         self.skip = skip_partitions
         self.checksum_mode = checksum_mode
         self.expire_below = expire_tombstones_below
+        self.retain_history = retain_history
 
     def __call__(self, group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
@@ -603,7 +605,10 @@ class FinalizeAndCommit:
             },
             repo_bloom=bloom.to_base64(),
         )
-        mf.commit_partition(self.out_dir, final, man, tombstones=tombs)
+        mf.commit_partition(
+            self.out_dir, final, man, tombstones=tombs,
+            history=self.retain_history,
+        )
         return _manifest_row_table([man])
 
 
@@ -751,6 +756,7 @@ def replay(
     pack_commit: bool | None = None,
     pack_blocks: bool | None = None,
     expire_tombstones_below: int | None = None,
+    retain_history: bool = False,
 ):
     """Run the full replay; returns (manifest pandas DataFrame, epoch).
 
@@ -784,6 +790,14 @@ def replay(
     delete high-water marks can never be consulted again. Untouched
     partitions keep their sidecars; use ``repartition_lake`` with the
     same parameter for a full-lake sweep.
+
+    ``retain_history``: snapshot retention for time travel. Every
+    partition this run commits ALSO writes its full committed state as
+    an epoch-stamped ``data-<epoch>.parquet`` next to the live
+    ``data.parquet``; :func:`read_lake_asof` reads the table as of any
+    retained commit point and :func:`state.manifest.expire_history` is
+    the retention sweep. Costs one extra copy of each touched
+    partition per run — size retention accordingly.
     """
     import ray.data as rd
 
@@ -936,6 +950,7 @@ def replay(
             checksum_mode or os.environ.get("DLP_RAY_CHECKSUM", "xxh64")
         ),
         expire_tombstones_below=expire_tombstones_below,
+        retain_history=retain_history,
     )
 
     def finalize_and_commit(group: pa.Table) -> pa.Table:
@@ -1005,6 +1020,72 @@ def read_lake_table(out_dir: str):
     import ray.data as rd
 
     return rd.read_parquet(_lake_partition_files(out_dir, ("data.parquet",)))
+
+
+def lake_files_asof(out_dir: str, seq: int) -> list[str]:
+    """Resolve a time-travel read: for each partition, the snapshot
+    file of its latest commit with ``max_seq <= seq``. Commit-granular
+    snapshot isolation, as in other table formats' timestamp travel —
+    the watermark resolves to committed snapshots, never a mid-slice
+    state. Partitions with no commit at-or-below the watermark did not
+    exist yet and contribute nothing. Requires the lake to have been
+    written with ``replay(retain_history=True)`` (the live
+    ``data.parquet`` serves a partition whose pick IS its latest
+    commit); a pick whose snapshot was removed by ``expire_history``
+    raises instead of silently answering from the wrong state."""
+    hist = mf.partition_manifest_history(out_dir)
+    if not hist:
+        raise ValueError(
+            f"{out_dir} has no committed manifests — not a committed lake"
+        )
+    files = []
+    for pid, ms in sorted(hist.items()):
+        elig = [m for m in ms if m.max_seq <= seq]
+        if not elig:
+            continue
+        pick = elig[-1]
+        hp = mf.partition_history_path(out_dir, pid, pick.epoch)
+        dp = mf.partition_data_path(out_dir, pid)
+        if os.path.exists(hp):
+            files.append(hp)
+        elif pick is ms[-1] and os.path.exists(dp):
+            files.append(dp)  # the live state is the pick
+        else:
+            raise ValueError(
+                f"time travel to seq={seq} needs partition {pid}'s "
+                f"snapshot at epoch {pick.epoch} (max_seq "
+                f"{pick.max_seq}), which is expired or was never "
+                "retained — run replays with retain_history=True and "
+                "keep expire_history above this watermark"
+            )
+    return files
+
+
+def read_lake_asof(out_dir: str, seq: int):
+    """Read the committed table AS OF a seq watermark (time travel).
+
+    Returns each partition's latest committed snapshot with
+    ``max_seq <= seq``. Under seq-ordered slice delivery (the standard
+    WAL/binlog contract, the same one ``checkpoint_filter`` documents)
+    a watermark on a slice boundary equals the LWW replay of the log
+    prefix ``seq <= watermark`` — the property the
+    ``cdc_time_travel`` conformance oracle pins. Out-of-order
+    deliveries make the snapshot the committed state at that commit
+    point (snapshot isolation), exactly like timestamp travel in other
+    table formats."""
+    import ray.data as rd
+
+    files = lake_files_asof(out_dir, seq)
+    if not files:
+        # watermark predates every commit: the table as of then was
+        # empty — shape the empty result like the live table if we can
+        live = _lake_partition_files(out_dir, ("data.parquet",))
+        if live:
+            import pyarrow.parquet as pq
+
+            return rd.from_arrow(pq.read_schema(live[0]).empty_table())
+        return rd.from_arrow(pa.table({"repo": pa.array([], pa.string())}))
+    return rd.read_parquet(files)
 
 
 def _read_lake_with_tombstones(src_dir: str):

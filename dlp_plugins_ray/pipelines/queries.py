@@ -1252,6 +1252,95 @@ def q_cdc_tombstone_guard(sf_dir: str):
     )
 
 
+TIME_TRAVEL_PARTS = 8
+
+
+def time_travel_lake_dir(sf_dir: str) -> tuple[str, int, int]:
+    """Snapshot-retention fixture: the generated log split into THREE
+    seq-ordered slices (boundaries at max(seq)//3 and 2*max(seq)//3 —
+    integer division, recomputable exactly in SQL), each applied as an
+    incremental replay with ``retain_history=True``. Under seq-ordered
+    delivery, ``read_lake_asof`` at a slice boundary must equal the
+    LWW replay of the log prefix at-or-below it — the property the
+    oracle pins. Returns (lake_dir, b1, b2); idempotent."""
+    import glob as _glob
+    import shutil
+
+    import polars as pl
+
+    ev_dir = cdc_events_dir(sf_dir)
+    root = os.path.join(os.path.dirname(ev_dir), "time_travel")
+    lake = os.path.join(root, "lake")
+    files = sorted(_glob.glob(os.path.join(ev_dir, "*.parquet")))
+    ms = int(
+        pl.scan_parquet(files).select(pl.col("seq").max()).collect().item()
+    )
+    b1, b2 = ms // 3, (2 * ms) // 3
+    done = os.path.join(root, "_COMPLETE_v1")
+    if os.path.exists(done):
+        return lake, b1, b2
+    if os.path.exists(root):
+        shutil.rmtree(root)  # stale partial build
+    slice_dirs = [os.path.join(root, f"slice{i}") for i in range(3)]
+    for d in slice_dirs:
+        os.makedirs(d)
+    bounds = [(-1, b1), (b1, b2), (b2, ms)]
+    for i, f in enumerate(files):
+        shard = pl.read_parquet(f)
+        for j, (lo, hi) in enumerate(bounds):
+            part = shard.filter(
+                (pl.col("seq") > lo) & (pl.col("seq") <= hi)
+            )
+            if part.height:
+                part.write_parquet(
+                    os.path.join(slice_dirs[j], f"events-{i:03d}.parquet")
+                )
+    for j, d in enumerate(slice_dirs):
+        RP.replay(
+            d, lake, num_partitions=TIME_TRAVEL_PARTS,
+            incremental=j > 0, retain_history=True,
+        )
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return lake, b1, b2
+
+
+def q_cdc_time_travel(sf_dir: str):
+    """Time travel conformance: after three seq-ordered incremental
+    slices committed with snapshot retention, ``read_lake_asof`` at
+    each slice boundary must equal one-shot LWW over the log prefix —
+    see :func:`time_travel_lake_dir`. The oracle recomputes both
+    boundaries from the raw log (integer division on max(seq)) and
+    replays each prefix in SQL; row sets are compared per travel point
+    via the ``asof`` phase column. Iceberg/Delta expose the same
+    commit-granular travel via snapshot timestamps; the reference has
+    no table layer at all (its sink is append-only GCS JSON,
+    examples/example-redaction-pipeline.json:109-141)."""
+    lake, b1, b2 = time_travel_lake_dir(sf_dir)
+
+    def tag(phase: int):
+        def finish(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "repo": b.column("repo"),
+                    "path": b.column("path"),
+                    "seq": b.column("seq"),
+                    "commit": b.column("commit"),
+                    "asof": pa.array(np.full(b.num_rows, phase, np.int64)),
+                }
+            )
+
+        return finish
+
+    p1 = RP.read_lake_asof(lake, b1).map_batches(
+        tag(1), batch_format="pyarrow"
+    )
+    p2 = RP.read_lake_asof(lake, b2).map_batches(
+        tag(2), batch_format="pyarrow"
+    )
+    return p1.union(p2)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1284,6 +1373,7 @@ QUERIES = {
     "media_features": q_media_features,
     "cdc_full_replay": q_cdc_full_replay,
     "cdc_tombstone_guard": q_cdc_tombstone_guard,
+    "cdc_time_travel": q_cdc_time_travel,
 }
 
 ORACLE_SQL = {
@@ -2730,6 +2820,34 @@ def tmp_oracle_sql(sf: str = "sf0.01") -> dict[str, str]:
                    (SELECT CAST(count(*) AS BIGINT) FROM probes)
                      AS n_late_probes
             FROM last l WHERE l.last_op IS NULL OR l.last_op <> 'delete'
+        """,
+        # two SQL prefix-LWW replays, one per travel point; boundaries
+        # recomputed from the raw log with the same integer division
+        # the fixture used. Equality proves read_lake_asof resolves
+        # each partition to the right retained snapshot.
+        "cdc_time_travel": f"""
+            WITH mx AS (
+              SELECT max(seq) AS ms FROM read_parquet('{ev}')
+            ), p1 AS (
+              SELECT repo, path, max(seq) AS seq,
+                     arg_max("commit", seq) AS "commit",
+                     arg_max(op, seq) AS last_op
+              FROM read_parquet('{ev}')
+              WHERE seq <= (SELECT ms // 3 FROM mx)
+              GROUP BY repo, path
+            ), p2 AS (
+              SELECT repo, path, max(seq) AS seq,
+                     arg_max("commit", seq) AS "commit",
+                     arg_max(op, seq) AS last_op
+              FROM read_parquet('{ev}')
+              WHERE seq <= (SELECT (2 * ms) // 3 FROM mx)
+              GROUP BY repo, path
+            )
+            SELECT repo, path, seq, "commit", CAST(1 AS BIGINT) AS asof
+            FROM p1 WHERE last_op IS NULL OR last_op <> 'delete'
+            UNION ALL
+            SELECT repo, path, seq, "commit", CAST(2 AS BIGINT) AS asof
+            FROM p2 WHERE last_op IS NULL OR last_op <> 'delete'
         """,
         # per-partition rows straight from the manifest JSONs (pins the
         # on-disk manifest schema); total_rows recomputed INDEPENDENTLY
@@ -5072,6 +5190,7 @@ _DRIVER_PREFIX = [
     "lineage_partition_metrics",
     "incremental_dedup_soak",
     "cdc_tombstone_guard",
+    "cdc_time_travel",
     # (b) the six round-4 driver-red (dtype-only) queries — fixed via
     # CAST(sum(...) AS BIGINT) in their oracle SQL; kept in the checked
     # window to prove the fix
@@ -5125,7 +5244,9 @@ _DRIVER_PREFIX = [
     "simhash_near_dup_pairs",
     "ann_ivf_topk",
     "embedding_near_dup",
-    "det_encrypt_roundtrip",
+    # det_encrypt_roundtrip rotated out for cdc_time_travel (slot a):
+    # r4 driver-green; the memoized apply_whole_column path it shares
+    # stays attested via redact_mask + fpe_roundtrip below
     # (e) CDC north-rule core + touched-kernel representatives, kept
     # fresh (upsert_lww_* / cdc_replay_versions / schema_evolution
     # rotated out: r4 driver-green AND their code is untouched this

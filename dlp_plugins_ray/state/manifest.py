@@ -109,17 +109,37 @@ def partition_tombstones_path(root: str, partition: int) -> str:
     return os.path.join(partition_dir(root, partition), "tombstones.parquet")
 
 
+def partition_history_path(root: str, partition: int, epoch: str) -> str:
+    """Epoch-stamped snapshot of the partition (time travel): the
+    partition's full committed state AT that epoch, retained alongside
+    the mutable ``data.parquet``. Written only when the lake is run
+    with ``retain_history=True``."""
+    return os.path.join(
+        partition_dir(root, partition), f"data-{epoch}.parquet"
+    )
+
+
 def manifest_path(root: str, partition: int, epoch: str) -> str:
     return os.path.join(root, MANIFEST_DIR, f"part-{partition:05d}-{epoch}.json")
 
 
 def commit_partition(
-    root: str, table, manifest: PartitionManifest, tombstones=None
+    root: str, table, manifest: PartitionManifest, tombstones=None,
+    history: bool = False,
 ) -> PartitionManifest:
     """Write data (and the tombstone sidecar) then manifest, all
     atomically. Manifest-last means a visible manifest implies complete
-    data (the commit point)."""
+    data (the commit point). ``history=True`` additionally retains the
+    state as an epoch-stamped snapshot file (``data-<epoch>.parquet``)
+    so ``read_lake_asof`` can time-travel to this commit point."""
     atomic_write_parquet(partition_data_path(root, manifest.partition), table)
+    if history:
+        atomic_write_parquet(
+            partition_history_path(
+                root, manifest.partition, manifest.epoch
+            ),
+            table,
+        )
     if tombstones is not None:  # None = caller doesn't manage the sidecar
         tpath = partition_tombstones_path(root, manifest.partition)
         if tombstones.num_rows > 0:
@@ -161,6 +181,71 @@ def committed_partitions(root: str, epoch: str | None = None) -> dict[int, Parti
 def table_checkpoint(root: str) -> dict[int, int]:
     """partition -> committed max_seq (resume point)."""
     return {p: m.max_seq for p, m in committed_partitions(root).items()}
+
+
+def partition_manifest_history(root: str) -> dict[int, list[PartitionManifest]]:
+    """Every committed manifest per partition, sorted by ascending
+    max_seq — the commit log time travel walks. (``committed_partitions``
+    keeps only each partition's latest; the asof reader needs the full
+    per-partition history to pick the latest commit at-or-below a seq
+    watermark.)"""
+    mdir = os.path.join(root, MANIFEST_DIR)
+    out: dict[int, list[PartitionManifest]] = {}
+    if not os.path.isdir(mdir):
+        return out
+    for name in sorted(os.listdir(mdir)):
+        if not name.endswith(".json") or name.startswith((".", "run-")):
+            continue
+        try:
+            m = PartitionManifest.from_json(
+                open(os.path.join(mdir, name)).read()
+            )
+        except (json.JSONDecodeError, TypeError):
+            continue
+        out.setdefault(m.partition, []).append(m)
+    for ms in out.values():
+        ms.sort(key=lambda m: m.max_seq)
+    return out
+
+
+def expire_history(root: str, before_seq: int) -> dict:
+    """Snapshot retention (like other table formats' expire-snapshots):
+    delete history snapshot files that are SUPERSEDED below
+    ``before_seq`` — i.e. a snapshot whose partition has a newer
+    addressable commit with max_seq still <= before_seq. Every asof
+    read at a watermark >= before_seq is untouched: for such reads the
+    expired snapshot could never be the latest-at-or-below pick.
+    Travel to watermarks < before_seq may stop resolving — that is the
+    retention contract the caller signs. Returns counts."""
+    hist = partition_manifest_history(root)
+    removed = kept = 0
+    for pid, ms in hist.items():
+        current = ms[-1]  # largest max_seq = the live data.parquet state
+
+        def addressable(m: PartitionManifest) -> bool:
+            if os.path.exists(partition_history_path(root, pid, m.epoch)):
+                return True
+            return (
+                m is current
+                and os.path.exists(partition_data_path(root, pid))
+            )
+
+        for i, m in enumerate(ms):
+            hp = partition_history_path(root, pid, m.epoch)
+            if not os.path.exists(hp):
+                continue
+            superseded = any(
+                m2.max_seq > m.max_seq
+                and m2.max_seq <= before_seq
+                and addressable(m2)
+                for m2 in ms[i + 1:]
+            )
+            if superseded:
+                os.unlink(hp)
+                removed += 1
+            else:
+                kept += 1
+    return {"removed": removed, "kept": kept}
 
 
 TABLE_META = "_table_meta.json"
@@ -214,8 +299,11 @@ def vacuum_manifests(root: str, *, keep_epochs: int = 2) -> dict:
     anyway). Kept: each partition's current (max_seq) manifest, plus
     every manifest of the ``keep_epochs`` most recent epochs (recency =
     the epoch's max committed max_seq) so an in-flight or just-resumed
-    epoch never loses its skip-set. Run-level ``run-*.json`` files of
-    retired epochs are removed with them. Returns counts."""
+    epoch never loses its skip-set, plus any manifest whose history
+    snapshot file still exists (it is an addressable time-travel point;
+    ``expire_history`` is the tool that retires those). Run-level
+    ``run-*.json`` files of retired epochs are removed with them.
+    Returns counts."""
     mdir = os.path.join(root, MANIFEST_DIR)
     if not os.path.isdir(mdir):
         return {"removed": 0, "kept": 0}
@@ -238,7 +326,13 @@ def vacuum_manifests(root: str, *, keep_epochs: int = 2) -> dict:
     current_keys = {(m.partition, m.epoch) for m in current.values()}
     removed = kept = 0
     for name, m in part_files:
-        if m.epoch in recent or (m.partition, m.epoch) in current_keys:
+        if (
+            m.epoch in recent
+            or (m.partition, m.epoch) in current_keys
+            or os.path.exists(
+                partition_history_path(root, m.partition, m.epoch)
+            )
+        ):
             kept += 1
             continue
         os.unlink(os.path.join(mdir, name))

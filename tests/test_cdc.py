@@ -1301,3 +1301,139 @@ class TestRepoBloomPrune:
         assert bf2.contains_hashes(h).all()
         miss = RP._repo_hash([f"other/r-{i}" for i in range(500)])
         assert bf2.contains_hashes(miss).mean() < 0.05
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTimeTravel:
+    """Snapshot retention + asof reads (``retain_history=True`` ->
+    ``read_lake_asof``): commit-granular time travel over a
+    seq-ordered slice stream must equal LWW over the log prefix."""
+
+    def _slice_dirs(self, events_dir, tmp_path, bounds):
+        """Split the generated log into seq-range slices (seq-ordered
+        delivery, the WAL contract asof's prefix property rests on)."""
+        import pyarrow.compute as pc
+
+        t = _read_all_events(events_dir)
+        dirs, prev = [], -(1 << 62)
+        for i, hi in enumerate(list(bounds) + [None]):
+            mask = pc.greater(t.column("seq"), prev)
+            if hi is not None:
+                mask = pc.and_(mask, pc.less_equal(t.column("seq"), hi))
+                prev = hi
+            d = str(tmp_path / f"slice{i}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(t.filter(mask), os.path.join(d, "events.parquet"))
+            dirs.append(d)
+        return t, dirs
+
+    def _build_history_lake(self, events_dir, tmp_path):
+        t = _read_all_events(events_dir)
+        ms = max(t.column("seq").to_pylist())
+        b1, b2 = ms // 3, (2 * ms) // 3
+        t, dirs = self._slice_dirs(events_dir, tmp_path, [b1, b2])
+        lake = str(tmp_path / "lake")
+        for i, d in enumerate(dirs):
+            RP.replay(
+                d, lake, num_partitions=8, incremental=i > 0,
+                retain_history=True,
+            )
+        return t, lake, b1, b2, ms
+
+    def _assert_matches_prefix(self, got_df, events, boundary):
+        import pyarrow.compute as pc
+
+        prefix = events.filter(pc.less_equal(events.column("seq"), boundary))
+        oracle = EV.oracle_replay(prefix)
+        assert len(got_df) == len(oracle)
+        for _, row in got_df.iterrows():
+            oseq, ocontent = oracle[(row["repo"], row["path"])]
+            assert row["seq"] == oseq
+            assert row["content"] == ocontent
+
+    def test_asof_equals_prefix_lww(self, events_dir, tmp_path):
+        events, lake, b1, b2, ms = self._build_history_lake(
+            events_dir, tmp_path
+        )
+        for boundary in (b1, b2, ms):
+            got = RP.read_lake_asof(lake, boundary).to_pandas()
+            self._assert_matches_prefix(got, events, boundary)
+        # at the final watermark, asof == the live table
+        live = (
+            RP.read_lake_table(lake)
+            .to_pandas()
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)
+        )
+        asof = (
+            RP.read_lake_asof(lake, ms)
+            .to_pandas()
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)
+        )
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(live, asof)
+
+    def test_asof_before_first_commit_is_empty(self, events_dir, tmp_path):
+        _, lake, b1, _, _ = self._build_history_lake(events_dir, tmp_path)
+        empty = RP.read_lake_asof(lake, -1)
+        assert empty.count() == 0
+        # and the empty result still carries the table's schema
+        assert "repo" in empty.schema().names
+
+    def test_expire_history_keeps_watermark_blocks_below(
+        self, events_dir, tmp_path
+    ):
+        events, lake, b1, b2, ms = self._build_history_lake(
+            events_dir, tmp_path
+        )
+        stats = MF.expire_history(lake, before_seq=b2)
+        assert stats["removed"] > 0  # slice-1 snapshots superseded below b2
+        # reads at/above the retention watermark are untouched
+        self._assert_matches_prefix(
+            RP.read_lake_asof(lake, b2).to_pandas(), events, b2
+        )
+        self._assert_matches_prefix(
+            RP.read_lake_asof(lake, ms).to_pandas(), events, ms
+        )
+        # travel below the watermark now fails LOUDLY (never answers
+        # from the wrong snapshot)
+        with pytest.raises(ValueError, match="expired or was never"):
+            RP.read_lake_asof(lake, b1)
+        # retention is idempotent
+        assert MF.expire_history(lake, before_seq=b2)["removed"] == 0
+
+    def test_no_history_lake_raises(self, events_dir, tmp_path):
+        events = _read_all_events(events_dir)
+        ms = max(events.column("seq").to_pylist())
+        b1 = ms // 2
+        _, dirs = self._slice_dirs(events_dir, tmp_path, [b1])
+        lake = str(tmp_path / "lake")
+        for i, d in enumerate(dirs):
+            RP.replay(d, lake, num_partitions=8, incremental=i > 0)
+        with pytest.raises(ValueError, match="retain_history"):
+            RP.read_lake_asof(lake, b1)
+        # the live state is always addressable: asof at the tip works
+        # even without retained history (every pick is current)
+        got = RP.read_lake_asof(lake, ms).to_pandas()
+        self._assert_matches_prefix(got, events, ms)
+
+    def test_vacuum_keeps_addressable_snapshots(self, events_dir, tmp_path):
+        events, lake, b1, b2, ms = self._build_history_lake(
+            events_dir, tmp_path
+        )
+        # aggressive vacuum must NOT orphan time-travel points: every
+        # manifest whose snapshot file exists survives
+        MF.vacuum_manifests(lake, keep_epochs=1)
+        self._assert_matches_prefix(
+            RP.read_lake_asof(lake, b1).to_pandas(), events, b1
+        )
+        # once retention expires the snapshots, vacuum may retire them
+        MF.expire_history(lake, before_seq=ms)
+        stats = MF.vacuum_manifests(lake, keep_epochs=1)
+        assert stats["removed"] > 0
+        # the live table and its checkpoint are untouched throughout
+        self._assert_matches_prefix(
+            RP.read_lake_table(lake).to_pandas(), events, ms
+        )
