@@ -216,9 +216,34 @@ def expire_history(root: str, before_seq: int) -> dict:
     read at a watermark >= before_seq is untouched: for such reads the
     expired snapshot could never be the latest-at-or-below pick.
     Travel to watermarks < before_seq may stop resolving — that is the
-    retention contract the caller signs. Returns counts."""
+    retention contract the caller signs. Also removes ORPHAN snapshot
+    files — a ``data-<epoch>.parquet`` with no manifest is a commit
+    that crashed between the snapshot write and the manifest write
+    (manifest-last ordering) and is addressable by nothing. Like the
+    other maintenance ops (vacuum, repartition) this runs in a
+    maintenance window, not concurrently with an in-flight commit.
+    Returns counts."""
     hist = partition_manifest_history(root)
-    removed = kept = 0
+    removed = kept = orphans = 0
+    known = {
+        (pid, m.epoch) for pid, ms in hist.items() for m in ms
+    }
+    for name in sorted(os.listdir(root)):
+        if not name.startswith("part-"):
+            continue
+        try:
+            pid = int(name.split("-", 1)[1])
+        except ValueError:
+            continue
+        pdir = os.path.join(root, name)
+        for fname in os.listdir(pdir):
+            if (
+                fname.startswith("data-")
+                and fname.endswith(".parquet")
+                and (pid, fname[len("data-"):-len(".parquet")]) not in known
+            ):
+                os.unlink(os.path.join(pdir, fname))
+                orphans += 1
     for pid, ms in hist.items():
         current = ms[-1]  # largest max_seq = the live data.parquet state
 
@@ -245,7 +270,7 @@ def expire_history(root: str, before_seq: int) -> dict:
                 removed += 1
             else:
                 kept += 1
-    return {"removed": removed, "kept": kept}
+    return {"removed": removed, "kept": kept, "orphans_removed": orphans}
 
 
 TABLE_META = "_table_meta.json"

@@ -1437,3 +1437,24 @@ class TestTimeTravel:
         self._assert_matches_prefix(
             RP.read_lake_table(lake).to_pandas(), events, ms
         )
+
+    def test_expire_history_removes_orphan_snapshots(
+        self, events_dir, tmp_path
+    ):
+        """A commit that crashes between the snapshot write and the
+        manifest write (manifest-last ordering) leaves an orphan
+        data-<epoch>.parquet addressable by nothing — the retention
+        sweep removes it without touching addressable snapshots."""
+        events, lake, b1, b2, ms = self._build_history_lake(
+            events_dir, tmp_path
+        )
+        orphan = MF.partition_history_path(lake, 0, "deadbeefcafe0000")
+        pq.write_table(pa.table({"repo": pa.array(["x"], pa.string())}), orphan)
+        stats = MF.expire_history(lake, before_seq=0)  # expires nothing
+        assert stats["removed"] == 0
+        assert stats["orphans_removed"] == 1
+        assert not os.path.exists(orphan)
+        # every addressable travel point still resolves
+        self._assert_matches_prefix(
+            RP.read_lake_asof(lake, b1).to_pandas(), events, b1
+        )
