@@ -4,6 +4,10 @@ Commands:
   replay   --events DIR --out DIR [--policy FILE] [--partitions N]
            [--incremental] [--no-resume] [--salt N] [--retain-history]
   expire-history --lake DIR --before-seq N  (snapshot retention)
+  changes  --lake DIR --from-seq N --to-seq N [--out DIR]
+           (change data feed between two committed watermarks of a
+           retain-history lake; --out streams it to parquet, else
+           prints per-kind row counts)
   gen      --out DIR --events N [--shards N] [--seed N]
   show     --lake DIR  (print committed checkpoint + row counts)
   repartition --src DIR --dst DIR --partitions N  (lake rewrite)
@@ -89,6 +93,22 @@ def main(argv=None) -> int:
     )
     hp.add_argument("--lake", required=True)
     hp.add_argument("--before-seq", type=int, required=True)
+
+    cp = sub.add_parser(
+        "changes",
+        help="change data feed: the insert/update/delete rows that "
+        "turn the lake state asof --from-seq into the state asof "
+        "--to-seq (requires retain-history snapshots; unchanged "
+        "partitions are pruned from manifests alone)",
+    )
+    cp.add_argument("--lake", required=True)
+    cp.add_argument("--from-seq", type=int, required=True)
+    cp.add_argument("--to-seq", type=int, required=True)
+    cp.add_argument(
+        "--out", help="stream the feed to this parquet dir instead of "
+        "printing per-kind counts",
+    )
+    cp.add_argument("--num-cpus", type=int, default=None)
 
     lp = sub.add_parser(
         "lookup",
@@ -305,6 +325,22 @@ def main(argv=None) -> int:
         return 0
 
     from .cdc.replay import repartition_lake, replay
+
+    if args.cmd == "changes":
+        from .cdc.replay import lake_change_files, read_lake_changes
+
+        plan = lake_change_files(args.lake, args.from_seq, args.to_seq)
+        feed = read_lake_changes(args.lake, args.from_seq, args.to_seq)
+        out = {"changed_partitions": len(plan)}
+        if args.out:
+            feed.write_parquet(args.out)
+            out["out"] = args.out
+        else:
+            counts = feed.groupby("change").count().take_all()
+            out["rows"] = {r["change"]: r["count()"] for r in counts}
+        print(json.dumps(out))
+        ray.shutdown()
+        return 0
 
     if args.cmd == "lookup":
         from .cdc.replay import (

@@ -1022,6 +1022,31 @@ def read_lake_table(out_dir: str):
     return rd.read_parquet(_lake_partition_files(out_dir, ("data.parquet",)))
 
 
+def _asof_pick(out_dir: str, pid: int, ms: list, seq: int):
+    """One partition's time-travel resolution: its latest commit with
+    ``max_seq <= seq``. Returns ``(manifest, file)`` — ``(None, None)``
+    when the partition did not exist yet at the watermark; raises when
+    the picked snapshot was removed by ``expire_history`` (never
+    silently answers from the wrong state)."""
+    elig = [m for m in ms if m.max_seq <= seq]
+    if not elig:
+        return None, None
+    pick = elig[-1]
+    hp = mf.partition_history_path(out_dir, pid, pick.epoch)
+    if os.path.exists(hp):
+        return pick, hp
+    dp = mf.partition_data_path(out_dir, pid)
+    if pick is ms[-1] and os.path.exists(dp):
+        return pick, dp  # the live state is the pick
+    raise ValueError(
+        f"time travel to seq={seq} needs partition {pid}'s "
+        f"snapshot at epoch {pick.epoch} (max_seq "
+        f"{pick.max_seq}), which is expired or was never "
+        "retained — run replays with retain_history=True and "
+        "keep expire_history above this watermark"
+    )
+
+
 def lake_files_asof(out_dir: str, seq: int) -> list[str]:
     """Resolve a time-travel read: for each partition, the snapshot
     file of its latest commit with ``max_seq <= seq``. Commit-granular
@@ -1040,24 +1065,9 @@ def lake_files_asof(out_dir: str, seq: int) -> list[str]:
         )
     files = []
     for pid, ms in sorted(hist.items()):
-        elig = [m for m in ms if m.max_seq <= seq]
-        if not elig:
-            continue
-        pick = elig[-1]
-        hp = mf.partition_history_path(out_dir, pid, pick.epoch)
-        dp = mf.partition_data_path(out_dir, pid)
-        if os.path.exists(hp):
-            files.append(hp)
-        elif pick is ms[-1] and os.path.exists(dp):
-            files.append(dp)  # the live state is the pick
-        else:
-            raise ValueError(
-                f"time travel to seq={seq} needs partition {pid}'s "
-                f"snapshot at epoch {pick.epoch} (max_seq "
-                f"{pick.max_seq}), which is expired or was never "
-                "retained — run replays with retain_history=True and "
-                "keep expire_history above this watermark"
-            )
+        _, f = _asof_pick(out_dir, pid, ms, seq)
+        if f is not None:
+            files.append(f)
     return files
 
 
@@ -1086,6 +1096,169 @@ def read_lake_asof(out_dir: str, seq: int):
             return rd.from_arrow(pq.read_schema(live[0]).empty_table())
         return rd.from_arrow(pa.table({"repo": pa.array([], pa.string())}))
     return rd.read_parquet(files)
+
+
+def lake_change_files(
+    out_dir: str, from_seq: int, to_seq: int
+) -> list[tuple[int, str | None, str]]:
+    """Plan a change-data-feed read: for each partition, the asof
+    snapshot files at both watermarks. Pruning happens here, on
+    manifests alone: a partition whose pick is the SAME commit at both
+    watermarks had no committed change in the window and is skipped
+    without reading a byte — on a mostly-cold 100-TB lake the feed
+    touches only the partitions that actually committed in the window.
+    Returns ``(pid, file_from | None, file_to)`` tuples (``None`` =
+    the partition did not exist at ``from_seq``: every row is an
+    insert). Expired picks raise, exactly like ``lake_files_asof``."""
+    if from_seq > to_seq:
+        raise ValueError(
+            f"change feed window is inverted: from_seq={from_seq} > "
+            f"to_seq={to_seq}"
+        )
+    hist = mf.partition_manifest_history(out_dir)
+    if not hist:
+        raise ValueError(
+            f"{out_dir} has no committed manifests — not a committed lake"
+        )
+    work = []
+    for pid, ms in sorted(hist.items()):
+        pick_a, fa = _asof_pick(out_dir, pid, ms, from_seq)
+        pick_b, fb = _asof_pick(out_dir, pid, ms, to_seq)
+        if pick_b is None or pick_a is pick_b:
+            continue  # not born yet, or no commit in the window
+        work.append((pid, fa, fb))
+    return work
+
+
+def read_lake_changes(
+    out_dir: str,
+    from_seq: int,
+    to_seq: int,
+    *,
+    key_cols: tuple[str, ...] = ("repo", "path"),
+):
+    """Change data feed: the row-level changes that turn the committed
+    state asof ``from_seq`` into the state asof ``to_seq`` — like
+    Delta's ``table_changes`` / the Iceberg changelog, derived from the
+    ``retain_history=True`` snapshots instead of a second log scan.
+
+    Output: the key columns, ``seq_a`` (the row's version at
+    ``from_seq``; null for inserts), ``seq_b`` (the version at
+    ``to_seq``; null for deletes), every other column of the
+    ``to_seq`` snapshot as the POST-image (null for deletes), and
+    ``change`` in {'insert','update','delete'}. Pre-images are not
+    carried (LWW keeps no old values); a key whose seq is unchanged in
+    the window emits nothing.
+
+    Scale shape: NO shuffle. Both watermarks' snapshots of a partition
+    cover the same key range (the lake is hash-partitioned by key and
+    a partition count change via ``repartition_lake`` rewrites
+    history's manifests too), so the diff is a partition-local full
+    join — one task per CHANGED partition, unchanged partitions pruned
+    from manifests alone (``lake_change_files``). The reference has no
+    table layer at all (its sink is append-only GCS JSON,
+    examples/example-redaction-pipeline.json:109-141); this mirrors
+    public CDF semantics."""
+    import ray.data as rd
+
+    work = lake_change_files(out_dir, from_seq, to_seq)
+    out_schema = _change_feed_schema(out_dir, work, key_cols)
+    if not work:
+        return rd.from_arrow(out_schema.empty_table())
+    items = [
+        {"file_a": fa if fa is not None else "", "file_b": fb}
+        for _, fa, fb in work
+    ]
+    ds = rd.from_items(items, override_num_blocks=len(items))
+
+    def diff_partition(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        import pyarrow.parquet as _pq
+
+        keys = list(key_cols)
+        outs = []
+        for fa, fb in zip(
+            batch.column("file_a").to_pylist(),
+            batch.column("file_b").to_pylist(),
+        ):
+            b = pl.from_arrow(_pq.read_table(fb)).rename({"seq": "seq_b"})
+            if fa:
+                # pre-image values are not emitted: prune the read to
+                # key + version columns
+                a = pl.from_arrow(
+                    _pq.read_table(fa, columns=keys + ["seq"])
+                ).rename({"seq": "seq_a"})
+            else:
+                a = b.select(keys).head(0).with_columns(
+                    pl.lit(None, pl.Int64).alias("seq_a")
+                )
+            j = a.join(b, on=keys, how="full", coalesce=True)
+            j = j.filter(
+                pl.col("seq_a").is_null()
+                | pl.col("seq_b").is_null()
+                | (pl.col("seq_a") != pl.col("seq_b"))
+            ).with_columns(
+                pl.when(pl.col("seq_a").is_null())
+                .then(pl.lit("insert"))
+                .when(pl.col("seq_b").is_null())
+                .then(pl.lit("delete"))
+                .otherwise(pl.lit("update"))
+                .alias("change")
+            )
+            t = j.to_arrow()
+            # conform to the union schema (schema evolution can leave
+            # older partitions' snapshots without newer columns)
+            cols = []
+            for f in out_schema:
+                if f.name in t.column_names:
+                    cols.append(t.column(f.name).cast(f.type))
+                else:
+                    cols.append(pa.nulls(t.num_rows, f.type))
+            outs.append(pa.Table.from_arrays(cols, schema=out_schema))
+        return pa.concat_tables(outs)
+
+    return ds.map_batches(
+        diff_partition, batch_format="pyarrow", batch_size=None
+    )
+
+
+def _change_feed_schema(
+    out_dir: str, work: list, key_cols: tuple[str, ...]
+) -> pa.Schema:
+    """Feed schema derived structurally (repo idiom: never trigger an
+    execution for a schema): keys, seq_a/seq_b, the union of the
+    to-side snapshots' value columns in first-seen order, change."""
+    import pyarrow.parquet as _pq
+
+    fields: dict[str, pa.DataType] = {}
+    srcs = [fb for _, _, fb in work] or _lake_partition_files(
+        out_dir, ("data.parquet",)
+    )[:1]
+    for f in srcs:
+        for fld in _pq.read_schema(f):
+            if fld.name not in fields:
+                fields[fld.name] = fld.type
+    if not fields:  # empty, never-committed-anything lake
+        fields = {k: pa.string() for k in key_cols}
+        fields["seq"] = pa.int64()
+    names = [k for k in key_cols]
+    names += ["seq_a", "seq_b"]
+    names += [
+        n for n in fields if n not in key_cols and n != "seq"
+    ]
+    types = {
+        **{k: fields.get(k, pa.string()) for k in key_cols},
+        "seq_a": pa.int64(),
+        "seq_b": pa.int64(),
+        **{
+            n: t
+            for n, t in fields.items()
+            if n not in key_cols and n != "seq"
+        },
+    }
+    return pa.schema(
+        [(n, types[n]) for n in names] + [("change", pa.string())]
+    )
 
 
 def _read_lake_with_tombstones(src_dir: str):

@@ -1341,6 +1341,38 @@ def q_cdc_time_travel(sf_dir: str):
     return p1.union(p2)
 
 
+def q_cdc_change_feed(sf_dir: str):
+    """Change data feed conformance: ``read_lake_changes`` between the
+    two slice boundaries of the retain_history lake must equal the SQL
+    diff of the two prefix-LWW states — inserts (born in the window),
+    updates (seq advanced; post-image ``commit`` carried), deletes
+    (tombstoned in the window; null post-image). The engine side is
+    shuffle-free: one local full join per CHANGED partition, unchanged
+    partitions pruned from manifests alone (cdc/replay.py
+    read_lake_changes). Delta's table_changes / the Iceberg changelog
+    expose the same row-level feed; the reference has no table layer
+    (its sink is append-only GCS JSON,
+    examples/example-redaction-pipeline.json:109-141)."""
+    lake, b1, b2 = time_travel_lake_dir(sf_dir)
+    feed = RP.read_lake_changes(lake, b1, b2)
+
+    out_schema = pa.schema(
+        [
+            ("repo", pa.string()),
+            ("path", pa.string()),
+            ("seq_a", pa.int64()),
+            ("seq_b", pa.int64()),
+            ("commit", pa.string()),
+            ("change", pa.string()),
+        ]
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return b.select(out_schema.names).cast(out_schema)
+
+    return feed.map_batches(finish, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1374,6 +1406,7 @@ QUERIES = {
     "cdc_full_replay": q_cdc_full_replay,
     "cdc_tombstone_guard": q_cdc_tombstone_guard,
     "cdc_time_travel": q_cdc_time_travel,
+    "cdc_change_feed": q_cdc_change_feed,
 }
 
 ORACLE_SQL = {
@@ -2848,6 +2881,44 @@ def tmp_oracle_sql(sf: str = "sf0.01") -> dict[str, str]:
             UNION ALL
             SELECT repo, path, seq, "commit", CAST(2 AS BIGINT) AS asof
             FROM p2 WHERE last_op IS NULL OR last_op <> 'delete'
+        """,
+        # SQL diff of the same two prefix-LWW states: the change set
+        # that turns asof(b1) into asof(b2). The engine side never
+        # touches the log — it diffs retained partition snapshots
+        # locally — so equality proves the feed against an
+        # independent full-log recomputation.
+        "cdc_change_feed": f"""
+            WITH mx AS (
+              SELECT max(seq) AS ms FROM read_parquet('{ev}')
+            ), p1 AS (
+              SELECT repo, path, max(seq) AS seq,
+                     arg_max(op, seq) AS last_op
+              FROM read_parquet('{ev}')
+              WHERE seq <= (SELECT ms // 3 FROM mx)
+              GROUP BY repo, path
+            ), p2 AS (
+              SELECT repo, path, max(seq) AS seq,
+                     arg_max("commit", seq) AS "commit",
+                     arg_max(op, seq) AS last_op
+              FROM read_parquet('{ev}')
+              WHERE seq <= (SELECT (2 * ms) // 3 FROM mx)
+              GROUP BY repo, path
+            ), a AS (
+              SELECT repo, path, seq FROM p1
+              WHERE last_op IS NULL OR last_op <> 'delete'
+            ), b AS (
+              SELECT repo, path, seq, "commit" FROM p2
+              WHERE last_op IS NULL OR last_op <> 'delete'
+            )
+            SELECT coalesce(a.repo, b.repo) AS repo,
+                   coalesce(a.path, b.path) AS path,
+                   a.seq AS seq_a, b.seq AS seq_b, b."commit",
+                   CASE WHEN a.seq IS NULL THEN 'insert'
+                        WHEN b.seq IS NULL THEN 'delete'
+                        ELSE 'update' END AS change
+            FROM a FULL JOIN b
+              ON a.repo = b.repo AND a.path = b.path
+            WHERE a.seq IS NULL OR b.seq IS NULL OR a.seq <> b.seq
         """,
         # per-partition rows straight from the manifest JSONs (pins the
         # on-disk manifest schema); total_rows recomputed INDEPENDENTLY
@@ -5191,6 +5262,7 @@ _DRIVER_PREFIX = [
     "incremental_dedup_soak",
     "cdc_tombstone_guard",
     "cdc_time_travel",
+    "cdc_change_feed",
     # (b) the six round-4 driver-red (dtype-only) queries — fixed via
     # CAST(sum(...) AS BIGINT) in their oracle SQL; kept in the checked
     # window to prove the fix

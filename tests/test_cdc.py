@@ -1458,3 +1458,152 @@ class TestTimeTravel:
         self._assert_matches_prefix(
             RP.read_lake_asof(lake, b1).to_pandas(), events, b1
         )
+
+
+class TestChangeFeed:
+    """``read_lake_changes``: the row-level change set between two
+    committed watermarks of a retain_history lake (Delta
+    table_changes / Iceberg changelog semantics), computed WITHOUT a
+    shuffle — one local full join per changed partition, unchanged
+    partitions pruned from manifests alone."""
+
+    def _lake(self, events_dir, tmp_path):
+        return TestTimeTravel()._build_history_lake(events_dir, tmp_path)
+
+    def _prefix_state(self, events, boundary):
+        import pyarrow.compute as pc
+
+        prefix = events.filter(pc.less_equal(events.column("seq"), boundary))
+        return EV.oracle_replay(prefix)  # key -> (seq, payload|None)
+
+    def test_feed_equals_state_diff(self, events_dir, tmp_path):
+        events, lake, b1, b2, ms = self._lake(events_dir, tmp_path)
+        a = {
+            k: v for k, v in self._prefix_state(events, b1).items()
+            if v[1] is not None
+        }
+        b = {
+            k: v for k, v in self._prefix_state(events, b2).items()
+            if v[1] is not None
+        }
+        feed = RP.read_lake_changes(lake, b1, b2).to_pandas()
+        want = {}
+        for k in a.keys() | b.keys():
+            sa = a[k][0] if k in a else None
+            sb = b[k][0] if k in b else None
+            if sa == sb:
+                continue
+            change = (
+                "insert" if sa is None
+                else "delete" if sb is None
+                else "update"
+            )
+            want[k] = (sa, sb, change)
+        import pandas as pd
+
+        got = {}
+        for _, r in feed.iterrows():
+            got[(r["repo"], r["path"])] = (
+                None if pd.isna(r["seq_a"]) else int(r["seq_a"]),
+                None if pd.isna(r["seq_b"]) else int(r["seq_b"]),
+                r["change"],
+            )
+        assert got == want
+        # the window must exercise all three change kinds or the test
+        # is vacuous
+        kinds = {c for _, _, c in want.values()}
+        assert kinds == {"insert", "update", "delete"}
+        # deletes carry a null post-image (the apply test pins the
+        # non-delete post-images row for row)
+        dels = feed[feed.change == "delete"]
+        assert dels["seq_b"].isna().all() and dels["content"].isna().all()
+
+    def test_apply_feed_reproduces_target_state(self, events_dir, tmp_path):
+        """asof(b1) + feed == asof(b2), row for row: upsert post-images,
+        drop deletes."""
+        import pandas as pd
+
+        _, lake, b1, b2, _ = self._lake(events_dir, tmp_path)
+        base = RP.read_lake_asof(lake, b1).to_pandas()
+        target = RP.read_lake_asof(lake, b2).to_pandas()
+        feed = RP.read_lake_changes(lake, b1, b2).to_pandas()
+        dels = feed[feed.change == "delete"][["repo", "path"]]
+        post = feed[feed.change != "delete"].drop(
+            columns=["seq_a", "change"]
+        ).rename(columns={"seq_b": "seq"})
+        touched = feed[["repo", "path"]]
+        kept = base.merge(
+            touched, on=["repo", "path"], how="left", indicator=True
+        )
+        kept = kept[kept._merge == "left_only"].drop(columns=["_merge"])
+        rebuilt = pd.concat([kept, post[kept.columns]], ignore_index=True)
+        key = ["repo", "path"]
+        pd.testing.assert_frame_equal(
+            rebuilt.sort_values(key).reset_index(drop=True),
+            target[rebuilt.columns].sort_values(key).reset_index(drop=True),
+            check_dtype=False,
+        )
+        # deletes really are gone from the target
+        gone = target.merge(dels, on=key, how="inner")
+        assert len(gone) == 0
+
+    def test_empty_window_and_inverted(self, events_dir, tmp_path):
+        _, lake, b1, _, _ = self._lake(events_dir, tmp_path)
+        empty = RP.read_lake_changes(lake, b1, b1)
+        assert empty.count() == 0
+        assert "change" in empty.schema().names
+        with pytest.raises(ValueError, match="inverted"):
+            RP.read_lake_changes(lake, b1 + 1, b1)
+
+    def test_unchanged_partitions_pruned_from_manifests(
+        self, events_dir, tmp_path
+    ):
+        """A one-key incremental commit must surface EXACTLY one
+        partition in the feed plan — the pruning is manifest-only, no
+        partition file of an unchanged partition is read."""
+        events, lake, b1, b2, ms = self._lake(events_dir, tmp_path)
+        live = events.filter(
+            pa.compute.not_equal(events.column("op"), "delete")
+        ).slice(0, 1)
+        probe = live.set_column(
+            live.schema.get_field_index("seq"),
+            "seq",
+            pa.array([ms + 1], pa.int64()),
+        ).set_column(
+            live.schema.get_field_index("content"),
+            "content",
+            pa.array(["feedprobe"], pa.string()),
+        ).set_column(
+            live.schema.get_field_index("op"),
+            "op",
+            pa.array(["update"], pa.string()),
+        )
+        d = str(tmp_path / "slice_probe")
+        os.makedirs(d)
+        pq.write_table(probe, os.path.join(d, "events.parquet"))
+        RP.replay(
+            d, lake, num_partitions=8, incremental=True,
+            retain_history=True,
+        )
+        plan = RP.lake_change_files(lake, ms, ms + 1)
+        assert len(plan) == 1
+        feed = RP.read_lake_changes(lake, ms, ms + 1).to_pandas()
+        assert len(feed) == 1
+        r = feed.iloc[0]
+        assert (
+            r["repo"], r["path"], r["change"], r["content"], int(r["seq_b"])
+        ) == (
+            live.column("repo")[0].as_py(),
+            live.column("path")[0].as_py(),
+            "update",
+            "feedprobe",
+            ms + 1,
+        )
+
+    def test_expired_from_watermark_fails_loudly(self, events_dir, tmp_path):
+        _, lake, b1, b2, ms = self._lake(events_dir, tmp_path)
+        MF.expire_history(lake, before_seq=b2)
+        with pytest.raises(ValueError, match="expired or was never"):
+            RP.read_lake_changes(lake, b1, b2)
+        # windows entirely at/above the retention watermark still work
+        assert RP.read_lake_changes(lake, b2, ms).count() > 0
