@@ -56,10 +56,26 @@ def _keep_min_per_key(batch: pa.Table, key_col: str, order_col: str) -> pa.Table
     return out.to_arrow().select(schema.names).cast(schema)
 
 
-def exact_dedup(ds, *, text_col: str, id_col: str, precomputed_hash: str | None = None):
+def exact_dedup(
+    ds,
+    *,
+    text_col: str,
+    id_col: str,
+    precomputed_hash: str | None = None,
+    local_threshold: int = 2_000_000,
+):
     """Keep the min-``id_col`` row per distinct ``text_col`` value.
     Combiner (per-block min) before the single hash groupby, so
-    mega-duplicated documents don't skew the shuffle."""
+    mega-duplicated documents don't skew the shuffle.
+
+    Size-adaptive (round-5 idiom): the per-block combiner output is
+    measured; at or below ``local_threshold`` surviving rows the hash
+    exchange collapses to ONE remote task running the identical
+    keep-min kernel (each avoided exchange is ~0.5-3 s fixed — the
+    sort dominated ``chunk_dedup``'s wall at small scale). Pass 0 to
+    force the distributed branch (the equivalence property test
+    does); at corpus scale the combiner output exceeds the threshold
+    and the bucketed exchange runs as before."""
     hash_col = precomputed_hash or "content_sha"
     if precomputed_hash is None:
         ds = ds.map_batches(
@@ -69,16 +85,43 @@ def exact_dedup(ds, *, text_col: str, id_col: str, precomputed_hash: str | None 
         lambda b: _keep_min_per_key(b, hash_col, id_col), batch_format="pyarrow"
     )
 
-    from .shuffle import bucketed_group_reduce
+    out = None
+    if local_threshold:
+        ds = ds.materialize()
+        if ds.count() <= local_threshold:
+            out = _exact_dedup_local(ds, hash_col, id_col)
+    if out is None:
+        from .shuffle import bucketed_group_reduce
 
-    out = bucketed_group_reduce(
-        ds, [hash_col], lambda b: _keep_min_per_key(b, hash_col, id_col)
-    )
+        out = bucketed_group_reduce(
+            ds, [hash_col], lambda b: _keep_min_per_key(b, hash_col, id_col)
+        )
     if precomputed_hash is None:
         out = out.map_batches(
             lambda b: b.drop_columns([hash_col]), batch_format="pyarrow"
         )
     return out
+
+
+def _exact_dedup_local(ds, hash_col: str, id_col: str):
+    """ONE-task fast path of :func:`exact_dedup`'s exchange: the same
+    keep-min-per-hash kernel over all combined blocks at once.
+    Equivalence pinned by tests/test_properties.py."""
+    import ray
+    import ray.data as rd
+
+    refs = ds.to_arrow_refs()
+    if not refs:
+        return ds  # already empty
+
+    @ray.remote
+    def solve(*tables) -> pa.Table:
+        tabs = [t for t in tables if t.num_rows] or [tables[0]]
+        return _keep_min_per_key(
+            pa.concat_tables(tabs), hash_col, id_col
+        )
+
+    return rd.from_arrow_refs([solve.remote(*refs)])
 
 
 # ---------------------------------------------------------------------------

@@ -499,6 +499,56 @@ class TestLocalVerifyEquivalence:
         assert got_local == got_dist
 
 
+class TestExactDedupLocalEquivalence:
+    """exact_dedup's single-task fast path (combiner output at or
+    below local_threshold -> one keep-min task) must emit exactly the
+    rows the distributed hash exchange keeps — same min-id winner per
+    distinct text, duplicated texts collapse identically."""
+
+    @given(
+        texts=st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "", "alpha beta"]),
+            min_size=1,
+            max_size=24,
+        ),
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_local_matches_distributed(self, texts):
+        import ray.data as rd
+
+        from dlp_plugins_ray.stages.dedup import exact_dedup
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+        def rows(res):
+            return sorted(
+                (r["doc_id"], r["text"]) for r in res.take_all()
+            )
+
+        fast = rows(
+            exact_dedup(
+                rd.from_arrow(docs), text_col="text", id_col="doc_id"
+            )
+        )
+        dist = rows(
+            exact_dedup(
+                rd.from_arrow(docs), text_col="text", id_col="doc_id",
+                local_threshold=0,
+            )
+        )
+        assert fast == dist
+        # and both really are the min-id winner per distinct text
+        want = {}
+        for i, t in enumerate(texts):
+            want.setdefault(t, i)
+        assert fast == sorted((i, t) for t, i in want.items())
+
+
 class TestMinhashBatchEquivalence:
     """The batched signatures() kernel must be bit-identical to the
     per-document signature() path on arbitrary unicode texts (incl.
