@@ -1063,12 +1063,32 @@ def lake_files_asof(out_dir: str, seq: int) -> list[str]:
         raise ValueError(
             f"{out_dir} has no committed manifests — not a committed lake"
         )
+    _check_history_floor(out_dir, seq)
     files = []
     for pid, ms in sorted(hist.items()):
         _, f = _asof_pick(out_dir, pid, ms, seq)
         if f is not None:
             files.append(f)
     return files
+
+
+def _check_history_floor(out_dir: str, seq: int) -> None:
+    """A lake created by ``repartition_lake`` collapsed its source's
+    entire history into one live state at the migration watermark
+    (``_table_meta.json`` ``history_floor``). Below it the manifests
+    cannot distinguish "table did not exist" from "state was
+    collapsed" — so fail loudly rather than answer "empty" /
+    "everything is an insert". Genesis lakes carry no floor."""
+    meta = mf.read_table_meta(out_dir)
+    floor = (meta or {}).get("history_floor")
+    if floor is not None and seq < floor:
+        raise ValueError(
+            f"watermark seq={seq} is below this lake's history floor "
+            f"{floor}: the lake was created by a repartition migration "
+            "of the live state at that watermark and earlier states "
+            "were never carried — travel/diff against the source lake "
+            "instead"
+        )
 
 
 def read_lake_asof(out_dir: str, seq: int):
@@ -1120,6 +1140,7 @@ def lake_change_files(
         raise ValueError(
             f"{out_dir} has no committed manifests — not a committed lake"
         )
+    _check_history_floor(out_dir, from_seq)
     work = []
     for pid, ms in sorted(hist.items()):
         pick_a, fa = _asof_pick(out_dir, pid, ms, from_seq)
@@ -1151,10 +1172,12 @@ def read_lake_changes(
     the window emits nothing.
 
     Scale shape: NO shuffle. Both watermarks' snapshots of a partition
-    cover the same key range (the lake is hash-partitioned by key and
-    a partition count change via ``repartition_lake`` rewrites
-    history's manifests too), so the diff is a partition-local full
-    join — one task per CHANGED partition, unchanged partitions pruned
+    cover the same key range — a lake's partition count is pinned for
+    its lifetime by ``_table_meta.json`` (``repartition_lake`` writes
+    a NEW directory whose history starts at the migration commit, so
+    travel/feeds below it fail loudly there, never silently
+    mis-partition). The diff is therefore a partition-local full join
+    — one task per CHANGED partition, unchanged partitions pruned
     from manifests alone (``lake_change_files``). The reference has no
     table layer at all (its sink is append-only GCS JSON,
     examples/example-redaction-pipeline.json:109-141); this mirrors
@@ -1395,9 +1418,25 @@ def repartition_lake(
 
     if os.path.abspath(src_dir) == os.path.abspath(dst_dir):
         raise ValueError("repartition_lake requires a fresh destination dir")
+    src_ckpt = mf.committed_partitions(src_dir)
+    if not src_ckpt:
+        raise ValueError(
+            f"{src_dir} has no committed manifests — not a committed lake"
+        )
     algo = key_hash_algo_id(DEFAULT_KEY_HASH_ALGO)
+    # the destination's first commit collapses the source's ENTIRE
+    # history into one live state (snapshots are not carried) —
+    # pin that watermark so time travel / change feeds below it fail
+    # loudly instead of silently reading "empty" / "all inserts"
+    # (a genesis lake has no floor: below-first-commit reads there
+    # genuinely mean "the table did not exist yet")
     mf.ensure_table_meta(
-        dst_dir, {"num_partitions": num_partitions, "key_hash": algo}
+        dst_dir,
+        {
+            "num_partitions": num_partitions,
+            "key_hash": algo,
+            "history_floor": max(m.max_seq for m in src_ckpt.values()),
+        },
     )
     epoch = compute_epoch(
         [os.path.join(src_dir, n) for n in sorted(os.listdir(src_dir)) if n.startswith("part-")],

@@ -1607,3 +1607,48 @@ class TestChangeFeed:
             RP.read_lake_changes(lake, b1, b2)
         # windows entirely at/above the retention watermark still work
         assert RP.read_lake_changes(lake, b2, ms).count() > 0
+
+
+class TestHistoryFloor:
+    """A repartition-migrated lake collapsed its source's history into
+    one live state — time travel / change feeds below that watermark
+    must fail loudly (`history_floor` in _table_meta.json), never
+    answer "empty" / "everything is an insert". Genesis lakes carry no
+    floor (below-first-commit there genuinely means empty)."""
+
+    def test_migrated_lake_floors_travel_and_feed(
+        self, events_dir, tmp_path
+    ):
+        import pandas as pd
+
+        events, src, b1, b2, ms = TestTimeTravel()._build_history_lake(
+            events_dir, tmp_path
+        )
+        dst = str(tmp_path / "migrated")
+        RP.repartition_lake(src, dst, num_partitions=16)
+        floor = max(
+            m.max_seq for m in MF.committed_partitions(src).values()
+        )
+        assert MF.read_table_meta(dst)["history_floor"] == floor
+        # at the floor: answerable, equals the source's live state
+        key = ["repo", "path"]
+        got = (
+            RP.read_lake_asof(dst, floor)
+            .to_pandas()
+            .sort_values(key)
+            .reset_index(drop=True)
+        )
+        want = (
+            RP.read_lake_table(src)
+            .to_pandas()
+            .sort_values(key)
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[want.columns], want)
+        # below the floor: loud failure on both surfaces
+        with pytest.raises(ValueError, match="history floor"):
+            RP.read_lake_asof(dst, floor - 1)
+        with pytest.raises(ValueError, match="history floor"):
+            RP.read_lake_changes(dst, floor - 1, floor)
+        # the SOURCE lake still travels below the migration watermark
+        assert RP.read_lake_asof(src, b1).count() > 0
