@@ -330,7 +330,9 @@ def main(argv=None) -> int:
         from .cdc.replay import lake_change_files, read_lake_changes
 
         plan = lake_change_files(args.lake, args.from_seq, args.to_seq)
-        feed = read_lake_changes(args.lake, args.from_seq, args.to_seq)
+        feed = read_lake_changes(
+            args.lake, args.from_seq, args.to_seq, plan=plan
+        )
         out = {"changed_partitions": len(plan)}
         if args.out:
             feed.write_parquet(args.out)

@@ -39,6 +39,7 @@ import hashlib
 import json
 import os
 import zlib
+from typing import NamedTuple
 
 import numpy as np
 import pyarrow as pa
@@ -1118,18 +1119,34 @@ def read_lake_asof(out_dir: str, seq: int):
     return rd.read_parquet(files)
 
 
+class ChangePlanItem(NamedTuple):
+    """One changed partition in a change-feed plan. ``file_from`` is
+    None when the partition did not exist at ``from_seq`` (every row
+    is an insert). ``rows_*`` are the manifests' attested row counts —
+    the diff task verifies each file it reads against them, so a live
+    ``data.parquet`` rewritten by a commit that lands between planning
+    and the lazy read trips a loud error instead of silently leaking
+    post-window changes (retained ``data-<epoch>.parquet`` snapshots
+    are immutable and always match)."""
+
+    pid: int
+    file_from: str | None
+    file_to: str
+    rows_from: int
+    rows_to: int
+    epoch_to: str
+
+
 def lake_change_files(
     out_dir: str, from_seq: int, to_seq: int
-) -> list[tuple[int, str | None, str]]:
+) -> list[ChangePlanItem]:
     """Plan a change-data-feed read: for each partition, the asof
     snapshot files at both watermarks. Pruning happens here, on
     manifests alone: a partition whose pick is the SAME commit at both
     watermarks had no committed change in the window and is skipped
     without reading a byte — on a mostly-cold 100-TB lake the feed
     touches only the partitions that actually committed in the window.
-    Returns ``(pid, file_from | None, file_to)`` tuples (``None`` =
-    the partition did not exist at ``from_seq``: every row is an
-    insert). Expired picks raise, exactly like ``lake_files_asof``."""
+    Expired picks raise, exactly like ``lake_files_asof``."""
     if from_seq > to_seq:
         raise ValueError(
             f"change feed window is inverted: from_seq={from_seq} > "
@@ -1147,7 +1164,13 @@ def lake_change_files(
         pick_b, fb = _asof_pick(out_dir, pid, ms, to_seq)
         if pick_b is None or pick_a is pick_b:
             continue  # not born yet, or no commit in the window
-        work.append((pid, fa, fb))
+        work.append(
+            ChangePlanItem(
+                pid, fa, fb,
+                pick_a.row_count if pick_a is not None else 0,
+                pick_b.row_count, pick_b.epoch,
+            )
+        )
     return work
 
 
@@ -1157,6 +1180,7 @@ def read_lake_changes(
     to_seq: int,
     *,
     key_cols: tuple[str, ...] = ("repo", "path"),
+    plan: list[ChangePlanItem] | None = None,
 ):
     """Change data feed: the row-level changes that turn the committed
     state asof ``from_seq`` into the state asof ``to_seq`` — like
@@ -1184,32 +1208,61 @@ def read_lake_changes(
     public CDF semantics."""
     import ray.data as rd
 
-    work = lake_change_files(out_dir, from_seq, to_seq)
+    work = plan if plan is not None else lake_change_files(
+        out_dir, from_seq, to_seq
+    )
     out_schema = _change_feed_schema(out_dir, work, key_cols)
     if not work:
         return rd.from_arrow(out_schema.empty_table())
     items = [
-        {"file_a": fa if fa is not None else "", "file_b": fb}
-        for _, fa, fb in work
+        {
+            "file_a": w.file_from if w.file_from is not None else "",
+            "file_b": w.file_to,
+            "rows_a": w.rows_from,
+            "rows_b": w.rows_to,
+        }
+        for w in work
     ]
     ds = rd.from_items(items, override_num_blocks=len(items))
 
+    def read_attested(fb, expected, columns=None):
+        """Read a planned snapshot file and verify the manifest's
+        attested row count. Retained history files are immutable, but
+        a pick can fall back to the live data.parquet — if a commit
+        lands between planning and this lazy read, the rewrite trips
+        here instead of silently leaking post-window changes."""
+        import pyarrow.parquet as _pq
+
+        t = _pq.read_table(fb, columns=columns)
+        if t.num_rows != expected:
+            raise RuntimeError(
+                f"{fb} has {t.num_rows} rows but its planned commit "
+                f"attested {expected} — the lake advanced between feed "
+                "planning and the read. Re-run the feed, or write with "
+                "retain_history=True so picks resolve to immutable "
+                "snapshot files."
+            )
+        return t
+
     def diff_partition(batch: pa.Table) -> pa.Table:
         import polars as pl
-        import pyarrow.parquet as _pq
 
         keys = list(key_cols)
         outs = []
-        for fa, fb in zip(
+        for fa, fb, ra, rb in zip(
             batch.column("file_a").to_pylist(),
             batch.column("file_b").to_pylist(),
+            batch.column("rows_a").to_pylist(),
+            batch.column("rows_b").to_pylist(),
         ):
-            b = pl.from_arrow(_pq.read_table(fb)).rename({"seq": "seq_b"})
+            b = pl.from_arrow(read_attested(fb, rb)).rename(
+                {"seq": "seq_b"}
+            )
             if fa:
                 # pre-image values are not emitted: prune the read to
                 # key + version columns
                 a = pl.from_arrow(
-                    _pq.read_table(fa, columns=keys + ["seq"])
+                    read_attested(fa, ra, columns=keys + ["seq"])
                 ).rename({"seq": "seq_a"})
             else:
                 a = b.select(keys).head(0).with_columns(
@@ -1246,18 +1299,32 @@ def read_lake_changes(
 
 
 def _change_feed_schema(
-    out_dir: str, work: list, key_cols: tuple[str, ...]
+    out_dir: str, work: list[ChangePlanItem], key_cols: tuple[str, ...]
 ) -> pa.Schema:
     """Feed schema derived structurally (repo idiom: never trigger an
     execution for a schema): keys, seq_a/seq_b, the union of the
-    to-side snapshots' value columns in first-seen order, change."""
+    to-side snapshots' value columns in first-seen order, change.
+    Footer reads are deduped by commit EPOCH — every partition
+    committed in the same run shares that run's schema, so a hot
+    window where all 4k partitions changed costs ONE footer read, and
+    the union only widens when picks genuinely span schema-evolution
+    boundaries. The empty-window schema unions each partition's
+    LATEST commit the same way (not just partition 0), so an empty
+    feed carries exactly the columns a non-empty one would."""
     import pyarrow.parquet as _pq
 
+    if work:
+        by_epoch = {w.epoch_to: w.file_to for w in work}
+    else:
+        by_epoch = {
+            m.epoch: mf.partition_data_path(out_dir, pid)
+            for pid, m in mf.committed_partitions(out_dir).items()
+        }
+        by_epoch = {
+            e: f for e, f in by_epoch.items() if os.path.exists(f)
+        }
     fields: dict[str, pa.DataType] = {}
-    srcs = [fb for _, _, fb in work] or _lake_partition_files(
-        out_dir, ("data.parquet",)
-    )[:1]
-    for f in srcs:
+    for f in by_epoch.values():
         for fld in _pq.read_schema(f):
             if fld.name not in fields:
                 fields[fld.name] = fld.type

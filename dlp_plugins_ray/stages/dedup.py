@@ -63,19 +63,24 @@ def exact_dedup(
     id_col: str,
     precomputed_hash: str | None = None,
     local_threshold: int = 2_000_000,
+    local_bytes_threshold: int = 256 << 20,
 ):
     """Keep the min-``id_col`` row per distinct ``text_col`` value.
     Combiner (per-block min) before the single hash groupby, so
     mega-duplicated documents don't skew the shuffle.
 
     Size-adaptive (round-5 idiom): the per-block combiner output is
-    measured; at or below ``local_threshold`` surviving rows the hash
-    exchange collapses to ONE remote task running the identical
-    keep-min kernel (each avoided exchange is ~0.5-3 s fixed — the
-    sort dominated ``chunk_dedup``'s wall at small scale). Pass 0 to
-    force the distributed branch (the equivalence property test
-    does); at corpus scale the combiner output exceeds the threshold
-    and the bucketed exchange runs as before."""
+    measured; at or below ``local_threshold`` surviving rows AND
+    ``local_bytes_threshold`` bytes the hash exchange collapses to
+    ONE remote task running the identical keep-min kernel (each
+    avoided exchange is ~0.5-3 s fixed — the sort dominated
+    ``chunk_dedup``'s wall at small scale). The byte gate matters
+    because these rows carry the full document text: 2M rows of 10 KB
+    docs is ~19 GB, which must take the exchange, not one task heap.
+    Pass ``local_threshold=0`` to force the distributed branch (the
+    equivalence property test does); at corpus scale the combiner
+    output exceeds the thresholds and the bucketed exchange runs as
+    before."""
     hash_col = precomputed_hash or "content_sha"
     if precomputed_hash is None:
         ds = ds.map_batches(
@@ -88,7 +93,10 @@ def exact_dedup(
     out = None
     if local_threshold:
         ds = ds.materialize()
-        if ds.count() <= local_threshold:
+        if (
+            ds.count() <= local_threshold
+            and ds.size_bytes() <= local_bytes_threshold
+        ):
             out = _exact_dedup_local(ds, hash_col, id_col)
     if out is None:
         from .shuffle import bucketed_group_reduce
