@@ -1608,6 +1608,59 @@ class TestChangeFeed:
         # windows entirely at/above the retention watermark still work
         assert RP.read_lake_changes(lake, b2, ms).count() > 0
 
+    def test_empty_window_schema_matches_nonempty(self, events_dir, tmp_path):
+        """An empty feed must carry exactly the columns a non-empty
+        one would (the schema unions every partition's latest commit,
+        not just partition 0's)."""
+        _, lake, b1, b2, _ = self._lake(events_dir, tmp_path)
+        empty = RP.read_lake_changes(lake, b1, b1)
+        full = RP.read_lake_changes(lake, b1, b2).to_pandas()
+        assert empty.schema().names == list(full.columns)
+
+    def test_stale_plan_fails_on_attested_row_counts(
+        self, events_dir, tmp_path
+    ):
+        """TOCTOU guard: a feed plan computed BEFORE a commit that
+        rewrites a live ``data.parquet`` must fail loudly at read time
+        (each diff task checks the file's row count against the
+        planned commit's attested count), never silently leak
+        post-window changes. Only live-file picks can go stale, so
+        build the lake WITHOUT retain_history — every latest-commit
+        pick resolves to the mutable ``data.parquet``."""
+        lake = str(tmp_path / "live_lake")
+        RP.replay(events_dir, lake, num_partitions=4)
+        ms = max(
+            m.max_seq for m in MF.committed_partitions(lake).values()
+        )
+        plan = RP.lake_change_files(lake, 0, ms)
+        assert plan and all(
+            p.file_to.endswith("data.parquet") for p in plan
+        )
+        # the lake advances: a brand-new key commits, growing one
+        # partition's live file past its attested row count
+        events = _read_all_events(events_dir)
+        tmpl = events.filter(
+            pa.compute.not_equal(events.column("op"), "delete")
+        ).slice(0, 1)
+        sch = tmpl.schema
+        probe = tmpl
+        for col, val, typ in [
+            ("seq", ms + 1, pa.int64()),
+            ("op", "insert", pa.string()),
+            ("repo", "stale-plan-repo", pa.string()),
+            ("path", "stale/plan/probe.py", pa.string()),
+            ("content", "probe", pa.string()),
+        ]:
+            probe = probe.set_column(
+                sch.get_field_index(col), col, pa.array([val], typ)
+            )
+        d = str(tmp_path / "advance")
+        os.makedirs(d)
+        pq.write_table(probe, os.path.join(d, "events.parquet"))
+        RP.replay(d, lake, num_partitions=4, incremental=True)
+        with pytest.raises(Exception, match="feed planning"):
+            RP.read_lake_changes(lake, 0, ms, plan=plan).to_pandas()
+
 
 class TestHistoryFloor:
     """A repartition-migrated lake collapsed its source's history into

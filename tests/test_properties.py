@@ -548,6 +548,42 @@ class TestExactDedupLocalEquivalence:
             want.setdefault(t, i)
         assert fast == sorted((i, t) for t, i in want.items())
 
+    def test_byte_gate_forces_distributed(self):
+        """The local fast path requires the combiner output to fit
+        BOTH the row and the byte threshold — full-text corpora whose
+        rows are few but huge must still take the exchange. Forcing
+        the byte gate (threshold 0) must route through the distributed
+        branch and emit identical rows."""
+        import ray.data as rd
+
+        from dlp_plugins_ray.stages.dedup import exact_dedup
+
+        texts = [f"doc-{i % 7}" for i in range(40)]
+        docs = pa.table(
+            {
+                "doc_id": pa.array(list(range(40)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+        def rows(res):
+            return sorted(
+                (r["doc_id"], r["text"]) for r in res.take_all()
+            )
+
+        gated = rows(
+            exact_dedup(
+                rd.from_arrow(docs), text_col="text", id_col="doc_id",
+                local_bytes_threshold=0,
+            )
+        )
+        fast = rows(
+            exact_dedup(
+                rd.from_arrow(docs), text_col="text", id_col="doc_id"
+            )
+        )
+        assert gated == fast == [(i, f"doc-{i}") for i in range(7)]
+
 
 class TestMinhashBatchEquivalence:
     """The batched signatures() kernel must be bit-identical to the
