@@ -547,6 +547,176 @@ def incremental_soak() -> None:
         pass
 
 
+def change_feed_soak() -> None:
+    """At-scale evidence for the time-travel / change-data-feed
+    surface: the cached event log is replayed as 3 seq-range slices
+    into ONE retain_history lake; then we time (a) a time-travel read
+    at the first slice watermark and (b) the change feed between the
+    two slice watermarks, verify the feed row-for-row on its key
+    algebra against an independent DuckDB diff of two prefix-LWW
+    replays of the raw log, and finally commit a ONE-KEY probe slice
+    to show the feed plan prunes to exactly one partition from
+    manifests alone (feed cost scales with CHANGED partitions, not
+    lake size). Prints ONE JSON line; recorded in BASELINE.md."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    ctx = rd.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    if os.environ.get("RAY_GRAFT_NO_RESERVE", "1") == "1":
+        ctx.op_resource_reservation_enabled = False
+    try:
+        from ray.data.context import ShuffleStrategy
+
+        ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    except Exception:
+        pass
+
+    from dlp_plugins_ray.cdc import replay as RP
+    from dlp_plugins_ray.state import manifest as MF
+
+    n_events = int(os.environ.get("RAY_GRAFT_CFEED_EVENTS", "2000000"))
+    n_parts = 64
+    ev_dir = _events_dir(n_events)
+    slice_dirs = _sliced_events_dirs(ev_dir, n_events, 3)
+    lake = os.path.join(tempfile.gettempdir(), "dlp_ray_bench_cfeed_lake")
+    shutil.rmtree(lake, ignore_errors=True)
+
+    marks: list[int] = []
+    build_secs: list[float] = []
+    for i, d in enumerate(slice_dirs):
+        t0 = time.time()
+        RP.replay(
+            d, lake, num_partitions=n_parts, batch_size=32768,
+            incremental=i > 0, retain_history=True,
+        )
+        build_secs.append(round(time.time() - t0, 3))
+        marks.append(
+            max(m.max_seq for m in MF.committed_partitions(lake).values())
+        )
+    w1, w2, w3 = marks
+
+    t0 = time.time()
+    asof_rows = RP.read_lake_asof(lake, w1).count()
+    asof_sec = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    feed = RP.read_lake_changes(lake, w1, w2).to_pandas()
+    feed_sec = round(time.time() - t0, 3)
+    kinds = feed["change"].value_counts().to_dict()
+
+    # independent oracle: DuckDB diff of two prefix-LWW replays of the
+    # raw log (slice delivery is seq-ordered, so commit-granular asof
+    # == prefix LWW at the slice watermarks)
+    glob_path = os.path.join(ev_dir, "*.parquet")
+    want = duckdb.sql(f"""
+        WITH p1 AS (
+          SELECT repo, path, max(seq) AS seq, arg_max(op, seq) AS last_op
+          FROM read_parquet('{glob_path}') WHERE seq <= {w1}
+          GROUP BY repo, path
+        ), p2 AS (
+          SELECT repo, path, max(seq) AS seq, arg_max(op, seq) AS last_op
+          FROM read_parquet('{glob_path}') WHERE seq <= {w2}
+          GROUP BY repo, path
+        ), a AS (
+          SELECT repo, path, seq FROM p1 WHERE last_op <> 'delete'
+        ), b AS (
+          SELECT repo, path, seq FROM p2 WHERE last_op <> 'delete'
+        )
+        SELECT coalesce(a.repo, b.repo) AS repo,
+               coalesce(a.path, b.path) AS path,
+               a.seq AS seq_a, b.seq AS seq_b,
+               CASE WHEN a.seq IS NULL THEN 'insert'
+                    WHEN b.seq IS NULL THEN 'delete'
+                    ELSE 'update' END AS change
+        FROM a FULL JOIN b ON a.repo = b.repo AND a.path = b.path
+        WHERE a.seq IS NULL OR b.seq IS NULL OR a.seq <> b.seq
+        ORDER BY repo, path
+    """).df()
+    cols = ["repo", "path", "seq_a", "seq_b", "change"]
+    got = feed[cols].sort_values(["repo", "path"]).reset_index(drop=True)
+    import pandas as pd
+
+    try:
+        pd.testing.assert_frame_equal(
+            got.astype({"seq_a": "float64", "seq_b": "float64"}),
+            want[cols].astype({"seq_a": "float64", "seq_b": "float64"}),
+        )
+        feed_matches = True
+    except AssertionError:
+        feed_matches = False
+
+    # ONE-KEY probe commit: the plan must prune to a single partition
+    # without reading a byte of the other 63
+    tmpl = pq.read_table(
+        sorted(
+            os.path.join(slice_dirs[0], f)
+            for f in os.listdir(slice_dirs[0]) if f.endswith(".parquet")
+        )[0]
+    ).slice(0, 1)
+    sch = tmpl.schema
+    probe = tmpl
+    for col, val, typ in [
+        ("seq", w3 + 1, pa.int64()),
+        ("op", "insert", pa.string()),
+        ("repo", "cfeed-probe-repo", pa.string()),
+        ("path", "cfeed/probe.py", pa.string()),
+    ]:
+        probe = probe.set_column(
+            sch.get_field_index(col), col, pa.array([val], typ)
+        )
+    pdir = os.path.join(tempfile.gettempdir(), "dlp_ray_bench_cfeed_probe")
+    shutil.rmtree(pdir, ignore_errors=True)
+    os.makedirs(pdir)
+    pq.write_table(probe, os.path.join(pdir, "events.parquet"))
+    RP.replay(
+        pdir, lake, num_partitions=n_parts, incremental=True,
+        retain_history=True,
+    )
+    plan = RP.lake_change_files(lake, w3, w3 + 1)
+    t0 = time.time()
+    probe_feed = RP.read_lake_changes(
+        lake, w3, w3 + 1, plan=plan
+    ).to_pandas()
+    probe_sec = round(time.time() - t0, 3)
+
+    print(json.dumps({
+        "metric": "cdc_change_feed_soak_seconds",
+        "value": feed_sec,
+        "unit": "sec",
+        "num_cpus": NUM_CPUS,
+        "events": n_events,
+        "lake_partitions": n_parts,
+        "build_slice_seconds": build_secs,
+        "watermarks": marks,
+        "asof_seconds": asof_sec,
+        "asof_rows": asof_rows,
+        "feed_rows": int(len(feed)),
+        "inserts": int(kinds.get("insert", 0)),
+        "updates": int(kinds.get("update", 0)),
+        "deletes": int(kinds.get("delete", 0)),
+        "feed_matches_oracle": bool(feed_matches),
+        "probe_plan_partitions": len(plan),
+        "probe_feed_rows": int(len(probe_feed)),
+        "probe_feed_seconds": probe_sec,
+    }), flush=True)
+    try:
+        ray.shutdown()
+    except Exception:
+        pass
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
@@ -554,5 +724,7 @@ if __name__ == "__main__":
         dedup_soak()
     elif "--incremental-soak" in sys.argv:
         incremental_soak()
+    elif "--change-feed-soak" in sys.argv:
+        change_feed_soak()
     else:
         main()
