@@ -1103,7 +1103,17 @@ def read_lake_asof(out_dir: str, seq: int):
     ``cdc_time_travel`` conformance oracle pins. Out-of-order
     deliveries make the snapshot the committed state at that commit
     point (snapshot isolation), exactly like timestamp travel in other
-    table formats."""
+    table formats.
+
+    Staleness guard: a pick whose latest commit is served by the
+    mutable live ``data.parquet`` can be rewritten by a commit landing
+    between snapshot resolution here and the lazy block read. Every
+    block is therefore validated against the watermark — any
+    forward-advancing rewrite carries at least one winning row with
+    ``seq`` above it (incremental events sit strictly above the
+    checkpoint) and trips a loud error instead of silently serving
+    post-watermark state. Retained ``data-<epoch>.parquet`` snapshots
+    are immutable and never trip it."""
     import ray.data as rd
 
     files = lake_files_asof(out_dir, seq)
@@ -1116,24 +1126,53 @@ def read_lake_asof(out_dir: str, seq: int):
 
             return rd.from_arrow(pq.read_schema(live[0]).empty_table())
         return rd.from_arrow(pa.table({"repo": pa.array([], pa.string())}))
-    return rd.read_parquet(files)
+    watermark = seq
+
+    def _within_watermark(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        if batch.num_rows and "seq" in batch.schema.names:
+            mx = _pc.max(batch.column("seq")).as_py()
+            if mx is not None and mx > watermark:
+                raise RuntimeError(
+                    f"asof read at seq={watermark} surfaced a row with "
+                    f"seq={mx} — a commit rewrote a live data.parquet "
+                    "between snapshot resolution and the read. Re-run "
+                    "the read, or write with retain_history=True so "
+                    "picks resolve to immutable snapshot files."
+                )
+        return batch
+
+    return rd.read_parquet(files).map_batches(
+        _within_watermark, batch_format="pyarrow"
+    )
 
 
 class ChangePlanItem(NamedTuple):
     """One changed partition in a change-feed plan. ``file_from`` is
     None when the partition did not exist at ``from_seq`` (every row
-    is an insert). ``rows_*`` are the manifests' attested row counts —
-    the diff task verifies each file it reads against them, so a live
-    ``data.parquet`` rewritten by a commit that lands between planning
-    and the lazy read trips a loud error instead of silently leaking
-    post-window changes (retained ``data-<epoch>.parquet`` snapshots
-    are immutable and always match)."""
+    is an insert). ``rows_*`` / ``seq_*`` are the manifests' attested
+    row counts and commit watermarks — the diff task verifies each
+    file it reads against BOTH, so a live ``data.parquet`` rewritten
+    by a commit that lands between planning and the lazy read trips a
+    loud error instead of silently leaking post-window changes: an
+    insert/delete drift changes the row count, and an update-only
+    rewrite (same count) necessarily carries a winning row with
+    ``seq`` above the planned commit's ``max_seq`` (incremental events
+    sit strictly above the checkpoint). Retained
+    ``data-<epoch>.parquet`` snapshots are immutable and always pass.
+    The residual blind spot is a ``checkpoint_filter=False`` re-replay
+    of BELOW-watermark events that happens to preserve the row count —
+    run maintenance-window replays, or write with
+    ``retain_history=True`` so picks never resolve to the live file."""
 
     pid: int
     file_from: str | None
     file_to: str
     rows_from: int
     rows_to: int
+    seq_from: int
+    seq_to: int
     epoch_to: str
 
 
@@ -1168,7 +1207,9 @@ def lake_change_files(
             ChangePlanItem(
                 pid, fa, fb,
                 pick_a.row_count if pick_a is not None else 0,
-                pick_b.row_count, pick_b.epoch,
+                pick_b.row_count,
+                pick_a.max_seq if pick_a is not None else 0,
+                pick_b.max_seq, pick_b.epoch,
             )
         )
     return work
@@ -1220,24 +1261,34 @@ def read_lake_changes(
             "file_b": w.file_to,
             "rows_a": w.rows_from,
             "rows_b": w.rows_to,
+            "seq_a": w.seq_from,
+            "seq_b": w.seq_to,
         }
         for w in work
     ]
     ds = rd.from_items(items, override_num_blocks=len(items))
 
-    def read_attested(fb, expected, columns=None):
+    def read_attested(fb, expected, seq_bound, columns=None):
         """Read a planned snapshot file and verify the manifest's
-        attested row count. Retained history files are immutable, but
-        a pick can fall back to the live data.parquet — if a commit
-        lands between planning and this lazy read, the rewrite trips
-        here instead of silently leaking post-window changes."""
+        attested row count AND commit watermark (max seq). Retained
+        history files are immutable, but a pick can fall back to the
+        live data.parquet — if a commit lands between planning and
+        this lazy read, the rewrite trips here instead of silently
+        leaking post-window changes (inserts/deletes move the row
+        count; update-only rewrites carry a winning row with seq
+        above the planned commit's max_seq)."""
+        import pyarrow.compute as _pc
         import pyarrow.parquet as _pq
 
         t = _pq.read_table(fb, columns=columns)
-        if t.num_rows != expected:
+        mx = (
+            _pc.max(t.column("seq")).as_py() if t.num_rows else None
+        )
+        if t.num_rows != expected or (mx is not None and mx > seq_bound):
             raise RuntimeError(
-                f"{fb} has {t.num_rows} rows but its planned commit "
-                f"attested {expected} — the lake advanced between feed "
+                f"{fb} has {t.num_rows} rows / max seq {mx} but its "
+                f"planned commit attested {expected} rows at max seq "
+                f"{seq_bound} — the lake advanced between feed "
                 "planning and the read. Re-run the feed, or write with "
                 "retain_history=True so picks resolve to immutable "
                 "snapshot files."
@@ -1249,20 +1300,22 @@ def read_lake_changes(
 
         keys = list(key_cols)
         outs = []
-        for fa, fb, ra, rb in zip(
+        for fa, fb, ra, rb, sa, sb in zip(
             batch.column("file_a").to_pylist(),
             batch.column("file_b").to_pylist(),
             batch.column("rows_a").to_pylist(),
             batch.column("rows_b").to_pylist(),
+            batch.column("seq_a").to_pylist(),
+            batch.column("seq_b").to_pylist(),
         ):
-            b = pl.from_arrow(read_attested(fb, rb)).rename(
+            b = pl.from_arrow(read_attested(fb, rb, sb)).rename(
                 {"seq": "seq_b"}
             )
             if fa:
                 # pre-image values are not emitted: prune the read to
                 # key + version columns
                 a = pl.from_arrow(
-                    read_attested(fa, ra, columns=keys + ["seq"])
+                    read_attested(fa, ra, sa, columns=keys + ["seq"])
                 ).rename({"seq": "seq_a"})
             else:
                 a = b.select(keys).head(0).with_columns(

@@ -314,6 +314,24 @@ def ensure_table_meta(root: str, meta: dict) -> None:
         )
 
 
+def raise_history_floor(root: str, floor: int) -> None:
+    """Monotonically raise the lake's ``history_floor`` (reads at the
+    floor stay answerable; below it they fail loudly). No-op when the
+    existing floor already covers ``floor``, or when the lake predates
+    the table-meta system entirely (writing a floor-only meta would
+    make the next replay's pin check reject the lake)."""
+    meta = read_table_meta(root)
+    if meta is None:
+        return
+    if floor <= meta.get("history_floor", -1):
+        return
+    meta["history_floor"] = floor
+    atomic_write_bytes(
+        os.path.join(root, TABLE_META),
+        json.dumps(meta, sort_keys=True).encode(),
+    )
+
+
 def vacuum_manifests(root: str, *, keep_epochs: int = 2) -> dict:
     """Retire superseded per-partition manifests. A long-tailed
     incremental lake accrues one manifest file per (partition, epoch)
@@ -328,10 +346,22 @@ def vacuum_manifests(root: str, *, keep_epochs: int = 2) -> dict:
     snapshot file still exists (it is an addressable time-travel point;
     ``expire_history`` is the tool that retires those). Run-level
     ``run-*.json`` files of retired epochs are removed with them.
+
+    Loudness is preserved across the vacuum: a removed manifest whose
+    snapshot was already expired is the only EVIDENCE that time travel
+    into its seq range must fail rather than answer from an older (or
+    absent) state — so removing it raises the lake's ``history_floor``
+    (``_table_meta.json``, the same pin ``repartition_lake`` writes) to
+    the next surviving commit's ``max_seq``. Below-floor travel /
+    feeds keep failing loudly after the manifests are gone instead of
+    silently degrading to "empty" / "everything is an insert". The
+    global floor can over-cover on a MIXED-retention lake (an older
+    still-addressable snapshot below a vacuumed gap becomes
+    unreachable) — the safe direction: loud, never wrong.
     Returns counts."""
     mdir = os.path.join(root, MANIFEST_DIR)
     if not os.path.isdir(mdir):
-        return {"removed": 0, "kept": 0}
+        return {"removed": 0, "kept": 0, "history_floor": None}
     part_files: list[tuple[str, PartitionManifest]] = []
     epoch_max: dict[str, int] = {}
     for name in sorted(os.listdir(mdir)):
@@ -350,6 +380,8 @@ def vacuum_manifests(root: str, *, keep_epochs: int = 2) -> dict:
     current = committed_partitions(root)  # partition -> max_seq manifest
     current_keys = {(m.partition, m.epoch) for m in current.values()}
     removed = kept = 0
+    kept_seqs: dict[int, list[int]] = {}
+    removed_ms: list[PartitionManifest] = []
     for name, m in part_files:
         if (
             m.epoch in recent
@@ -359,9 +391,25 @@ def vacuum_manifests(root: str, *, keep_epochs: int = 2) -> dict:
             )
         ):
             kept += 1
+            kept_seqs.setdefault(m.partition, []).append(m.max_seq)
             continue
         os.unlink(os.path.join(mdir, name))
         removed += 1
+        removed_ms.append(m)
+    # every removed manifest was an expired (unaddressable) travel
+    # point: pin the floor at its next SURVIVING commit so reads into
+    # the now-evidence-free seq range stay loud (see docstring)
+    floor = None
+    for m in removed_ms:
+        succ = min(
+            (s for s in kept_seqs.get(m.partition, []) if s > m.max_seq),
+            default=None,
+        )
+        if succ is not None:
+            floor = succ if floor is None else max(floor, succ)
+    if floor is not None:
+        raise_history_floor(root, floor)
+    stats_floor = (read_table_meta(root) or {}).get("history_floor")
     for name in sorted(os.listdir(mdir)):
         if name.startswith("run-") and name.endswith(".json"):
             epoch = name[len("run-"):-len(".json")]
@@ -370,4 +418,4 @@ def vacuum_manifests(root: str, *, keep_epochs: int = 2) -> dict:
             }:
                 os.unlink(os.path.join(mdir, name))
                 removed += 1
-    return {"removed": removed, "kept": kept}
+    return {"removed": removed, "kept": kept, "history_floor": stats_floor}

@@ -1438,6 +1438,77 @@ class TestTimeTravel:
             RP.read_lake_table(lake).to_pandas(), events, ms
         )
 
+    def test_vacuum_after_expire_keeps_below_watermark_loud(
+        self, events_dir, tmp_path
+    ):
+        """Expiry deletes snapshot FILES but the manifests remain the
+        evidence that below-watermark travel must FAIL; when vacuum
+        then retires those manifests it must pin a history floor
+        (`_table_meta.json`) — otherwise `_asof_pick` sees no eligible
+        commit and travel silently degrades to "partition did not
+        exist yet" (empty table / all-inserts feed)."""
+        events, lake, b1, b2, ms = self._build_history_lake(
+            events_dir, tmp_path
+        )
+        MF.expire_history(lake, before_seq=b2)
+        # pre-vacuum: loud via the manifest pick
+        with pytest.raises(ValueError, match="expired or was never"):
+            RP.read_lake_asof(lake, b1)
+        stats = MF.vacuum_manifests(lake, keep_epochs=1)
+        assert stats["removed"] > 0
+        floor = MF.read_table_meta(lake)["history_floor"]
+        assert b1 < floor <= b2
+        # post-vacuum: STILL loud, now via the floor pin
+        with pytest.raises(ValueError, match="history floor"):
+            RP.read_lake_asof(lake, b1)
+        with pytest.raises(ValueError, match="history floor"):
+            RP.read_lake_changes(lake, b1, b2)
+        # at/above the retention watermark stays answerable and right
+        self._assert_matches_prefix(
+            RP.read_lake_asof(lake, b2).to_pandas(), events, b2
+        )
+
+    def test_asof_read_detects_live_rewrite(self, events_dir, tmp_path):
+        """A lazy asof dataset whose picks resolved to live
+        data.parquet files must fail loudly — not serve post-watermark
+        rows — when a commit lands before the blocks are read."""
+        lake = str(tmp_path / "asof_live_lake")
+        RP.replay(events_dir, lake, num_partitions=4)
+        ms = max(
+            m.max_seq for m in MF.committed_partitions(lake).values()
+        )
+        ds = RP.read_lake_asof(lake, ms)  # lazy; picks = live files
+        # the lake advances with an UPDATE of a live key: row counts
+        # unchanged, only seq moves
+        row = RP.read_lake_table(lake).to_pandas().iloc[0]
+        self._advance_with_update(
+            events_dir, tmp_path, lake, row["repo"], row["path"], ms + 1
+        )
+        with pytest.raises(Exception, match="asof read"):
+            ds.to_pandas()
+        # a fresh resolution at the NEW watermark reads cleanly
+        assert RP.read_lake_asof(lake, ms + 1).count() > 0
+
+    @staticmethod
+    def _advance_with_update(events_dir, tmp_path, lake, repo, path, seq):
+        events = _read_all_events(events_dir)
+        tmpl = events.slice(0, 1)
+        sch = tmpl.schema
+        probe = tmpl
+        for col, val, typ in [
+            ("seq", seq, pa.int64()),
+            ("op", "update", pa.string()),
+            ("repo", repo, pa.string()),
+            ("path", path, pa.string()),
+        ]:
+            probe = probe.set_column(
+                sch.get_field_index(col), col, pa.array([val], typ)
+            )
+        d = str(tmp_path / f"advance_{seq}")
+        os.makedirs(d)
+        pq.write_table(probe, os.path.join(d, "events.parquet"))
+        RP.replay(d, lake, num_partitions=4, incremental=True)
+
     def test_expire_history_removes_orphan_snapshots(
         self, events_dir, tmp_path
     ):
@@ -1658,6 +1729,25 @@ class TestChangeFeed:
         os.makedirs(d)
         pq.write_table(probe, os.path.join(d, "events.parquet"))
         RP.replay(d, lake, num_partitions=4, incremental=True)
+        with pytest.raises(Exception, match="feed planning"):
+            RP.read_lake_changes(lake, 0, ms, plan=plan).to_pandas()
+
+    def test_stale_plan_update_only_fails_on_attested_seq(
+        self, events_dir, tmp_path
+    ):
+        """The row-count attestation alone is blind to an UPDATE-only
+        rewrite (same keys, same count, only seq advances) — the
+        planned commit's max_seq bound must catch it."""
+        lake = str(tmp_path / "live_lake_upd")
+        RP.replay(events_dir, lake, num_partitions=4)
+        ms = max(
+            m.max_seq for m in MF.committed_partitions(lake).values()
+        )
+        plan = RP.lake_change_files(lake, 0, ms)
+        row = RP.read_lake_table(lake).to_pandas().iloc[0]
+        TestTimeTravel._advance_with_update(
+            events_dir, tmp_path, lake, row["repo"], row["path"], ms + 1
+        )
         with pytest.raises(Exception, match="feed planning"):
             RP.read_lake_changes(lake, 0, ms, plan=plan).to_pandas()
 
