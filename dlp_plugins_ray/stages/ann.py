@@ -49,8 +49,19 @@ class BruteForceTopK:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # a fully-pruned batch (ivf_topk's in-batch filter with a
+            # small nprobe) must not reach the matmul: (0,0)@(nq,dim)
+            # raises, and argpartition(k-1=-1) would too
+            return pa.table(
+                {
+                    self.id_col: pa.array([], pa.int64()),
+                    "query_idx": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
         emb = _normalize(_as_matrix(batch.column(self.emb_col)))  # (n, dim)
-        ids = np.asarray(batch.column(self.id_col).to_pylist())
         scores = emb @ self.q.T  # (n, nq)
         n, nq = scores.shape
         k = min(self.k, n)

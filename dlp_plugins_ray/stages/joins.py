@@ -24,60 +24,79 @@ _SIDE_COL = "__side"
 _SALT_COL = "__salt"
 
 
+class _BroadcastProbe:
+    def __init__(self, ref, key, small_cols):
+        small = ray.get(ref)
+        self.keys = small.column(key).combine_chunks()
+        self.cols = {c: small.column(c).combine_chunks() for c in small_cols}
+        self.key = key
+        self.small_cols = small_cols
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        # skip_nulls: a null probe key must NOT match a null key on
+        # the small side (SQL / polars join semantics; also what
+        # hash_join does) — pyarrow's default would silently attach
+        # the null-keyed dimension row to every null-key probe row
+        idx = pc.index_in(
+            batch.column(self.key),
+            options=pc.SetLookupOptions(value_set=self.keys, skip_nulls=True),
+        )
+        for c in self.small_cols:
+            batch = batch.append_column(c, self.cols[c].take(idx))
+        return batch
+
+
 def broadcast_join(ds, small_table: pa.Table, *, key: str, small_cols: list[str]):
     """Left join ``ds`` with a small table on ``key``; the small side is
     put in the object store once (as an Arrow table) and probed per
     batch with ONE vectorized ``pc.index_in`` + ``take`` — no per-row
     Python. Assumes unique keys on the small side (dimension lookup);
-    ``index_in`` returns the first match."""
+    ``index_in`` returns the first match. Null probe keys never match
+    (their appended columns stay null)."""
+    from .cache import cached_task_stage
+
     small = small_table.select([key] + small_cols).combine_chunks()
     ref = ray.put(small)
-
-    class Probe:
-        def __init__(self, ref, key, small_cols):
-            small = ray.get(ref)
-            self.keys = small.column(key).combine_chunks()
-            self.cols = {c: small.column(c).combine_chunks() for c in small_cols}
-            self.key = key
-            self.small_cols = small_cols
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            idx = pc.index_in(batch.column(self.key), value_set=self.keys)
-            for c in self.small_cols:
-                batch = batch.append_column(c, self.cols[c].take(idx))
-            return batch
-
+    # plain task pool + per-worker cache (repo idiom): an autoscaling
+    # actor pool can stick at ONE actor under a multi-consumer DAG and
+    # pays process start per run; the probe state here is one ray.get
     return ds.map_batches(
-        Probe,
-        fn_constructor_args=(ref, key, small_cols),
+        cached_task_stage(_BroadcastProbe, ref, key, small_cols),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
+
+
+class _BroadcastMember:
+    def __init__(self, ref, key, anti):
+        self.keys = ray.get(ref)
+        self.key = key
+        self.anti = anti
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column(self.key), value_set=self.keys)
+        # pin null semantics explicitly (matches hash_join/polars:
+        # null keys never match — semi drops them, anti keeps them);
+        # without the fill, is_in(null) -> null and filter() would
+        # drop null-key rows from BOTH semi and anti
+        mask = pc.fill_null(mask, False)
+        if self.anti:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
 
 
 def broadcast_semi_anti(ds, key_set: set, *, key: str, anti: bool = False):
     """Semi join (keep rows whose key is in the set) or anti join
     (complement). The set travels once via ray.put as an Arrow array;
-    the probe is one vectorized ``pc.is_in`` per batch."""
-    ref = ray.put(pa.array(sorted(key_set)))
+    the probe is one vectorized ``pc.is_in`` per batch. Null keys
+    never match: semi drops them, anti keeps them (hash_join/polars
+    semantics). Nulls in ``key_set`` are ignored (and would make the
+    deterministic sort below raise on mixed types)."""
+    from .cache import cached_task_stage
 
-    class Member:
-        def __init__(self, ref, key, anti):
-            self.keys = ray.get(ref)
-            self.key = key
-            self.anti = anti
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = pc.is_in(batch.column(self.key), value_set=self.keys)
-            if self.anti:
-                mask = pc.invert(mask)
-            return batch.filter(mask)
-
+    ref = ray.put(pa.array(sorted(k for k in key_set if k is not None)))
     return ds.map_batches(
-        Member,
-        fn_constructor_args=(ref, key, anti),
+        cached_task_stage(_BroadcastMember, ref, key, anti),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
 
 
@@ -316,6 +335,8 @@ def asof_join(
     ts_col: str,
     right_value_cols: list[str],
     direction: str = "backward",
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ):
     """As-of join: for each left row, the latest right row with
     right.ts <= left.ts (direction='backward'; 'forward' for the
@@ -326,7 +347,14 @@ def asof_join(
     tag, shuffled on hash(key) % buckets, and every key of a bucket
     block resolved in ONE vectorized ``polars.join_asof(..., by=key)``
     pass on the Arrow block (per-key map_groups would pay per-key
-    overhead; pandas would float-promote nullable int columns)."""
+    overhead; pandas would float-promote nullable int columns).
+
+    ``left_schema`` / ``right_schema``: pass them when the inputs are
+    MAPPED datasets — like ``hash_join``, the tagged schemas are
+    derived structurally (``ds.schema()`` on a mapped dataset triggers
+    a partial execution, and returns None on an empty one)."""
+    l_in = left_schema or left_ds.schema().base_schema
+    r_in = right_schema or right_ds.schema().base_schema
 
     def tag_left(batch: pa.Table) -> pa.Table:
         return batch.append_column(
@@ -343,9 +371,16 @@ def asof_join(
     left_tagged = left_ds.map_batches(tag_left, batch_format="pyarrow")
     right_tagged = right_ds.map_batches(tag_right, batch_format="pyarrow")
 
-    # unify schemas: add each other's missing columns as nulls
-    l_schema = left_tagged.schema().base_schema
-    r_schema = right_tagged.schema().base_schema
+    # unify schemas: add each other's missing columns as nulls. Tagged
+    # schemas are built structurally from the INPUT schemas (the tag
+    # maps are a select + append) — never by executing the mapped
+    # datasets (repo idiom; hash_join got this fix in round 3)
+    side_field = pa.field(_SIDE_COL, pa.int8())
+    l_schema = pa.schema(list(l_in) + [side_field])
+    r_schema = pa.schema(
+        [r_in.field(n) for n in [key, ts_col] + right_value_cols]
+        + [side_field]
+    )
     union_schema = pa.unify_schemas([l_schema, r_schema], promote_options="permissive")
 
     def conform(batch: pa.Table) -> pa.Table:
@@ -428,6 +463,8 @@ def range_join(
     hi_col: str,
     right_value_cols: list[str],
     bucket_width: float,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ):
     """Inner range join: left rows matched to right intervals with
     lo <= value <= hi. Ray Data has no interval join; the scalable
@@ -438,10 +475,15 @@ def range_join(
     bucket), so no dedup pass is needed. Shuffle volume = left rows +
     sum(interval_span / bucket_width) replicas — pick ``bucket_width``
     near the typical interval width.
+
+    ``left_schema`` / ``right_schema``: pass them when the inputs are
+    MAPPED datasets — the tagged/expanded schemas are derived
+    structurally, like ``hash_join`` (``ds.schema()`` on a mapped
+    dataset triggers a partial execution; None on an empty one).
     """
     import pyarrow.types as patypes
 
-    left_schema = left_ds.schema().base_schema
+    left_schema = left_schema or left_ds.schema().base_schema
     left_cols = [f.name for f in left_schema]
 
     # Integer fast path: when value/lo/hi are ALL integer columns and
@@ -449,7 +491,7 @@ def range_join(
     # in exact int64 arithmetic — a float64 cast loses precision above
     # 2^53 (IDs, nanosecond timestamps) and can produce wrong matches
     # (round-2 ADVICE). Mixed/float inputs keep the float64 path.
-    right_schema0 = right_ds.schema().base_schema
+    right_schema0 = right_schema or right_ds.schema().base_schema
     int_mode = (
         patypes.is_integer(left_schema.field(value_col).type)
         and patypes.is_integer(right_schema0.field(lo_col).type)
@@ -477,9 +519,18 @@ def range_join(
         b_hi = _bucket_of(hi)
         counts = np.maximum(0, b_hi - b_lo + 1)
         idx = np.repeat(np.arange(batch.num_rows), counts)
-        buckets = np.concatenate(
-            [np.arange(a, a + c) for a, c in zip(b_lo, counts) if c > 0]
-        ) if counts.sum() else np.array([], dtype=np.int64)
+        total = int(counts.sum())
+        if total:
+            # vectorized per-interval bucket ranges: element r of the
+            # expansion is b_lo[interval(r)] + (r - group_start(r)) —
+            # bit-identical to concatenating np.arange(a, a+c) per
+            # interval, without the per-interval Python loop
+            group_start = np.repeat(np.cumsum(counts) - counts, counts)
+            buckets = np.repeat(b_lo, counts) + (
+                np.arange(total, dtype=np.int64) - group_start
+            )
+        else:
+            buckets = np.array([], dtype=np.int64)
         out = {
             "_rbucket": pa.array(buckets, pa.int64()),
             lo_col: batch.column(lo_col).take(pa.array(idx)),
@@ -495,8 +546,16 @@ def range_join(
     lt = left_ds.map_batches(tag_left, batch_format="pyarrow")
     rt = right_ds.map_batches(expand_right, batch_format="pyarrow")
 
-    l_schema = lt.schema().base_schema
-    r_schema = rt.schema().base_schema
+    # tagged/expanded schemas derived structurally from the inputs —
+    # never by executing the mapped datasets (repo idiom)
+    side_field = pa.field(_SIDE_COL, pa.int8())
+    rb_field = pa.field("_rbucket", pa.int64())
+    l_schema = pa.schema(list(left_schema) + [rb_field, side_field])
+    r_schema = pa.schema(
+        [rb_field]
+        + [right_schema0.field(n) for n in [lo_col, hi_col] + right_value_cols]
+        + [side_field]
+    )
     union_schema = pa.unify_schemas([l_schema, r_schema], promote_options="permissive")
 
     def conform(batch: pa.Table) -> pa.Table:

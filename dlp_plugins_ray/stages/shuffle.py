@@ -26,14 +26,26 @@ def add_hash_bucket(
 ) -> pa.Table:
     """Vectorized in-run-deterministic bucket tag (polars hash of the
     concatenated key). Use replay.key_hash (crc32) instead when bucket
-    assignment must be stable ACROSS runs/versions (lake partitions)."""
+    assignment must be stable ACROSS runs/versions (lake partitions).
+
+    Null keys are sentinel-filled PER COLUMN before the concat:
+    ``pl.concat_str`` propagates nulls, so without the fill every row
+    with ANY null key column would hash to the one constant
+    ``hash(null)`` bucket — a straggler/OOM hot bucket on dirty data,
+    and one that silently defeats ``hash_join``'s salt column (the
+    salt would be concatenated into the same null). Non-null rows
+    hash exactly as before."""
     import polars as pl
 
     df = pl.from_arrow(batch.select(key_cols))
     h = (
         df.select(
             pl.concat_str(
-                [pl.col(c).cast(pl.Utf8) for c in key_cols], separator="\x1f"
+                [
+                    pl.col(c).cast(pl.Utf8).fill_null("\x00∅")
+                    for c in key_cols
+                ],
+                separator="\x1f",
             ).hash(7)
         )
         .to_series()

@@ -284,6 +284,13 @@ def approx_quantiles(
     only (#blocks x m) (hash, value) pairs."""
 
     def partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # SQL quantiles ignore NULL values — drop them BEFORE the
+        # bottom-m pick (a sampled null would become NaN driver-side,
+        # sort last, and corrupt the upper quantiles while shifting
+        # the rest)
+        b = b.filter(pc.is_valid(b.column(value_col)))
         h = _hash_column(b.column(id_col))
         k = min(m, h.size)
         if k == 0:
@@ -380,17 +387,34 @@ def profile(ds, columns: list[str]):
                     cur[2] = mn
                 if mx is not None and (cur[3] is None or mx > cur[3]):
                     cur[3] = mx
+    # a dataset reduced to zero blocks yields no partials at all —
+    # profile as 0 rows / 0 nulls / no extrema instead of a KeyError
+    empty = [0, 0, None, None]
     return pa.table(
         {
             "column": pa.array(columns, pa.string()),
-            "n_rows": pa.array([merged[c][0] for c in columns], pa.int64()),
-            "n_nulls": pa.array([merged[c][1] for c in columns], pa.int64()),
+            "n_rows": pa.array(
+                [merged.get(c, empty)[0] for c in columns], pa.int64()
+            ),
+            "n_nulls": pa.array(
+                [merged.get(c, empty)[1] for c in columns], pa.int64()
+            ),
             "min_val": pa.array(
-                [None if merged[c][2] is None else str(merged[c][2]) for c in columns],
+                [
+                    None
+                    if merged.get(c, empty)[2] is None
+                    else str(merged.get(c, empty)[2])
+                    for c in columns
+                ],
                 pa.string(),
             ),
             "max_val": pa.array(
-                [None if merged[c][3] is None else str(merged[c][3]) for c in columns],
+                [
+                    None
+                    if merged.get(c, empty)[3] is None
+                    else str(merged.get(c, empty)[3])
+                    for c in columns
+                ],
                 pa.string(),
             ),
         }

@@ -16,6 +16,158 @@ def _ts(h, m=0):
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestNullKeysAndEdges:
+    """Null join keys and empty-side edges (scale-review findings):
+    nulls never match (SQL/polars semantics, consistent across
+    broadcast_join / broadcast_semi_anti / hash_join), null keys must
+    not collapse into one shuffle bucket, and empty sides must not
+    crash schema derivation."""
+
+    def test_broadcast_join_null_probe_never_matches(self):
+        import ray.data as rd
+
+        big = rd.from_arrow(
+            pa.table({"k": pa.array([1, None, 2], pa.int64()), "v": ["a", "b", "c"]})
+        )
+        # adversarial: the small side ALSO carries a null-keyed row —
+        # pyarrow's default index_in would match probe nulls to it
+        small = pa.table(
+            {"k": pa.array([1, None], pa.int64()), "name": ["one", "NULLROW"]}
+        )
+        out = J.broadcast_join(big, small, key="k", small_cols=["name"]).take_all()
+        got = {r["v"]: r["name"] for r in out}
+        assert got == {"a": "one", "b": None, "c": None}
+
+    def test_broadcast_semi_anti_null_semantics(self):
+        import ray.data as rd
+
+        ds = rd.from_arrow(pa.table({"k": pa.array([1, None, 2], pa.int64())}))
+        # None in the key set must neither crash the sort nor match
+        semi = J.broadcast_semi_anti(ds, {1, None}, key="k")
+        anti = J.broadcast_semi_anti(ds, {1, None}, key="k", anti=True)
+        assert [r["k"] for r in semi.take_all()] == [1]
+        # anti keeps null-key rows (polars/hash_join anti semantics)
+        assert sorted(
+            (r["k"] is None, r["k"]) for r in anti.take_all()
+        ) == [(False, 2), (True, None)]
+
+    def test_hash_join_null_keys_and_salt(self):
+        import ray.data as rd
+
+        lt = pa.table(
+            {
+                "k": pa.array([1, None, 2, None], pa.int64()),
+                "lv": ["a", "b", "c", "d"],
+            }
+        )
+        rt = pa.table(
+            {"k": pa.array([1, None], pa.int64()), "rv": ["one", "NULLROW"]}
+        )
+        for salt in (1, 4):
+            out = J.hash_join(
+                rd.from_arrow(lt),
+                rd.from_arrow(rt),
+                on="k",
+                how="left",
+                salt=salt,
+            ).take_all()
+            got = sorted((r["lv"], r["rv"]) for r in out)
+            # polars left join: null keys never match
+            assert got == [
+                ("a", "one"), ("b", None), ("c", None), ("d", None),
+            ], f"salt={salt}"
+
+    def test_add_hash_bucket_null_keys_spread_with_salt(self):
+        from dlp_plugins_ray.stages.shuffle import add_hash_bucket
+
+        batch = pa.table(
+            {
+                "k": pa.array([None] * 8, pa.int64()),
+                "_salt": pa.array(list(range(8)), pa.int16()),
+            }
+        )
+        tagged = add_hash_bucket(batch, ["k", "_salt"], 64)
+        buckets = set(tagged.column("_bucket").to_pylist())
+        # pre-fix: concat_str propagated the null and ALL salted rows
+        # of a null hot key landed in ONE bucket
+        assert len(buckets) > 1
+
+    def test_asof_join_empty_right_and_explicit_schemas(self):
+        import ray.data as rd
+
+        lt = pa.table(
+            {
+                "k": ["a", "b"],
+                "ts": pa.array([_ts(10), _ts(11)], pa.timestamp("us")),
+                "lid": [1, 2],
+            }
+        )
+        r_schema = pa.schema(
+            [
+                ("k", pa.string()),
+                ("ts", pa.timestamp("us")),
+                ("rv", pa.string()),
+            ]
+        )
+        empty_right = rd.from_arrow(r_schema.empty_table())
+        out = J.asof_join(
+            rd.from_arrow(lt),
+            empty_right,
+            key="k",
+            ts_col="ts",
+            right_value_cols=["rv"],
+        ).take_all()
+        assert sorted(r["lid"] for r in out) == [1, 2]
+        assert all(r["rv"] is None for r in out)
+        # mapped inputs + explicit schemas (the structural path — no
+        # hidden partial execution, works when a mapped side is empty)
+        mapped_left = rd.from_arrow(lt).map_batches(
+            lambda b: b, batch_format="pyarrow"
+        )
+        mapped_right = empty_right.map_batches(
+            lambda b: b, batch_format="pyarrow"
+        )
+        out2 = J.asof_join(
+            mapped_left,
+            mapped_right,
+            key="k",
+            ts_col="ts",
+            right_value_cols=["rv"],
+            left_schema=lt.schema,
+            right_schema=r_schema,
+        ).take_all()
+        assert sorted(r["lid"] for r in out2) == [1, 2]
+
+    def test_range_join_multi_bucket_expansion(self):
+        import ray.data as rd
+
+        left = rd.from_arrow(
+            pa.table({"v": pa.array([5, 25, 45], pa.int64()), "lid": [1, 2, 3]})
+        )
+        # one interval spanning 5 buckets (width 10), one degenerate
+        right = rd.from_arrow(
+            pa.table(
+                {
+                    "lo": pa.array([0, 44], pa.int64()),
+                    "hi": pa.array([49, 46], pa.int64()),
+                    "tag": ["wide", "narrow"],
+                }
+            )
+        )
+        out = J.range_join(
+            left,
+            right,
+            value_col="v",
+            lo_col="lo",
+            hi_col="hi",
+            right_value_cols=["tag"],
+            bucket_width=10,
+        ).take_all()
+        got = sorted((r["lid"], r["tag"]) for r in out)
+        assert got == [(1, "wide"), (2, "wide"), (3, "narrow"), (3, "wide")]
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestJoins:
     def test_broadcast_join(self):
         import ray.data as rd

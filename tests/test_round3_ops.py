@@ -895,3 +895,61 @@ class TestNormalizeUnicodeParity:
                 [x],
             ).fetchone()[0]
             assert a == d, (x, a, d)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSketchAnnEdges:
+    """Edge cases from the round-5 scale review: null values in
+    quantile sampling, empty datasets through profile, and
+    fully-pruned (0-row) batches through the ANN scorer."""
+
+    def test_approx_quantiles_ignores_nulls(self):
+        import ray.data as rd
+
+        from dlp_plugins_ray.stages.sketches import approx_quantiles
+
+        vals = list(range(100))
+        t = pa.table(
+            {
+                "id": pa.array(list(range(150)), pa.int64()),
+                "v": pa.array(vals + [None] * 50, pa.float64()),
+            }
+        )
+        # m >= n makes the sample exact: results must equal the
+        # rank-statistic over the NON-NULL values (SQL semantics) —
+        # pre-fix the sampled Nones became NaN, sorted last, and
+        # returned NaN for the upper quantiles
+        got = approx_quantiles(
+            rd.from_arrow(t), "v", "id", [0.0, 0.5, 0.99, 1.0], m=1000
+        )
+        s = np.sort(np.asarray(vals, dtype=np.float64))
+        for q, g in got.items():
+            assert g == s[int(q * (s.size - 1))], q
+
+    def test_profile_empty_dataset(self):
+        import ray.data as rd
+
+        from dlp_plugins_ray.stages.sketches import profile
+
+        t = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.string())}
+        )
+        out = profile(rd.from_arrow(t), ["a", "b"]).to_pandas()
+        assert list(out["n_rows"]) == [0, 0]
+        assert list(out["n_nulls"]) == [0, 0]
+        assert out["min_val"].isna().all() and out["max_val"].isna().all()
+
+    def test_brute_force_topk_empty_batch(self):
+        from dlp_plugins_ray.stages.ann import BruteForceTopK
+
+        q = np.ones((2, 4), dtype=np.float32)
+        stage = BruteForceTopK(q, "vec_id", "embedding", k=3)
+        empty = pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float32())),
+            }
+        )
+        out = stage(empty)
+        assert out.num_rows == 0
+        assert out.schema.names == ["vec_id", "query_idx", "score"]
