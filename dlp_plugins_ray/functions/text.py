@@ -106,7 +106,11 @@ def quality_score(text: str) -> float:
 # the corpus character domain (ASCII text + Latin-1 letters; the naive
 # Python, the SQL oracles and these kernels can legitimately diverge
 # outside it — e.g. exotic Unicode whitespace, 'ß' — and the oracle SQL
-# already fixes the ASCII interpretation).
+# already fixes the ASCII interpretation). One documented in-ASCII
+# divergence: the separator controls \x1c-\x1f are whitespace to
+# Python's str.split() but not to the regex \s (Unicode White_Space)
+# these kernels and the SQL oracles share — the kernels and oracles
+# agree with EACH OTHER on them; only the naive Python sibling splits.
 
 
 def _pl_text_series(texts):
@@ -251,33 +255,33 @@ def quality_columns(texts):
 
 # --- fingerprinting --------------------------------------------------------
 
-_MOD = (1 << 61) - 1
 _BASE = 257
 
 
 def rolling_hashes(text: str, window: int = 16) -> np.ndarray:
-    """Rabin-Karp rolling hashes of every ``window``-gram (used for
-    winnowing fingerprints). O(n), numpy-free loop in C via bytes."""
-    data = text.encode("utf-8", "ignore")
-    n = len(data)
-    if n < window:
-        return np.array([_hash_bytes(data)], dtype=np.uint64) if n else np.array([], dtype=np.uint64)
-    out = np.empty(n - window + 1, dtype=np.uint64)
-    power = pow(_BASE, window - 1, _MOD)
-    h = 0
-    for i in range(window):
-        h = (h * _BASE + data[i]) % _MOD
-    out[0] = h
-    for i in range(window, n):
-        h = ((h - data[i - window] * power) * _BASE + data[i]) % _MOD
-        out[i - window + 1] = h
-    return out
-
-
-def _hash_bytes(data: bytes) -> int:
-    h = 0
-    for b in data:
-        h = (h * _BASE + b) % _MOD
+    """Polynomial hashes of every ``window``-gram over the utf-8 bytes
+    (used for winnowing fingerprints) — ``window`` contiguous
+    shifted-slice numpy passes in uint64 wraparound arithmetic with a
+    splitmix64 finalizer (the vectorized idiom of
+    ``stages/dedup._poly_windows``; the previous per-byte Python
+    Rabin-Karp loop paid ~1M interpreter iterations per MB of text).
+    Texts shorter than ``window`` hash as one whole-text gram."""
+    data = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
+    n = data.size
+    if n == 0:
+        return np.array([], dtype=np.uint64)
+    seq = data.astype(np.uint64)
+    k = min(window, n)
+    powers = np.uint64(_BASE) ** np.arange(k, dtype=np.uint64)
+    w = n - k + 1
+    h = powers[0] * seq[:w]
+    for j in range(1, k):
+        h = h + powers[j] * seq[j : j + w]
+    # avalanche (splitmix64): the raw wraparound polynomial is biased
+    # in its low bits, which winnowing's min-selection would amplify
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
     return h
 
 
@@ -290,10 +294,10 @@ def winnow_fingerprint(text: str, window: int = 16, select: int = 8) -> list[int
         return []
     if hs.size <= select:
         return [int(hs.min())]
-    # sliding minimum via stride trick
+    # sliding minimum via stride trick; np.unique is already the
+    # sorted distinct array
     sw = np.lib.stride_tricks.sliding_window_view(hs, select)
-    mins = sw.min(axis=1)
-    return sorted(set(int(x) for x in np.unique(mins)))
+    return [int(x) for x in np.unique(sw.min(axis=1))]
 
 
 def content_fingerprint(text: str) -> str:

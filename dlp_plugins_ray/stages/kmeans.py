@@ -89,6 +89,14 @@ class AssignStage:
         self.emb_col = emb_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # an empty block's (0,0) matrix cannot matmul (dim mismatch)
+            return pa.table(
+                {
+                    self.id_col: batch.column(self.id_col),
+                    "cluster": pa.array([], pa.int64()),
+                }
+            )
         emb = _as_matrix(batch.column(self.emb_col)).astype(np.float64)
         emb = _normalize(emb)
         sims = emb @ self.cent.T
@@ -144,6 +152,20 @@ def refine_centroids(
 
         def partial(b: pa.Table, cref=cref) -> pa.Table:
             c = ray.get(cref)
+            if b.num_rows == 0:  # (0,0) matrix cannot matmul
+                return pa.table(
+                    {
+                        "sums": pa.array(
+                            [np.zeros(k * dim).tolist()],
+                            pa.list_(pa.float64()),
+                        ),
+                        "counts": pa.array(
+                            [[0] * k], pa.list_(pa.int64())
+                        ),
+                        "loss": pa.array([0.0], pa.float64()),
+                        "n": pa.array([0], pa.int64()),
+                    }
+                )
             emb = _normalize(_as_matrix(b.column(emb_col)).astype(np.float64))
             sims = emb @ c.T
             a = sims.argmax(axis=1)

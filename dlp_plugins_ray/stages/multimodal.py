@@ -361,16 +361,26 @@ class ImageResizeStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         w = batch.column("width").to_numpy(zero_copy_only=False).astype(np.float64)
         h = batch.column("height").to_numpy(zero_copy_only=False).astype(np.float64)
-        scale = np.minimum(1.0, self.max_side / np.maximum(w, h))
-        rw = np.maximum(1, np.round(w * scale)).astype(np.int32)
-        rh = np.maximum(1, np.round(h * scale)).astype(np.int32)
-        batch = batch.append_column("resized_width", pa.array(rw))
-        batch = batch.append_column("resized_height", pa.array(rh))
+        # null / non-positive dims (audio rows, corrupt metadata) have
+        # no resize: without the mask, NaN propagates through
+        # round/maximum and astype(int32) emits INT32_MIN garbage dims
+        valid = np.isfinite(w) & np.isfinite(h) & (w > 0) & (h > 0)
+        wv = np.where(valid, w, 1.0)
+        hv = np.where(valid, h, 1.0)
+        scale = np.minimum(1.0, self.max_side / np.maximum(wv, hv))
+        rw = np.maximum(1, np.round(wv * scale)).astype(np.int32)
+        rh = np.maximum(1, np.round(hv * scale)).astype(np.int32)
+        batch = batch.append_column(
+            "resized_width", pa.array(rw, type=pa.int32(), mask=~valid)
+        )
+        batch = batch.append_column(
+            "resized_height", pa.array(rh, type=pa.int32(), mask=~valid)
+        )
         if self.resizer is not None:
             payloads = batch.column("payload").to_pylist()
             resized = [
-                None if p is None else self.resizer(p, int(a), int(b))
-                for p, a, b in zip(payloads, rw, rh)
+                None if (p is None or not ok) else self.resizer(p, int(a), int(b))
+                for p, a, b, ok in zip(payloads, rw, rh, valid)
             ]
             idx = batch.schema.get_field_index("payload")
             batch = batch.set_column(

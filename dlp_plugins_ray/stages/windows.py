@@ -71,7 +71,11 @@ def sessionize(
 
         sort_cols = [key, ts_col] + ([order_col] if order_col else [])
         df = pl.from_arrow(block).sort(sort_cols, maintain_order=True)
-        key_change = (pl.col(key) != pl.col(key).shift(1)).fill_null(True)
+        # ne_missing: null keys compare EQUAL to each other (one group,
+        # SQL GROUP BY semantics) — a plain != is null for null==null
+        # pairs and fill_null(True) gave every consecutive null-key row
+        # its own session, bypassing the gap logic entirely
+        key_change = pl.col(key).ne_missing(pl.col(key).shift(1))
         gap_break = (
             pl.col(ts_col).diff() > pl.duration(microseconds=gap_us)
         ).fill_null(False)
@@ -97,23 +101,50 @@ def sliding_counts(ds, *, key: str, ts_col: str, window_minutes: int, slide_minu
     """Sliding-window counts: each event lands in every window covering
     it (window length / slide copies), then one groupby aggregate.
     Vectorized expansion inside map_batches; shuffle moves only
-    (key, window_start) rows."""
+    (key, window_start) rows.
+
+    ``window_minutes`` must be a positive multiple of
+    ``slide_minutes`` (the expansion enumerates exactly
+    window/slide covering windows — a non-multiple would silently
+    under-attribute events, and slide > window would expand every
+    event to zero rows). Null timestamps belong to no window (SQL
+    semantics). The timestamp column is normalized to microseconds,
+    so s/ms/us inputs all window correctly (a lossy ns cast fails
+    loudly)."""
+    if slide_minutes <= 0 or window_minutes % slide_minutes != 0:
+        raise ValueError(
+            f"window_minutes={window_minutes} must be a positive "
+            f"multiple of slide_minutes={slide_minutes}"
+        )
     n_covers = window_minutes // slide_minutes
     slide_us = slide_minutes * 60_000_000
 
     def expand(batch: pa.Table) -> pa.Table:
-        ts = batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
-        keys = batch.column(key).to_numpy(zero_copy_only=False)
+        # null timestamps would smuggle in as NaN through the int64
+        # numpy round-trip (and a float array cannot cast back to
+        # timestamp) — they belong to no window; drop them
+        batch = batch.filter(pc.is_valid(batch.column(ts_col)))
+        ts = (
+            batch.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
         base = (ts // slide_us) * slide_us  # last slide boundary <= ts
         offsets = np.arange(n_covers, dtype=np.int64) * slide_us
         starts = base[:, None] - offsets[None, :]
-        rep_keys = np.repeat(keys, n_covers)
+        # replicate keys with an Arrow take: preserves the key TYPE on
+        # empty blocks (a numpy object round-trip infers pa.null for an
+        # empty string column, breaking downstream schema unification)
+        idx = pa.array(
+            np.repeat(np.arange(batch.num_rows, dtype=np.int64), n_covers)
+        )
         return pa.table(
             {
-                key: pa.array(rep_keys),
-                "window_start": pa.array(starts.reshape(-1)).cast(
-                    pa.timestamp("us")
-                ),
+                key: batch.column(key).take(idx),
+                "window_start": pa.array(
+                    starts.reshape(-1), pa.int64()
+                ).cast(pa.timestamp("us")),
             }
         )
 

@@ -283,6 +283,95 @@ class TestJoins:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestWindowEdges:
+    """Null keys / null timestamps / parameter validation in the
+    window operators (scale-review findings)."""
+
+    def test_sessionize_null_keys_form_one_group(self):
+        import ray.data as rd
+
+        t = pa.table(
+            {
+                "k": pa.array([None, None, None, "a"], pa.string()),
+                "ts": pa.array(
+                    [_ts(1, 0), _ts(1, 1), _ts(3, 0), _ts(1, 0)],
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+        out = (
+            W.sessionize(
+                rd.from_arrow(t), key="k", ts_col="ts", gap_minutes=30
+            )
+            .to_pandas()
+            .sort_values("ts")
+        )
+        nulls = out[out["k"].isna()].sort_values("ts")
+        # two close null-key events share a session; the 2h-later one
+        # starts session 2 (pre-fix every null row got its own session)
+        assert list(nulls["session_id"]) == [1, 1, 2]
+        assert list(out[out["k"] == "a"]["session_id"]) == [1]
+
+    def test_sliding_counts_validation_and_null_ts(self):
+        import ray.data as rd
+
+        t = pa.table(
+            {
+                "user_id": pa.array([1, 1, 1], pa.int64()),
+                "ts": pa.array(
+                    [_ts(1, 0), None, _ts(1, 20)], pa.timestamp("us")
+                ),
+            }
+        )
+        with pytest.raises(ValueError, match="multiple"):
+            W.sliding_counts(
+                rd.from_arrow(t), key="user_id", ts_col="ts",
+                window_minutes=90, slide_minutes=60,
+            )
+        out = W.sliding_counts(
+            rd.from_arrow(t), key="user_id", ts_col="ts",
+            window_minutes=60, slide_minutes=30,
+        ).to_pandas()
+        # the null-ts row belongs to no window; the two real events
+        # contribute 2 windows each, sharing the 00:30 and 01:00 starts
+        assert int(out["n_events"].sum()) == 4
+        counts = dict(
+            zip(out["window_start"].astype(str), out["n_events"])
+        )
+        assert counts["2024-01-01 01:00:00"] == 2
+
+    def test_kmeans_assign_empty_block(self):
+        from dlp_plugins_ray.stages.kmeans import AssignStage
+
+        cent = np.eye(3, dtype=np.float64)
+        stage = AssignStage(cent, "vec_id", "embedding")
+        empty = pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float32())),
+            }
+        )
+        out = stage(empty)
+        assert out.num_rows == 0 and out.schema.names == ["vec_id", "cluster"]
+
+    def test_image_resize_null_and_zero_dims(self):
+        from dlp_plugins_ray.stages.multimodal import ImageResizeStage
+
+        t = pa.table(
+            {
+                "payload": pa.array([b"x", b"y", b"z"], pa.binary()),
+                "width": pa.array([512, None, 0], pa.int32()),
+                "height": pa.array([256, 100, 0], pa.int32()),
+            }
+        )
+        out = ImageResizeStage(max_side=256)(t).to_pandas()
+        assert (out.loc[0, "resized_width"], out.loc[0, "resized_height"]) == (256, 128)
+        # null/zero dims -> null resized dims, never INT32_MIN garbage
+        assert pd.isna(out.loc[1, "resized_width"])
+        assert pd.isna(out.loc[2, "resized_width"])
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestWindows:
     def _events(self):
         ts = [_ts(1, 0), _ts(1, 10), _ts(2, 30), _ts(2, 45), _ts(5, 0)]
