@@ -442,6 +442,14 @@ class DetectorBank:
             if "(?!" in p or "(?<" in p or "(?=" in p:
                 ok = False
                 break
+            if "$" in p or r"\Z" in p:
+                # Python re's '$' also matches BEFORE a trailing
+                # newline; RE2's does not — as a PREFILTER that must be
+                # a necessary condition for a Python match, an RE2 '$'
+                # would prune rows the Python engine matches (sensitive
+                # data escaping). Fall back to per-cell scanning.
+                ok = False
+                break
             parts.append(f"(?i:{p})" if d.pattern.flags & _re.IGNORECASE else f"(?:{p})")
         union = "|".join(parts) if ok and parts else None
         if union is not None:
@@ -480,6 +488,11 @@ class DetectorBank:
         for d in self.detectors:
             p = d.pattern.pattern
             if "(?!" in p or "(?<" in p or "(?=" in p:
+                pats = None
+                break
+            if "$" in p or r"\Z" in p:
+                # same '$'-before-trailing-newline gate as union_re2:
+                # an RE2 prune mask must never drop a Python match
                 pats = None
                 break
             pats.append(

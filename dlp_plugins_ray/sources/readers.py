@@ -18,22 +18,31 @@ import pyarrow as pa
 
 def _split_lines(batch: pa.Table) -> pa.Table:
     """bytes-of-file -> (offset, body, path) line rows, vectorized per
-    file with numpy offset arithmetic."""
+    file with numpy offset arithmetic. Offsets are BYTE offsets (the
+    documented TextInputFormat contract), so the split happens on the
+    raw bytes — a code-point split would drift on any multi-byte
+    character — and each line decodes independently. Zero-byte files
+    contribute zero rows."""
     out_off: list[np.ndarray] = []
     out_body: list[str] = []
     out_path: list[str] = []
     for payload, path in zip(
         batch.column("bytes").to_pylist(), batch.column("path").to_pylist()
     ):
-        text = payload.decode("utf-8", "replace")
-        lines = text.split("\n")
-        if lines and lines[-1] == "":
-            lines.pop()
-        lens = np.fromiter((len(l) + 1 for l in lines), dtype=np.int64, count=len(lines))
+        raw = payload.split(b"\n")
+        if raw and raw[-1] == b"":
+            raw.pop()
+        if not raw:
+            continue
+        lens = np.fromiter(
+            (len(l) + 1 for l in raw), dtype=np.int64, count=len(raw)
+        )
         offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
         out_off.append(offsets)
-        out_body.extend(l.rstrip("\r") for l in lines)
-        out_path.extend([path] * len(lines))
+        out_body.extend(
+            l.rstrip(b"\r").decode("utf-8", "replace") for l in raw
+        )
+        out_path.extend([path] * len(raw))
     offs = np.concatenate(out_off) if out_off else np.array([], dtype=np.int64)
     return pa.table(
         {

@@ -18,7 +18,6 @@ drop, rename, parse-as-simple-date (Java SimpleDateFormat ->
 from __future__ import annotations
 
 import csv
-import io
 import shlex
 
 import pyarrow as pa
@@ -60,6 +59,17 @@ class WranglerStage:
                 col = parts[1].lstrip(":")
                 delim = parts[2] if len(parts) > 2 else ","
                 header = len(parts) > 3 and parts[3].lower() == "true"
+                if header:
+                    # a per-batch map cannot see the global first
+                    # record, so header-derived names can't be
+                    # consistent across blocks — fail at construction
+                    # instead of silently emitting the header as data
+                    raise NotImplementedError(
+                        "parse-as-csv header=true is not supported in "
+                        "the distributed stage: drop the header line "
+                        "upstream (e.g. filter offset == 0) and name "
+                        "columns with 'rename'"
+                    )
                 self.ops.append(("parse_csv", col, delim, header))
             elif op == "drop":
                 self.ops.append(("drop", parts[1].lstrip(":")))
@@ -81,12 +91,27 @@ class WranglerStage:
             if kind == "parse_csv":
                 _, col, delim, header = op
                 values = batch.column(col).to_pylist()
-                rows = list(
-                    csv.reader(
-                        io.StringIO("\n".join(v or "" for v in values)),
-                        delimiter=delim,
-                    )
-                )
+                # one csv record PER CELL: a joined-with-newlines parse
+                # let a cell containing a bare newline (or an unmatched
+                # quote) bleed into its neighbors' records and desync
+                # the row count from the batch. A quoted newline inside
+                # a cell stays one record; an unquoted one keeps the
+                # first record (row alignment over tail recovery).
+                rows = []
+                for v in values:
+                    s = v or ""
+                    try:
+                        recs = list(csv.reader([s], delimiter=delim))
+                    except csv.Error:
+                        # bare newline in an unquoted field: keep the
+                        # first physical line (row alignment over tail
+                        # recovery); the stripped string cannot error
+                        recs = list(
+                            csv.reader(
+                                [s.split("\n", 1)[0]], delimiter=delim
+                            )
+                        )
+                    rows.append(recs[0] if recs else [])
                 # ragged rows pad with null
                 width = max((len(r) for r in rows), default=0)
                 for i in range(width):
@@ -105,6 +130,13 @@ class WranglerStage:
             elif kind == "parse_date":
                 _, col, fmt = op
                 idx = batch.schema.get_field_index(col)
+                if idx < 0:
+                    # get_field_index(-1) would silently read (and then
+                    # fail to set) the LAST column
+                    raise KeyError(
+                        f"parse-as-simple-date: column {col!r} not in "
+                        f"batch (have {batch.column_names})"
+                    )
                 parsed = pc.strptime(batch.column(idx), format=fmt, unit="us")
                 batch = batch.set_column(
                     idx, pa.field(col, pa.timestamp("us")), parsed

@@ -90,6 +90,69 @@ class DecryptStage:
         out.append(text[pos:])
         return "".join(out)
 
+    def _detokenize_values(self, values, contexts, pattern, cfg) -> list:
+        """Per-value surrogate inversion with a per-batch memo:
+        detokenize is deterministic in (cell, context), so repeated
+        cells (low-cardinality columns) are inverted once — mirrors
+        apply_whole_column's memo on the encrypt side."""
+        cache: dict = {}
+        out = []
+        for i, v in enumerate(values):
+            if v is None:
+                out.append(None)
+                continue
+            c = contexts[i] if contexts else ""
+            k = (v, c)
+            try:
+                r = cache[k]
+            except KeyError:
+                r = cache[k] = (
+                    self._detokenize_text(v, pattern, cfg, c)
+                    if pattern.search(v)
+                    else v
+                )
+            out.append(r)
+        return out
+
+    def _decrypt_map_column(self, batch, idx, pattern, cfg, contexts):
+        """map<string,string>: invert the ITEMS child, keys and per-row
+        null/empty structure preserved; per-row contexts expand to
+        per-item (the exact mirror of RedactionStage's
+        ``_transform_map_column`` — the encrypt side tokenizes map
+        values, so the round trip must too)."""
+        import numpy as np
+        import pyarrow.compute as pc
+
+        col = batch.column(idx)
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        off_np = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, items = arr.keys, arr.items
+        start, stop = int(off_np[0]), int(off_np[-1])
+        if start != 0 or stop != len(items):
+            keys = keys.slice(start, stop - start)
+            items = items.slice(start, stop - start)
+            off_np = off_np - start
+        item_contexts = None
+        if contexts is not None:
+            counts = np.diff(off_np)
+            item_contexts = list(
+                np.repeat(np.asarray(contexts, dtype=object), counts)
+            )
+        out = self._detokenize_values(
+            items.to_pylist(), item_contexts, pattern, cfg
+        )
+        null_mask = None
+        if arr.null_count:
+            valid = np.concatenate(
+                [pc.is_valid(arr).to_numpy(zero_copy_only=False), [True]]
+            )
+            null_mask = ~valid
+        off_arr = pa.array(off_np, type=pa.int32(), mask=null_mask)
+        new = pa.MapArray.from_arrays(
+            off_arr, keys, pa.array(out, type=items.type)
+        )
+        return batch.set_column(idx, batch.schema.field(idx), new)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         for pattern, cfg, targets, ctx_col in self.entries:
             contexts = None
@@ -102,28 +165,25 @@ class DecryptStage:
                 idx = batch.schema.get_field_index(colname)
                 if idx < 0:
                     continue
-                values = batch.column(idx).to_pylist()
-                # detokenize is deterministic in (cell, context); repeated
-                # cells (low-cardinality columns) are inverted once per
-                # batch — mirrors apply_whole_column's memo on the
-                # encrypt side
-                cache: dict = {}
-                out = []
-                for i, v in enumerate(values):
-                    if v is None:
-                        out.append(None)
-                        continue
-                    c = contexts[i] if contexts else ""
-                    k = (v, c)
-                    try:
-                        r = cache[k]
-                    except KeyError:
-                        r = cache[k] = (
-                            self._detokenize_text(v, pattern, cfg, c)
-                            if pattern.search(v)
-                            else v
-                        )
-                    out.append(r)
+                ftype = batch.schema.field(idx).type
+                if pa.types.is_map(ftype):
+                    batch = self._decrypt_map_column(
+                        batch, idx, pattern, cfg, contexts
+                    )
+                    continue
+                if not (
+                    pa.types.is_string(ftype)
+                    or pa.types.is_large_string(ftype)
+                ):
+                    raise TypeError(
+                        f"decrypt does not support type '{ftype}' for "
+                        f"field '{colname}' (string and "
+                        "map<string,string> only — the reversible "
+                        "transforms only ever tokenize those)"
+                    )
+                out = self._detokenize_values(
+                    batch.column(idx).to_pylist(), contexts, pattern, cfg
+                )
                 batch = batch.set_column(
                     idx,
                     batch.schema.field(idx),

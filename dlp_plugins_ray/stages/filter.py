@@ -36,12 +36,23 @@ def _serialize_record_columns(batch: pa.Table) -> list[str]:
     """Entire-record inspection input: all field values joined with
     commas, the StructuredRecordStringConverter.toDelimitedString
     analogue (SensitiveRecordFilter.java:172). Vectorized via Arrow
-    cast + binary_join_element_wise; nulls serialize as ''."""
+    cast + binary_join_element_wise; nulls serialize as ''. Nested
+    columns (map/list/struct — shapes the redaction stage supports)
+    have no Arrow string cast and fall back to per-value str()."""
     cols = []
     for name in batch.column_names:
         col = batch.column(name)
         if not (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)):
-            col = pc.cast(col, pa.string())
+            try:
+                col = pc.cast(col, pa.string())
+            except (pa.ArrowNotImplementedError, pa.ArrowInvalid):
+                col = pa.array(
+                    [
+                        "" if v is None else str(v)
+                        for v in col.to_pylist()
+                    ],
+                    pa.string(),
+                )
         cols.append(pc.fill_null(col, ""))
     joined = pc.binary_join_element_wise(*cols, ",")
     return joined.to_pylist()

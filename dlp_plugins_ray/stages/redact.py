@@ -114,6 +114,14 @@ class RedactionStage:
             # the compiled flag would be lost handing the bare pattern
             # string to RE2 — keep the Python path
             return None
+        if "$" in pat.pattern or r"\Z" in pat.pattern:
+            # Python re's '$' also matches BEFORE a trailing newline;
+            # RE2's matches only at end-of-text, so 'foo$' on 'foo\n'
+            # redacts on the Python path but silently passes through on
+            # the RE2 path — sensitive data escaping is not acceptable,
+            # keep the Python semantics. ('$' inside a class is rare
+            # enough that the conservative substring check is fine.)
+            return None
         cached = self._re2_ok.get(id(op))
         if cached is False:
             return None
@@ -164,7 +172,18 @@ class RedactionStage:
 
         vec = self._vectorized_column(op, col)
         if vec is not None:
-            self.metrics.incr("cells.transformed", batch.num_rows)
+            # count like the Python span path does: cells actually
+            # transformed = non-null minus oversize-restored (the
+            # metric must not depend on which path a pattern took)
+            n_over = (
+                (pc.sum(oversize).as_py() or 0)
+                if oversize is not None
+                else 0
+            )
+            self.metrics.incr(
+                "cells.transformed",
+                batch.num_rows - col.null_count - n_over,
+            )
             if isinstance(vec, pa.ChunkedArray):
                 vec = vec.combine_chunks()
             return _restore(vec.cast(col.type))

@@ -36,10 +36,26 @@ class MetricsActor:
 
 
 def get_or_create_metrics_actor():
-    """Named-actor lookup; safe to call from any worker."""
+    """Named-actor lookup; safe to call from any worker. NOT detached:
+    the zero-CPU sink dies with the job instead of leaking until
+    cluster shutdown (late fire-and-forget flushes after the owner
+    exits are silently dropped — metrics are best-effort by design).
+    The named actor persists across RUNS within one driver session, so
+    counters accumulate — scope reads to a run with ``drain_metrics``
+    (or ``reset`` at run start)."""
     return MetricsActor.options(
-        name=METRICS_ACTOR_NAME, get_if_exists=True, lifetime="detached"
+        name=METRICS_ACTOR_NAME, get_if_exists=True
     ).remote()
+
+
+def drain_metrics() -> dict[str, int]:
+    """Snapshot AND reset the global sink — the per-run read. A bare
+    ``snapshot()`` after back-to-back runs in one session reports
+    their SUM."""
+    actor = get_or_create_metrics_actor()
+    snap = ray.get(actor.snapshot.remote())
+    actor.reset.remote()
+    return snap
 
 
 class LocalMetrics:

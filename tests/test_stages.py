@@ -629,3 +629,145 @@ class TestMapColumnRedaction:
         p = Policy.from_json(self._policy())
         errs = p.validate(t.schema)
         assert errs and "not supported" in errs[0]
+
+
+class TestEdgeHardening:
+    """Round-5 review-sweep edges: RE2 '$' semantics, map decrypt,
+    nested entire-record serialization, byte offsets, empty files,
+    wrangler cell containment."""
+
+    def test_re2_dollar_pattern_takes_python_path(self):
+        """Python re's '$' matches before a trailing newline; RE2's
+        does not — a '$' pattern must NOT take the RE2 fast path or
+        end-of-line sensitive data silently escapes redaction."""
+        from dlp_plugins_ray.functions.detect import (
+            DEFAULT_TEMPLATES, CustomTemplate,
+        )
+
+        DEFAULT_TEMPLATES.register(
+            CustomTemplate(
+                "EolTemplate",
+                regexes={"EOL_SECRET": r"secret[0-9]+$"},
+                case_insensitive=False,
+            )
+        )
+        policy = {
+            "transforms": [
+                {
+                    "transform": "REPLACE_VALUE",
+                    "fields": "notes",
+                    "filters": "NONE",
+                    "transformProperties": {"newValue": "X"},
+                }
+            ],
+            "customTemplateEnabled": True,
+            "templateId": "EolTemplate",
+        }
+        t = pa.table(
+            {"notes": ["mysecret12\n", "mysecret12", "no match here"]}
+        )
+        out = RedactionStage(policy, validate_schema=False)(t)
+        assert out.column("notes").to_pylist() == [
+            "myX\n", "myX", "no match here",
+        ]
+
+    def test_decrypt_map_column_roundtrip(self):
+        mt = pa.map_(pa.string(), pa.string())
+        t = pa.table(
+            {
+                "id": pa.array([0, 1, 2, 3], pa.int64()),
+                "attrs": pa.array(
+                    [
+                        {"zip": "94105", "alt": "10001"},
+                        None,
+                        {},
+                        {"zip": "60601"},
+                    ],
+                    type=mt,
+                ),
+            }
+        )
+        policy = json.loads(json.dumps(FPE_POLICY))
+        policy["transforms"][0]["fields"] = "NONE,attrs"
+        enc = RedactionStage(policy, validate_schema=False)(t)
+        vals = [
+            v for row in enc.column("attrs").to_pylist() or [] if row
+            for _, v in row
+        ]
+        assert vals and all(v.startswith("ZIP_TOKEN(") for v in vals)
+        dec = DecryptStage(policy)(enc)
+        assert dec.column("attrs").to_pylist() == t.column("attrs").to_pylist()
+
+    def test_entire_record_serializes_nested_columns(self):
+        mt = pa.map_(pa.string(), pa.string())
+        t = pa.table(
+            {
+                "name": ["alice", "bob"],
+                "attrs": pa.array(
+                    [{"ssn": "123-45-6789"}, {}], type=mt
+                ),
+            }
+        )
+        stage = F.FilterStage(
+            entire_record=True, filters=("NATIONAL_ID",)
+        )
+        out = stage(t)
+        assert out.column("is_sensitive").to_pylist() == [True, False]
+
+    def test_read_text_lines_byte_offsets_and_empty_file(self, tmp_path, ray_session):
+        from dlp_plugins_ray.sources.readers import read_text_lines
+
+        f1 = tmp_path / "a.txt"
+        f1.write_bytes("caféx\nline2\n".encode())
+        f2 = tmp_path / "empty.txt"
+        f2.write_bytes(b"")
+        out = read_text_lines(
+            [str(f1), str(f2)], include_path=True
+        ).to_pandas().sort_values("offset")
+        # byte offsets (the TextInputFormat contract), not code points:
+        # 'café x' is 6 bytes + newline -> second line starts at 7
+        assert list(out["offset"]) == [0, 7]
+        assert list(out["body"]) == ["caféx", "line2"]
+        # the zero-byte file contributes zero rows and no crash
+        assert set(out["path"].map(lambda p: p.endswith("empty.txt"))) == {False}
+
+    def test_wrangler_cell_containment_and_missing_date_col(self):
+        from dlp_plugins_ray.sources.wrangle import WranglerStage
+
+        # a bare newline inside a cell must not desync the row count
+        st = WranglerStage("parse-as-csv :body ',' false")
+        t = pa.table({"body": ["a\nb,c", "x,y", None]})
+        out = st(t)
+        assert out.num_rows == 3
+        assert out.column("body_1").to_pylist() == ["a", "x", None]
+        # quoted newline stays one record, within the cell
+        t2 = pa.table({"body": ['"a\nb",c']})
+        out2 = st(t2)
+        assert out2.column("body_1").to_pylist() == ["a\nb"]
+        assert out2.column("body_2").to_pylist() == ["c"]
+        # missing parse-date column raises a clear error, never
+        # operates on the LAST column via get_field_index's -1
+        st2 = WranglerStage("parse-as-simple-date :gone MM/dd/yyyy")
+        with pytest.raises(KeyError, match="gone"):
+            st2(pa.table({"body": ["01/02/2024"]}))
+        # header=true fails loudly at construction
+        with pytest.raises(NotImplementedError, match="header"):
+            WranglerStage("parse-as-csv :body ',' true")
+
+    def test_filter_dollar_pattern_not_pruned(self):
+        """The per-detector RE2 prune masks must never drop a row the
+        Python engine matches — '$' patterns disable them."""
+        from dlp_plugins_ray.functions.detect import (
+            DEFAULT_TEMPLATES, CustomTemplate,
+        )
+
+        DEFAULT_TEMPLATES.register(
+            CustomTemplate(
+                "EolTemplate2",
+                regexes={"EOL_SECRET": r"secret[0-9]+$"},
+                case_insensitive=False,
+            )
+        )
+        stage = F.FilterStage(field="notes", template="EolTemplate2")
+        t = pa.table({"notes": ["mysecret12\n", "clean\n"]})
+        assert stage(t).column("is_sensitive").to_pylist() == [True, False]
