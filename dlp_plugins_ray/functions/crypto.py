@@ -200,8 +200,11 @@ def resolve_key(
 
 
 def crypto_hash(value: str, key: bytes) -> str:
-    """HMAC-SHA-256 hex digest of the value — the DLP CryptoHashConfig
-    surrogate format."""
+    """HMAC-SHA-256 of the value, HEX-encoded. DELIBERATE divergence
+    from the DLP service's CryptoHashConfig, which emits the digest
+    base64-encoded: hex is pinned here (and by this engine's oracles /
+    stored outputs) for SQL-side reproducibility — do not expect
+    byte-identical surrogates when reconciling against DLP output."""
     return hmac.new(key, value.encode("utf-8"), hashlib.sha256).hexdigest()
 
 
@@ -213,17 +216,27 @@ _FF1_MIN_LEN = 2
 _FF1_MAX_LEN = 4096  # practical guard; spec allows up to 2**32
 
 
-# One long-lived ECB encryptor per key: ECB is stateless across blocks,
-# so update() can be called forever — this avoids an EVP context
-# allocation per FF1 round (the dominant cost of per-cell FPE).
-_ECB_ENCRYPTORS: dict[bytes, object] = {}
+# One long-lived ECB encryptor per (thread, key): ECB is stateless
+# across blocks, so update() can be called forever — this avoids an
+# EVP context allocation per FF1 round (the dominant cost of per-cell
+# FPE). THREAD-local because a cryptography cipher context is not
+# thread-safe: two threads in one update() raise RuntimeError
+# 'Already borrowed' (Ray actors with max_concurrency>1, user thread
+# pools). Thread-locality also bounds how long raw key material stays
+# pinned — it dies with the worker thread, not the process.
+import threading as _threading
+
+_ECB_LOCAL = _threading.local()
 
 
 def _ecb_encryptor(key: bytes):
-    enc = _ECB_ENCRYPTORS.get(key)
+    cache = getattr(_ECB_LOCAL, "cache", None)
+    if cache is None:
+        cache = _ECB_LOCAL.cache = {}
+    enc = cache.get(key)
     if enc is None:
         enc = Cipher(algorithms.AES(key), modes.ECB()).encryptor()
-        _ECB_ENCRYPTORS[key] = enc
+        cache[key] = enc
     return enc
 
 
@@ -259,10 +272,9 @@ def _str_radix(x: int, m: int, alphabet: str, radix: int) -> str:
     return "".join(reversed(out))
 
 
-def _ff1_round_data(
-    key: bytes, tweak: bytes, radix: int, n: int, u: int, b: int, d: int
-):
-    """Precompute the fixed P block and padding for FF1 rounds."""
+def _ff1_round_data(tweak: bytes, radix: int, n: int, u: int, b: int):
+    """Precompute the fixed P block and padding for FF1 rounds
+    (depends only on the public parameters, never the key)."""
     t = len(tweak)
     p = bytes(
         [1, 2, 1]
@@ -294,7 +306,7 @@ def _ff1_feistel(
     a, bpart = text[:u], text[u:]
     b_bytes = math.ceil(math.ceil(v * math.log2(radix)) / 8)
     d = 4 * math.ceil(b_bytes / 4) + 4
-    p, qpad = _ff1_round_data(key, tweak, radix, n, u, b_bytes, d)
+    p, qpad = _ff1_round_data(tweak, radix, n, u, b_bytes)
 
     rounds = range(10) if encrypt else range(9, -1, -1)
     for i in rounds:

@@ -304,7 +304,18 @@ class DateShiftConfig(BaseTransformConfig):
             return value
         if isinstance(value, _dt.date):
             return value + delta
-        if isinstance(value, int):  # epoch days (date32 storage)
+        if isinstance(value, int):  # epoch DAYS (date32 storage)
+            # epoch-millis/micros ints would be shifted by N *units*
+            # (a ~seconds-scale shift that silently fails to anonymize
+            # AND corrupts the value) — day counts stay tiny, so a
+            # magnitude gate makes the misuse loud. 3M days ~ year
+            # 10191; epoch-millis today is ~1.7e12.
+            if abs(value) > 3_000_000:
+                raise TransformError(
+                    f"DATE_SHIFT int cells are epoch DAYS; {value} is "
+                    "outside any plausible day range — epoch "
+                    "millis/micros columns must be typed as timestamps"
+                )
             return value + self.shift_days(context)
         raise TransformError(
             f"DATE_SHIFT expects date/time/timestamp/int values, got {type(value).__name__}"
@@ -329,7 +340,9 @@ class CryptoReplaceFfxFpeConfig(BaseTransformConfig):
     alphabet: str = ""
     custom_alphabet: str | None = None
     context: str | None = None
+    unprocessable: str = "keep"
     _raw_key: bytes = dc_field(default=b"", repr=False, compare=False)
+    _alpha_cache: tuple = dc_field(default=(), repr=False, compare=False)
 
     @property
     def required_fields(self) -> tuple[str, ...]:  # type: ignore[override]
@@ -355,6 +368,11 @@ class CryptoReplaceFfxFpeConfig(BaseTransformConfig):
                 crypto.resolve_alphabet(self.alphabet, self.custom_alphabet)
             except ValueError as e:
                 errors.append(str(e))
+        if self.unprocessable not in ("keep", "error"):
+            errors.append(
+                "unprocessable must be 'keep' or 'error', got "
+                f"'{self.unprocessable}'"
+            )
 
     @property
     def raw_key(self) -> bytes:
@@ -372,25 +390,44 @@ class CryptoReplaceFfxFpeConfig(BaseTransformConfig):
             )
         return self._raw_key
 
-    def _alpha(self) -> str:
-        return crypto.resolve_alphabet(self.alphabet, self.custom_alphabet)
+    def _alpha_parts(self) -> tuple:
+        """(alphabet, frozenset(alphabet)) resolved ONCE per config —
+        per-cell resolve + set() construction was measurable on
+        all-unique columns (the memo in apply_whole_column can't help
+        those)."""
+        if not self._alpha_cache:
+            alpha = crypto.resolve_alphabet(self.alphabet, self.custom_alphabet)
+            object.__setattr__(
+                self, "_alpha_cache", (alpha, frozenset(alpha))
+            )
+        return self._alpha_cache
 
-    @staticmethod
-    def _split(value: str, alpha: set[str]):
-        """Split value into (template, payload): payload = chars in the
-        alphabet (what FF1 encrypts), template marks their positions."""
-        payload = [c for c in value if c in alpha]
-        return payload
+    def _check_processable(self, n: int, radix: int) -> bool:
+        """FF1 preconditions (SP 800-38G): 2 <= n <= 4096 symbols and
+        radix**n >= 100. Out-of-range values either pass through
+        unchanged (``unprocessable='keep'``, the default — the
+        analogue of the oversize-cell passthrough; NOTE the value is
+        emitted WITHOUT a surrogate, i.e. unencrypted) or fail loudly
+        (``unprocessable='error'``, DLP-parity: the service errors on
+        values FPE cannot process). The old code raised from inside
+        FF1 for long cells and low-radix domains — one odd cell killed
+        the whole pipeline with no policy lever."""
+        if 2 <= n <= 4096 and radix ** n >= 100:
+            return True
+        if self.unprocessable == "error":
+            raise TransformError(
+                f"FPE cannot process a value with {n} in-alphabet "
+                f"symbols over a radix-{radix} alphabet (need 2-4096 "
+                "symbols and radix**len >= 100); value passed through "
+                "is disabled by unprocessable='error'"
+            )
+        return False
 
     def transform_cell(self, value: str, context: str = "") -> str:
-        alpha = self._alpha()
-        alpha_set = set(alpha)
+        alpha, alpha_set = self._alpha_parts()
         tweak = context.encode("utf-8")
         in_alpha = [c for c in value if c in alpha_set]
-        if len(in_alpha) < 2:
-            # FF1 needs >= 2 symbols; DLP leaves too-short values
-            # unencrypted-but-surrogate-wrapped is not possible, so
-            # pass the value through unchanged.
+        if not self._check_processable(len(in_alpha), len(alpha)):
             return value
         cipher = crypto.ff1_encrypt(self.raw_key, tweak, alpha, "".join(in_alpha))
         it = iter(cipher)
@@ -398,11 +435,10 @@ class CryptoReplaceFfxFpeConfig(BaseTransformConfig):
         return format_surrogate(self.surrogate_info_type_name, rebuilt)
 
     def detokenize(self, payload: str, context: str = "") -> str:
-        alpha = self._alpha()
-        alpha_set = set(alpha)
+        alpha, alpha_set = self._alpha_parts()
         tweak = context.encode("utf-8")
         in_alpha = [c for c in payload if c in alpha_set]
-        if len(in_alpha) < 2:
+        if not (2 <= len(in_alpha) <= 4096 and len(alpha) ** len(in_alpha) >= 100):
             return payload
         plain = crypto.ff1_decrypt(self.raw_key, tweak, alpha, "".join(in_alpha))
         it = iter(plain)
@@ -511,17 +547,23 @@ def config_from_properties(transform: str, props: dict) -> BaseTransformConfig:
         raise ValueError(
             f"Transform {transform} does not have an associated transform config"
         )
+    import dataclasses as _dc
+
+    cls = TRANSFORM_REGISTRY[transform]
+    valid = {f.name for f in _dc.fields(cls)}
     kwargs = {}
     for k, v in (props or {}).items():
-        if k == "expanded":  # widget UI state, not config
-            continue
         key = _JSON_FIELD_MAP.get(k, k)
+        if key not in valid:
+            # Gson parity: unknown JSON fields (widget/UI state like
+            # 'expanded') are silently ignored, never a TypeError
+            continue
         if key in _INT_FIELDS and isinstance(v, str):
             v = int(v)
         elif key in _BOOL_FIELDS and isinstance(v, str):
             v = v.lower() == "true"
         kwargs[key] = v
-    return TRANSFORM_REGISTRY[transform](**kwargs)
+    return cls(**kwargs)
 
 
 def apply_whole_column(

@@ -242,6 +242,7 @@ class Policy:
                 failures.append(f"Custom template '{name}' does not exist")
 
         seen: dict[str, str] = {}
+        seen_entries: set[tuple] = set()
         first_used_custom: bool | None = None
         any_used_custom = False
         for t in self.transforms:
@@ -286,6 +287,25 @@ class Policy:
                     "Cannot use custom templates and built-in filters in the "
                     "same plugin instance."
                 )
+
+            # exact-duplicate entries (same transform, filters AND
+            # fields — including whole-cell 'NONE' entries) silently
+            # double-transform; the reference's validateFieldConfigs
+            # flags them via its 'NONE'-included iteration. We flag
+            # only the exact duplicate so two whole-cell entries of
+            # the same transform targeting DIFFERENT columns stay
+            # legal (arguably a reference false positive).
+            dup_key = (
+                t.transform.lower(), tuple(t.fields), tuple(t.filters)
+            )
+            if dup_key in seen_entries:
+                failures.append(
+                    "Combination of transform, filter and field must be "
+                    f"unique. Found multiple definitions for "
+                    f"'{t.transform}' transform on fields "
+                    f"{list(t.fields)} with filters {list(t.filters)}"
+                )
+            seen_entries.add(dup_key)
 
             # unique (field, filter) -> transform; the "NONE" whole-cell
             # marker is not a field

@@ -233,3 +233,100 @@ class TestRegistryCodec:
     def test_unknown_transform(self):
         with pytest.raises(ValueError, match="does not have an associated"):
             T.config_from_properties("NOPE", {})
+
+
+class TestCryptoEdgeHardening:
+    """Round-5 review sweep: FF1 preconditions never kill a pipeline
+    (policy-controlled), DATE_SHIFT int misuse is loud, unknown
+    transformProperties keys are ignored (Gson parity), duplicate
+    policy entries are flagged, and the cached ECB context is
+    thread-safe."""
+
+    def _fpe(self, **kw):
+        defaults = dict(
+            key_type="UNWRAPPED",
+            key=KEY_B64,
+            surrogate_info_type_name="TOKEN",
+            alphabet="ALPHA_NUMERIC",
+        )
+        defaults.update(kw)
+        return T.CryptoReplaceFfxFpeConfig(**defaults)
+
+    def test_fpe_overlong_cell_keep_and_error(self):
+        long_cell = "a" * 5000  # > FF1's 4096-symbol bound
+        # default: pass through unchanged (oversize-cell idiom), no crash
+        assert self._fpe().transform_cell(long_cell) == long_cell
+        # strict mode: loud per-value error (DLP parity)
+        with pytest.raises(Exception, match="FPE cannot process"):
+            self._fpe(unprocessable="error").transform_cell(long_cell)
+        errs: list = []
+        self._fpe(unprocessable="bogus").validate(errs)
+        assert any("unprocessable" in e for e in errs)
+
+    def test_fpe_low_radix_domain_no_crash(self):
+        cfg = self._fpe(alphabet="CUSTOM", custom_alphabet="01")
+        # radix 2: '0101' has domain 2**4 < 100 — previously raised
+        assert cfg.transform_cell("0101") == "0101"
+        # 7+ symbols clears the domain bound and encrypts
+        out = cfg.transform_cell("0101010")
+        assert out.startswith("TOKEN(7):")
+        assert cfg.detokenize(out.split(":", 1)[1]) == "0101010"
+
+    def test_date_shift_int_magnitude_guard(self):
+        cfg = T.DateShiftConfig(
+            key_type="UNWRAPPED", key=KEY_B64,
+            lower_bound_days=-10, upper_bound_days=10,
+        )
+        d = cfg.transform_cell(19000)  # epoch days: fine
+        assert isinstance(d, int) and abs(d - 19000) <= 10
+        with pytest.raises(Exception, match="epoch DAYS"):
+            cfg.transform_cell(1_700_000_000_000)  # epoch millis
+
+    def test_unknown_properties_ignored(self):
+        cfg = T.config_from_properties(
+            "MASKING",
+            {"maskingChar": "#", "someUiState": "x", "expanded": "true"},
+        )
+        assert cfg.masking_char == "#"
+
+    def test_duplicate_policy_entries_flagged(self):
+        from dlp_plugins_ray.policy import Policy
+
+        entry = {
+            "transform": "MASKING",
+            "fields": "NONE,zip",
+            "filters": "NONE",
+            "transformProperties": {"maskingChar": "#"},
+        }
+        p = Policy.from_json(
+            {
+                "transforms": [entry, dict(entry)],
+                "customTemplateEnabled": True,
+                "templateId": "DemoTemplate",
+            }
+        )
+        fails = p.validate()
+        assert any("must be unique" in f for f in fails)
+        # same transform on DIFFERENT whole-cell targets stays legal
+        other = dict(entry, fields="NONE,attrs")
+        p2 = Policy.from_json(
+            {
+                "transforms": [entry, other],
+                "customTemplateEnabled": True,
+                "templateId": "DemoTemplate",
+            }
+        )
+        assert not any("must be unique" in f for f in p2.validate())
+
+    def test_ff1_thread_safety(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        cfg = self._fpe(alphabet="NUMERIC")
+
+        def work(i):
+            v = f"{i:010d}"
+            out = cfg.transform_cell(v)
+            return cfg.detokenize(out.split(":", 1)[1]) == v
+
+        with ThreadPoolExecutor(8) as ex:
+            assert all(ex.map(work, range(300)))
