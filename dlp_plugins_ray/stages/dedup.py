@@ -2046,6 +2046,49 @@ def minhash_dedup(
 _STORE_META = "_store_meta.json"
 
 
+def _est_input_bytes(ds):
+    """Cheap pre-execution size estimate: known from parquet/materialized
+    metadata for pure reads and materialized datasets, ``None`` for any
+    mapped plan (never triggers execution). Gates the fused one-task
+    slice paths — an unknown size safely falls back to the distributed
+    branch."""
+    try:
+        return ds._logical_plan.dag.infer_metadata().size_bytes
+    except Exception:
+        return None
+
+
+def _write_store_meta(store_dir: str, meta: dict) -> None:
+    """Atomic (tmp + rename) store-meta json write — the commit point of
+    every store build/append."""
+    import json
+
+    tmp = os.path.join(store_dir, _STORE_META + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(store_dir, _STORE_META))
+
+
+def _write_bucket_files(df, store_dir: str, run_id: str) -> int:
+    """Shared tail of every LOCAL store append: full-column sort (pins
+    each file's bytes in the row set), then one parquet file per
+    ``bucket`` value under its hive dir. ``df`` is a polars frame that
+    includes the ``bucket`` column."""
+    import pyarrow.parquet as pq
+
+    df = df.sort(df.columns)
+    n = 0
+    for (b,), g in df.group_by(["bucket"], maintain_order=True):
+        sub = g.drop("bucket").to_arrow()
+        part = os.path.join(store_dir, f"bucket={int(b)}")
+        os.makedirs(part, exist_ok=True)
+        pq.write_table(
+            sub, os.path.join(part, f"append-{run_id}-{n}.parquet")
+        )
+        n += 1
+    return n
+
+
 def _write_store_partitioned(rows_ds, store_dir: str, *,
                              local_threshold: int = 2_000_000) -> None:
     """Bucket-partitioned store append with a BOUNDED file count: one
@@ -2079,8 +2122,6 @@ def _write_store_partitioned(rows_ds, store_dir: str, *,
 
         @ray.remote
         def write_local(*tables) -> int:
-            import pyarrow.parquet as pq
-
             tabs = [
                 t for t in tables
                 if t.num_rows and "bucket" in t.column_names
@@ -2090,17 +2131,7 @@ def _write_store_partitioned(rows_ds, store_dir: str, *,
             df = pl.from_arrow(
                 pa.concat_tables([t.cast(tabs[0].schema) for t in tabs])
             )
-            df = df.sort(df.columns)
-            n = 0
-            for (b,), g in df.group_by(["bucket"], maintain_order=True):
-                sub = g.drop("bucket").to_arrow()
-                part = os.path.join(store_dir, f"bucket={int(b)}")
-                os.makedirs(part, exist_ok=True)
-                pq.write_table(
-                    sub, os.path.join(part, f"append-{run_id}-{n}.parquet")
-                )
-                n += 1
-            return n
+            return _write_bucket_files(df, store_dir, run_id)
 
         ray.get(write_local.remote(*rows_ds.to_arrow_refs()))
         return
@@ -2155,7 +2186,8 @@ def _banded_with_bucket(ds, *, text_col: str, id_col: str, num_perm: int,
 def minhash_band_store_write(ds, store_dir: str, *, text_col: str,
                              id_col: str, num_perm: int = 64,
                              bands: int = 16, shingle_k: int = 5,
-                             num_buckets: int = 64) -> dict:
+                             num_buckets: int = 64,
+                             local_slice_bytes: int = 64 << 20) -> dict:
     """Create the persisted LSH band store for a (deduplicated) corpus:
     hive ``bucket=NN/`` parquet of (band, band_hash, id) rows plus a
     meta json pinning the LSH parameters and the max stored doc id.
@@ -2163,9 +2195,63 @@ def minhash_band_store_write(ds, store_dir: str, *, text_col: str,
     the corpus text never has to be re-read to dedup future slices.
 
     Single-writer semantics (one store build/append at a time), same
-    as the lake's commit model."""
-    import json
-    import os
+    as the lake's commit model.
+
+    Size-adaptive (round-5 idiom): a corpus whose input bytes are
+    known tiny from read/materialized metadata builds the store in ONE
+    remote task (band + bucket-tag + sorted per-bucket files + max id)
+    instead of a banding execution, a coalesce task, and a max
+    aggregate — identical store rows either way (pinned with the fused
+    slice equivalence in tests/test_soak.py)."""
+    meta = {
+        "num_perm": num_perm,
+        "bands": bands,
+        "shingle_k": shingle_k,
+        "num_buckets": num_buckets,
+    }
+
+    est = _est_input_bytes(ds)
+    if local_slice_bytes and est is not None and est <= local_slice_bytes:
+        import uuid
+
+        import ray
+
+        run_id = uuid.uuid4().hex[:12]
+
+        @ray.remote
+        def build(*tables):
+            import polars as pl
+            import pyarrow.compute as _pc
+
+            tabs = [
+                t for t in tables
+                if t.num_rows and text_col in t.column_names
+            ]
+            if not tabs:
+                return None
+            stage = MinHashLshStage(
+                text_col, id_col, num_perm=num_perm, bands=bands,
+                shingle_k=shingle_k,
+            )
+            banded = pa.concat_tables([stage(t) for t in tabs])
+            h = banded.column("band_hash").to_numpy(zero_copy_only=False)
+            banded = banded.append_column(
+                "bucket",
+                pa.array(
+                    (h.astype(np.uint64) % num_buckets).astype(np.int64)
+                ),
+            )
+            _write_bucket_files(pl.from_arrow(banded), store_dir, run_id)
+            return int(_pc.max(banded.column(id_col)).as_py())
+
+        max_id = ray.get(build.remote(*ds.to_arrow_refs()))
+        if max_id is None:
+            raise ValueError(
+                "cannot build a band store from an empty corpus"
+            )
+        meta["max_id"] = max_id
+        _write_store_meta(store_dir, meta)
+        return meta
 
     banded = _banded_with_bucket(
         ds, text_col=text_col, id_col=id_col, num_perm=num_perm,
@@ -2174,18 +2260,8 @@ def minhash_band_store_write(ds, store_dir: str, *, text_col: str,
     _write_store_partitioned(banded, store_dir)
     # max id via a tiny distributed aggregate (no driver
     # materialization)
-    max_id = ds.max(id_col)
-    meta = {
-        "num_perm": num_perm,
-        "bands": bands,
-        "shingle_k": shingle_k,
-        "num_buckets": num_buckets,
-        "max_id": int(max_id),
-    }
-    tmp = os.path.join(store_dir, _STORE_META + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(store_dir, _STORE_META))
+    meta["max_id"] = int(ds.max(id_col))
+    _write_store_meta(store_dir, meta)
     return meta
 
 
@@ -2202,6 +2278,54 @@ def _store_nbytes(store_dir: str) -> int:
                 except OSError:
                     pass
     return total
+
+
+def _probe_band_kernel(new_tables, store_dir: str, *, max_old: int,
+                       min_bands: int | None, id_col: str) -> pa.Table:
+    """Single-process band-store probe kernel shared by the one-task
+    local probe AND the fully fused local slice task: store thin rows +
+    the slice's banded rows -> sorted NEW drop ids (column ``id``).
+    The distributed branch computes the identical result through two
+    bucketed exchanges plus the component solve."""
+    import polars as pl
+    import pyarrow.dataset as pads
+
+    old = pads.dataset(
+        store_dir, format="parquet", partitioning="hive"
+    ).to_table(columns=["band", "band_hash", id_col])
+    parts = [
+        t.select(["band", "band_hash", id_col]).cast(old.schema)
+        for t in new_tables
+        if t.num_rows and "band" in t.column_names
+    ]
+    df = pl.from_arrow(pa.concat_tables([old, *parts])).unique()
+    df = df.with_columns(
+        pl.col(id_col).min().over(["band", "band_hash"]).alias("_min")
+    )
+    dup = df.filter(
+        (pl.col(id_col) != pl.col("_min"))
+        & (pl.col(id_col) > max_old)  # member must be NEW
+    )
+    pairs = dup.select(
+        pl.col("_min").cast(pl.Int64).alias("id_a"),
+        pl.col(id_col).cast(pl.Int64).alias("id_b"),
+    )
+    if min_bands is not None and min_bands > 1:
+        pairs = (
+            pairs.group_by(["id_a", "id_b"])
+            .len()
+            .filter(pl.col("len") >= min_bands)
+            .select(["id_a", "id_b"])
+        )
+    else:
+        pairs = pairs.unique()
+    uf = _UnionFind()
+    for a, b in zip(pairs["id_a"].to_list(), pairs["id_b"].to_list()):
+        uf.union(int(a), int(b))
+    drops = sorted(
+        i for i in uf.parent if i > max_old and uf.find(i) != i
+    )
+    return pa.table({"id": pa.array(drops, pa.int64())})
 
 
 def _probe_band_store_local(new_banded, store_dir: str, *, max_old: int,
@@ -2223,47 +2347,105 @@ def _probe_band_store_local(new_banded, store_dir: str, *, max_old: int,
 
     @ray.remote
     def probe(*new_tables) -> pa.Table:
-        import polars as pl
-        import pyarrow.dataset as pads
-
-        old = pads.dataset(
-            store_dir, format="parquet", partitioning="hive"
-        ).to_table(columns=["band", "band_hash", id_col])
-        parts = [
-            t.select(["band", "band_hash", id_col]).cast(old.schema)
-            for t in new_tables
-            if t.num_rows and "band" in t.column_names
-        ]
-        df = pl.from_arrow(pa.concat_tables([old, *parts])).unique()
-        df = df.with_columns(
-            pl.col(id_col).min().over(["band", "band_hash"]).alias("_min")
+        return _probe_band_kernel(
+            new_tables, store_dir, max_old=max_old,
+            min_bands=min_bands, id_col=id_col,
         )
-        dup = df.filter(
-            (pl.col(id_col) != pl.col("_min"))
-            & (pl.col(id_col) > max_old)  # member must be NEW
-        )
-        pairs = dup.select(
-            pl.col("_min").cast(pl.Int64).alias("id_a"),
-            pl.col(id_col).cast(pl.Int64).alias("id_b"),
-        )
-        if min_bands is not None and min_bands > 1:
-            pairs = (
-                pairs.group_by(["id_a", "id_b"])
-                .len()
-                .filter(pl.col("len") >= min_bands)
-                .select(["id_a", "id_b"])
-            )
-        else:
-            pairs = pairs.unique()
-        uf = _UnionFind()
-        for a, b in zip(pairs["id_a"].to_list(), pairs["id_b"].to_list()):
-            uf.union(int(a), int(b))
-        drops = sorted(
-            i for i in uf.parent if i > max_old and uf.find(i) != i
-        )
-        return pa.table({"id": pa.array(drops, pa.int64())})
 
     return rd.from_arrow_refs([probe.remote(*new_banded.to_arrow_refs())])
+
+
+def _minhash_incremental_fused(new_ds, store_dir: str, meta: dict, *,
+                               text_col: str, id_col: str,
+                               min_bands: int | None, append: bool):
+    """Whole-slice ONE-task fast path of
+    :func:`minhash_dedup_incremental` (the round-5 size-adaptive idiom
+    one level up from :func:`_probe_band_store_local`): when the
+    slice's input bytes are known tiny from read/materialized metadata
+    and the store fits one heap, banding, the monotonic-id validation,
+    the probe, the drop filter, and the store append all run in ONE
+    remote task with the identical kernels (``MinHashLshStage``,
+    :func:`_probe_band_kernel`, :func:`_write_bucket_files`). The
+    distributed slice pays ~6 small dataset executions of fixed
+    ~0.1-0.5 s each; the fused slice pays one read and one task.
+    Equivalence (kept ids AND store rows) pinned by
+    tests/test_soak.py::test_incremental_fused_matches_distributed."""
+    import uuid
+
+    import ray
+    import ray.data as rd
+
+    max_old = int(meta["max_id"])
+    num_perm = int(meta["num_perm"])
+    bands = int(meta["bands"])
+    shingle_k = int(meta["shingle_k"])
+    num_buckets = int(meta["num_buckets"])
+    run_id = uuid.uuid4().hex[:12]
+
+    @ray.remote
+    def slice_task(append_flag, *tables):
+        import polars as pl
+        import pyarrow.compute as _pc
+
+        tabs = [
+            t for t in tables
+            if t.num_rows and text_col in t.column_names
+        ]
+        if not tabs:
+            return None, None
+        stage = MinHashLshStage(
+            text_col, id_col, num_perm=num_perm, bands=bands,
+            shingle_k=shingle_k,
+        )
+        banded = pa.concat_tables([stage(t) for t in tabs])
+        min_new = _pc.min(banded.column(id_col)).as_py()
+        if min_new is not None and int(min_new) <= max_old:
+            raise ValueError(
+                f"incremental dedup requires new ids > stored max_id "
+                f"({max_old}); got {min_new}"
+            )
+        drop_ids = _probe_band_kernel(
+            [banded], store_dir, max_old=max_old,
+            min_bands=min_bands, id_col=id_col,
+        ).column("id").combine_chunks()
+        kept = pa.concat_tables(
+            [
+                t.filter(
+                    _pc.invert(
+                        _pc.is_in(t.column(id_col), value_set=drop_ids)
+                    )
+                )
+                for t in tabs
+            ]
+        )
+        if append_flag and kept.num_rows:
+            kb = banded.filter(
+                _pc.invert(
+                    _pc.is_in(banded.column(id_col), value_set=drop_ids)
+                )
+            )
+            h = kb.column("band_hash").to_numpy(zero_copy_only=False)
+            kb = kb.append_column(
+                "bucket",
+                pa.array(
+                    (h.astype(np.uint64) % num_buckets).astype(np.int64)
+                ),
+            )
+            _write_bucket_files(pl.from_arrow(kb), store_dir, run_id)
+        new_max = (
+            _pc.max(kept.column(id_col)).as_py() if kept.num_rows else None
+        )
+        return kept, new_max
+
+    kept_tab, new_max = ray.get(
+        slice_task.remote(append, *new_ds.to_arrow_refs())
+    )
+    if append and new_max is not None:
+        meta["max_id"] = max(max_old, int(new_max))
+        _write_store_meta(store_dir, meta)
+    if kept_tab is None:
+        return new_ds  # empty slice: nothing dropped, nothing appended
+    return rd.from_arrow(kept_tab)
 
 
 def minhash_dedup_incremental(new_ds, store_dir: str, *, text_col: str,
@@ -2271,7 +2453,8 @@ def minhash_dedup_incremental(new_ds, store_dir: str, *, text_col: str,
                               broadcast_threshold: int = 2_000_000,
                               min_bands: int | None = None,
                               local_probe_threshold: int = 2_000_000,
-                              local_probe_store_bytes: int = 64 << 20):
+                              local_probe_store_bytes: int = 64 << 20,
+                              local_slice_bytes: int = 64 << 20):
     """Dedup a NEW slice against the historical corpus WITHOUT touching
     the historical text: probe the persisted band store (first-writer
     wins — a new doc near-duplicating any stored doc is dropped; new
@@ -2315,6 +2498,23 @@ def minhash_dedup_incremental(new_ds, store_dir: str, *, text_col: str,
 
     meta = _band_store_meta(store_dir)
     max_old = int(meta["max_id"])
+
+    # Fused whole-slice fast path: input size knowable WITHOUT
+    # executing (pure read / materialized input) and tiny, store tiny
+    # -> band + validate + probe + drop + append in ONE remote task.
+    # local_probe_threshold=0 (the tests' force-distributed switch)
+    # disables this too; unknown size falls through safely.
+    if (
+        local_slice_bytes
+        and local_probe_threshold
+        and _store_nbytes(store_dir) <= local_probe_store_bytes
+    ):
+        est = _est_input_bytes(new_ds)
+        if est is not None and est <= local_slice_bytes:
+            return _minhash_incremental_fused(
+                new_ds, store_dir, meta, text_col=text_col,
+                id_col=id_col, min_bands=min_bands, append=append,
+            )
 
     new_banded = _banded_with_bucket(
         new_ds, text_col=text_col, id_col=id_col,
@@ -2467,26 +2667,76 @@ def _finish_incremental(new_ds, new_banded, drop_ds, store_dir: str,
         new_max = kept.max(id_col) if kept.count() else None
         if new_max is not None:
             meta["max_id"] = max(max_old, int(new_max))
-            tmp = os.path.join(store_dir, _STORE_META + ".tmp")
-            with open(tmp, "w") as f:
-                json.dump(meta, f)
-            os.replace(tmp, os.path.join(store_dir, _STORE_META))
+            _write_store_meta(store_dir, meta)
     return kept
 
 
 def sha_store_write(ds, store_dir: str, *, text_col: str, id_col: str,
                     num_buckets: int = 64,
-                    precomputed_hash: str | None = None) -> dict:
+                    precomputed_hash: str | None = None,
+                    local_slice_bytes: int = 64 << 20) -> dict:
     """Exact-dedup analogue of the band store: ONE thin
     (content_sha, id) row per historical doc, hive-bucketed by a
     stable hash of the sha. ~70 B/doc — the cheapest possible
     representation that lets future slices drop byte-identical
-    re-crawls without re-reading the corpus."""
-    import json
-    import os
+    re-crawls without re-reading the corpus. A metadata-known-tiny
+    corpus builds in ONE remote task (same rule as
+    :func:`minhash_band_store_write`)."""
     import zlib
 
     hash_col = precomputed_hash or "content_sha"
+
+    est = _est_input_bytes(ds)
+    if local_slice_bytes and est is not None and est <= local_slice_bytes:
+        import uuid
+
+        import ray
+
+        run_id = uuid.uuid4().hex[:12]
+        need_hash = precomputed_hash is None
+
+        @ray.remote
+        def build(*tables):
+            import zlib as _zlib
+
+            import polars as pl
+            import pyarrow.compute as _pc
+
+            tabs = [t for t in tables if t.num_rows]
+            if not tabs:
+                return None
+            if need_hash:
+                tabs = [add_content_hash(t, text_col, hash_col) for t in tabs]
+            allr = pa.concat_tables(tabs)
+            shas = allr.column(hash_col).to_pylist()
+            bucket = [
+                _zlib.crc32(s.encode()) % num_buckets if s is not None
+                else 0
+                for s in shas
+            ]
+            rows = pa.table(
+                {
+                    hash_col: allr.column(hash_col),
+                    id_col: allr.column(id_col),
+                    "bucket": pa.array(bucket, pa.int64()),
+                }
+            )
+            _write_bucket_files(pl.from_arrow(rows), store_dir, run_id)
+            return int(_pc.max(allr.column(id_col)).as_py())
+
+        max_id = ray.get(build.remote(*ds.to_arrow_refs()))
+        if max_id is None:
+            raise ValueError(
+                "cannot build a sha store from an empty corpus"
+            )
+        meta = {
+            "num_buckets": num_buckets,
+            "hash_col": hash_col,
+            "max_id": max_id,
+        }
+        _write_store_meta(store_dir, meta)
+        return meta
+
     if precomputed_hash is None:
         ds2 = ds.map_batches(
             lambda b: add_content_hash(b, text_col, hash_col),
@@ -2517,11 +2767,37 @@ def sha_store_write(ds, store_dir: str, *, text_col: str, id_col: str,
         "hash_col": hash_col,
         "max_id": int(ds.max(id_col)),
     }
-    tmp = os.path.join(store_dir, _STORE_META + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(store_dir, _STORE_META))
+    _write_store_meta(store_dir, meta)
     return meta
+
+
+def _probe_sha_kernel(new_tables, store_dir: str, *, max_old: int,
+                      hash_col: str, id_col: str) -> pa.Table:
+    """Sha-store analogue of :func:`_probe_band_kernel` (shared by the
+    one-task local probe and the fused local slice task): min-over-sha
+    first-writer-wins, NEW losers only, sorted drop ids."""
+    import polars as pl
+    import pyarrow.dataset as pads
+
+    old = pads.dataset(
+        store_dir, format="parquet", partitioning="hive"
+    ).to_table(columns=[hash_col, id_col])
+    parts = [
+        t.select([hash_col, id_col]).cast(old.schema)
+        for t in new_tables
+        if t.num_rows and hash_col in t.column_names
+    ]
+    df = pl.from_arrow(pa.concat_tables([old, *parts])).unique()
+    df = df.with_columns(
+        pl.col(id_col).min().over(hash_col).alias("_min")
+    )
+    dup = df.filter(
+        (pl.col(id_col) != pl.col("_min"))
+        & (pl.col(id_col) > max_old)
+    ).sort(id_col)
+    return pa.table(
+        {"id": dup[id_col].cast(pl.Int64).to_arrow()}
+    ).cast(pa.schema([("id", pa.int64())]))
 
 
 def _probe_sha_store_local(thin_ds, store_dir: str, *, max_old: int,
@@ -2535,37 +2811,100 @@ def _probe_sha_store_local(thin_ds, store_dir: str, *, max_old: int,
 
     @ray.remote
     def probe(*new_tables) -> pa.Table:
-        import polars as pl
-        import pyarrow.dataset as pads
-
-        old = pads.dataset(
-            store_dir, format="parquet", partitioning="hive"
-        ).to_table(columns=[hash_col, id_col])
-        parts = [
-            t.select([hash_col, id_col]).cast(old.schema)
-            for t in new_tables
-            if t.num_rows and hash_col in t.column_names
-        ]
-        df = pl.from_arrow(pa.concat_tables([old, *parts])).unique()
-        df = df.with_columns(
-            pl.col(id_col).min().over(hash_col).alias("_min")
+        return _probe_sha_kernel(
+            new_tables, store_dir, max_old=max_old,
+            hash_col=hash_col, id_col=id_col,
         )
-        dup = df.filter(
-            (pl.col(id_col) != pl.col("_min"))
-            & (pl.col(id_col) > max_old)
-        ).sort(id_col)
-        return pa.table(
-            {"id": dup[id_col].cast(pl.Int64).to_arrow()}
-        ).cast(pa.schema([("id", pa.int64())]))
 
     return rd.from_arrow_refs([probe.remote(*thin_ds.to_arrow_refs())])
+
+
+def _exact_incremental_fused(new_ds, store_dir: str, meta: dict, *,
+                             text_col: str, id_col: str, append: bool):
+    """Sha-store analogue of :func:`_minhash_incremental_fused`: hash +
+    validate + probe + drop + append in ONE remote task with the
+    identical kernels (``add_content_hash``, :func:`_probe_sha_kernel`,
+    the crc32 bucket rule of :func:`sha_store_write`,
+    :func:`_write_bucket_files`). Equivalence pinned by
+    tests/test_soak.py::test_incremental_fused_matches_distributed."""
+    import uuid
+
+    import ray
+    import ray.data as rd
+
+    max_old = int(meta["max_id"])
+    hash_col = meta.get("hash_col", "content_sha")
+    num_buckets = int(meta["num_buckets"])
+    run_id = uuid.uuid4().hex[:12]
+
+    @ray.remote
+    def slice_task(append_flag, *tables):
+        import zlib
+
+        import polars as pl
+        import pyarrow.compute as _pc
+
+        tabs = [
+            t for t in tables
+            if t.num_rows and text_col in t.column_names
+        ]
+        if not tabs:
+            return None, None
+        hashed = pa.concat_tables(
+            [add_content_hash(t, text_col, hash_col) for t in tabs]
+        )
+        min_new = _pc.min(hashed.column(id_col)).as_py()
+        if min_new is not None and int(min_new) <= max_old:
+            raise ValueError(
+                f"incremental dedup requires new ids > stored max_id "
+                f"({max_old}); got {min_new}"
+            )
+        drop_ids = _probe_sha_kernel(
+            [hashed.select([hash_col, id_col])], store_dir,
+            max_old=max_old, hash_col=hash_col, id_col=id_col,
+        ).column("id").combine_chunks()
+        kept = hashed.filter(
+            _pc.invert(
+                _pc.is_in(hashed.column(id_col), value_set=drop_ids)
+            )
+        )
+        if append_flag and kept.num_rows:
+            shas = kept.column(hash_col).to_pylist()
+            bucket = [
+                zlib.crc32(s.encode()) % num_buckets if s is not None
+                else 0
+                for s in shas
+            ]
+            rows = pa.table(
+                {
+                    hash_col: kept.column(hash_col),
+                    id_col: kept.column(id_col),
+                    "bucket": pa.array(bucket, pa.int64()),
+                }
+            )
+            _write_bucket_files(pl.from_arrow(rows), store_dir, run_id)
+        new_max = (
+            _pc.max(kept.column(id_col)).as_py() if kept.num_rows else None
+        )
+        return kept.drop_columns([hash_col]), new_max
+
+    kept_tab, new_max = ray.get(
+        slice_task.remote(append, *new_ds.to_arrow_refs())
+    )
+    if append and new_max is not None:
+        meta["max_id"] = max(max_old, int(new_max))
+        _write_store_meta(store_dir, meta)
+    if kept_tab is None:
+        return new_ds  # empty slice: nothing dropped, nothing appended
+    return rd.from_arrow(kept_tab)
 
 
 def exact_dedup_incremental(new_ds, store_dir: str, *, text_col: str,
                             id_col: str, append: bool = True,
                             broadcast_threshold: int = 2_000_000,
                             local_probe_threshold: int = 2_000_000,
-                            local_probe_store_bytes: int = 64 << 20):
+                            local_probe_store_bytes: int = 64 << 20,
+                            local_slice_bytes: int = 64 << 20):
     """Drop new docs whose content sha already exists in the store
     (first writer wins), dedup the slice among itself, and append the
     kept docs' shas. Monotonic-id contract and size-adaptive local
@@ -2582,6 +2921,20 @@ def exact_dedup_incremental(new_ds, store_dir: str, *, text_col: str,
     meta = _band_store_meta(store_dir)
     max_old = int(meta["max_id"])
     hash_col = meta.get("hash_col", "content_sha")
+
+    # Fused whole-slice fast path (see _minhash_incremental_fused's
+    # gate for the rules; local_probe_threshold=0 disables both).
+    if (
+        local_slice_bytes
+        and local_probe_threshold
+        and _store_nbytes(store_dir) <= local_probe_store_bytes
+    ):
+        est = _est_input_bytes(new_ds)
+        if est is not None and est <= local_slice_bytes:
+            return _exact_incremental_fused(
+                new_ds, store_dir, meta, text_col=text_col,
+                id_col=id_col, append=append,
+            )
 
     hashed = new_ds.map_batches(
         lambda b: add_content_hash(b, text_col, hash_col),
@@ -2660,10 +3013,7 @@ def exact_dedup_incremental(new_ds, store_dir: str, *, text_col: str,
         )
         if kept.count():
             meta["max_id"] = max(max_old, int(kept.max(id_col)))
-            tmp = os.path.join(store_dir, _STORE_META + ".tmp")
-            with open(tmp, "w") as f:
-                json.dump(meta, f)
-            os.replace(tmp, os.path.join(store_dir, _STORE_META))
+            _write_store_meta(store_dir, meta)
     return kept.map_batches(
         lambda b: b.drop_columns([hash_col]), batch_format="pyarrow"
     )

@@ -452,3 +452,105 @@ def test_incremental_local_probe_matches_distributed(ray_session, tmp_path):
         results[mode] = (sorted(kept["doc_id"]), store_rows(store))
     assert results["local"][0] == results["dist"][0]
     assert results["local"][1] == results["dist"][1]
+
+
+def test_incremental_fused_matches_distributed(ray_session, tmp_path):
+    """Round-5 whole-slice fused fast path: when the slice's input
+    bytes are metadata-known tiny, `minhash_band_store_write` /
+    `sha_store_write` build the store in ONE remote task and
+    `minhash_dedup_incremental` / `exact_dedup_incremental` run
+    band+validate+probe+drop+append in ONE remote task. Decisions must
+    be identical to the FULLY distributed plans (local_probe_threshold=0
+    disables every local path): same kept ids, same kept columns, and
+    identical store row sets after both the bootstrap write and the
+    append."""
+    import duckdb
+    import ray.data as rd
+
+    from dlp_plugins_ray.stages import dedup as DD
+
+    n = 3_000
+    d = soak.write_soak_corpus(
+        str(tmp_path / "c"), n, n_shards=4, layout="interleaved"
+    )
+    files = sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    )
+    ds = rd.read_parquet(files, columns=["doc_id", "text"])
+    cut = n // 2
+    slice1 = ds.filter(lambda r: r["doc_id"] < cut).materialize()
+    slice2 = ds.filter(lambda r: r["doc_id"] >= cut).materialize()
+
+    # the gate sees materialized inputs as metadata-known-tiny (fused
+    # branch taken); any mapped plan is unknown (distributed branch)
+    est = DD._est_input_bytes(slice2)
+    assert est is not None and est <= 64 << 20
+    assert DD._est_input_bytes(ds.filter(lambda r: True)) is None
+
+    def store_rows(path):
+        return duckdb.sql(
+            f"SELECT * FROM read_parquet('{path}/*/*.parquet') ORDER BY ALL"
+        ).fetchall()
+
+    # band store: fused build + fused slice vs fully distributed
+    results = {}
+    for mode, thresh in [("fused", 10_000_000), ("dist", 0)]:
+        store = str(tmp_path / f"band_{mode}")
+        DD.minhash_band_store_write(
+            slice1, store, text_col="text", id_col="doc_id",
+            num_perm=64, bands=8,
+            local_slice_bytes=(64 << 20) if mode == "fused" else 0,
+        )
+        kept = DD.minhash_dedup_incremental(
+            slice2, store, text_col="text", id_col="doc_id",
+            min_bands=2, local_probe_threshold=thresh,
+        ).to_pandas()
+        results[mode] = (
+            sorted(kept["doc_id"]), sorted(kept.columns), store_rows(store)
+        )
+    assert results["fused"][0] == results["dist"][0]
+    assert results["fused"][1] == results["dist"][1]
+    assert results["fused"][2] == results["dist"][2]
+
+    # sha store: same comparison
+    results = {}
+    for mode, thresh in [("fused", 10_000_000), ("dist", 0)]:
+        store = str(tmp_path / f"sha_{mode}")
+        DD.sha_store_write(
+            slice1, store, text_col="text", id_col="doc_id",
+            local_slice_bytes=(64 << 20) if mode == "fused" else 0,
+        )
+        kept = DD.exact_dedup_incremental(
+            slice2, store, text_col="text", id_col="doc_id",
+            local_probe_threshold=thresh,
+        ).to_pandas()
+        results[mode] = (
+            sorted(kept["doc_id"]), sorted(kept.columns), store_rows(store)
+        )
+    assert results["fused"][0] == results["dist"][0]
+    assert results["fused"][1] == results["dist"][1]
+    assert results["fused"][2] == results["dist"][2]
+
+    # the fused slice still enforces the monotonic-id contract and the
+    # append=False contract (store rows unchanged)
+    import pytest
+
+    store = str(tmp_path / "band_fused")
+    before = store_rows(store)
+    with pytest.raises(ValueError):
+        DD.minhash_dedup_incremental(
+            slice1, store, text_col="text", id_col="doc_id"
+        )
+    DD.minhash_dedup_incremental(
+        slice2.map_batches(
+            lambda b: b.set_column(
+                b.schema.get_field_index("doc_id"),
+                "doc_id",
+                __import__("pyarrow").compute.add(b.column("doc_id"),
+                                                  1_000_000),
+            ),
+            batch_format="pyarrow",
+        ).materialize(),
+        store, text_col="text", id_col="doc_id", append=False,
+    ).count()
+    assert store_rows(store) == before
