@@ -1048,6 +1048,24 @@ def _asof_pick(out_dir: str, pid: int, ms: list, seq: int):
     )
 
 
+def _asof_picks(out_dir: str, seq: int) -> list[tuple]:
+    """``(manifest, file)`` per partition for a time-travel read at
+    ``seq`` — the manifest carries the commit's ATTESTED row count and
+    max seq, which the read verifies per file."""
+    hist = mf.partition_manifest_history(out_dir)
+    if not hist:
+        raise ValueError(
+            f"{out_dir} has no committed manifests — not a committed lake"
+        )
+    _check_history_floor(out_dir, seq)
+    picks = []
+    for pid, ms in sorted(hist.items()):
+        m, f = _asof_pick(out_dir, pid, ms, seq)
+        if f is not None:
+            picks.append((m, f))
+    return picks
+
+
 def lake_files_asof(out_dir: str, seq: int) -> list[str]:
     """Resolve a time-travel read: for each partition, the snapshot
     file of its latest commit with ``max_seq <= seq``. Commit-granular
@@ -1059,18 +1077,7 @@ def lake_files_asof(out_dir: str, seq: int) -> list[str]:
     ``data.parquet`` serves a partition whose pick IS its latest
     commit); a pick whose snapshot was removed by ``expire_history``
     raises instead of silently answering from the wrong state."""
-    hist = mf.partition_manifest_history(out_dir)
-    if not hist:
-        raise ValueError(
-            f"{out_dir} has no committed manifests — not a committed lake"
-        )
-    _check_history_floor(out_dir, seq)
-    files = []
-    for pid, ms in sorted(hist.items()):
-        _, f = _asof_pick(out_dir, pid, ms, seq)
-        if f is not None:
-            files.append(f)
-    return files
+    return [f for _, f in _asof_picks(out_dir, seq)]
 
 
 def _check_history_floor(out_dir: str, seq: int) -> None:
@@ -1107,17 +1114,21 @@ def read_lake_asof(out_dir: str, seq: int):
 
     Staleness guard: a pick whose latest commit is served by the
     mutable live ``data.parquet`` can be rewritten by a commit landing
-    between snapshot resolution here and the lazy block read. Every
-    block is therefore validated against the watermark — any
-    forward-advancing rewrite carries at least one winning row with
-    ``seq`` above it (incremental events sit strictly above the
-    checkpoint) and trips a loud error instead of silently serving
-    post-watermark state. Retained ``data-<epoch>.parquet`` snapshots
-    are immutable and never trip it."""
+    between snapshot resolution here and the lazy read. Each picked
+    file is therefore read in ONE task (a partition is the lake's
+    parallelism unit, same shape as the change feed) and verified
+    against its manifest's ATTESTED row count and commit watermark:
+    inserts/deletes move the row count — a DELETE-ONLY rewrite leaves
+    no over-watermark row in data.parquet (winning deletes live in the
+    tombstone sidecar), so a max-seq probe alone would miss it — and
+    update-only rewrites carry a winning row with ``seq`` above the
+    attested max. Either trips a loud error instead of silently
+    serving post-watermark state. Retained ``data-<epoch>.parquet``
+    snapshots are immutable and always pass."""
     import ray.data as rd
 
-    files = lake_files_asof(out_dir, seq)
-    if not files:
+    picks = _asof_picks(out_dir, seq)
+    if not picks:
         # watermark predates every commit: the table as of then was
         # empty — shape the empty result like the live table if we can
         live = _lake_partition_files(out_dir, ("data.parquet",))
@@ -1128,24 +1139,65 @@ def read_lake_asof(out_dir: str, seq: int):
         return rd.from_arrow(pa.table({"repo": pa.array([], pa.string())}))
     watermark = seq
 
-    def _within_watermark(batch: pa.Table) -> pa.Table:
+    # union schema from epoch-deduped footer reads (schema evolution
+    # can leave older partitions' snapshots without newer columns;
+    # same structural-derivation idiom as the change feed)
+    import pyarrow.parquet as _pq
+
+    by_epoch: dict[str, str] = {}
+    for m, f in picks:
+        by_epoch.setdefault(m.epoch, f)
+    fields: dict[str, pa.DataType] = {}
+    for f in by_epoch.values():
+        for fld in _pq.read_schema(f):
+            if fld.name not in fields:
+                fields[fld.name] = fld.type
+    out_schema = pa.schema(list(fields.items()))
+
+    items = [
+        {"file": f, "rows": m.row_count, "max_seq": m.max_seq}
+        for m, f in picks
+    ]
+    ds = rd.from_items(items, override_num_blocks=len(items))
+
+    def read_partition(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as _pc
+        import pyarrow.parquet as _pq2
 
-        if batch.num_rows and "seq" in batch.schema.names:
-            mx = _pc.max(batch.column("seq")).as_py()
-            if mx is not None and mx > watermark:
+        tables = []
+        for f, rows, mseq in zip(
+            batch.column("file").to_pylist(),
+            batch.column("rows").to_pylist(),
+            batch.column("max_seq").to_pylist(),
+        ):
+            t = _pq2.read_table(f)
+            mx = (
+                _pc.max(t.column("seq")).as_py()
+                if t.num_rows and "seq" in t.column_names
+                else None
+            )
+            if t.num_rows != rows or (mx is not None and mx > mseq):
                 raise RuntimeError(
-                    f"asof read at seq={watermark} surfaced a row with "
-                    f"seq={mx} — a commit rewrote a live data.parquet "
-                    "between snapshot resolution and the read. Re-run "
-                    "the read, or write with retain_history=True so "
-                    "picks resolve to immutable snapshot files."
+                    f"asof read at seq={watermark}: {f} has "
+                    f"{t.num_rows} rows / max seq {mx} but its picked "
+                    f"commit attested {rows} rows at max seq {mseq} — "
+                    "a commit rewrote a live data.parquet between "
+                    "snapshot resolution and the read. Re-run the "
+                    "read, or write with retain_history=True so picks "
+                    "resolve to immutable snapshot files."
                 )
-        return batch
+            cols = [
+                t.column(n).cast(typ)
+                if n in t.column_names
+                else pa.nulls(t.num_rows, typ)
+                for n, typ in zip(out_schema.names, out_schema.types)
+            ]
+            tables.append(pa.Table.from_arrays(cols, schema=out_schema))
+        if not tables:
+            return out_schema.empty_table()
+        return pa.concat_tables(tables)
 
-    return rd.read_parquet(files).map_batches(
-        _within_watermark, batch_format="pyarrow"
-    )
+    return ds.map_batches(read_partition, batch_format="pyarrow")
 
 
 class ChangePlanItem(NamedTuple):

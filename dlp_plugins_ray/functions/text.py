@@ -35,6 +35,11 @@ _LANG_PROFILES: dict[str, frozenset[str]] = {
 _WORD_RE = re.compile(r"[a-zA-ZÀ-ÿ]+")
 _TOKEN_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
 _STOPWORDS_EN = _LANG_PROFILES["en"]
+# per-language sorted stop lists, hoisted once (detect_languages builds
+# its is_in expressions per batch — never re-sort the profiles there)
+_LANG_STOP_LISTS: dict[str, list[str]] = {
+    lang: sorted(profile) for lang, profile in _LANG_PROFILES.items()
+}
 
 
 def detect_language(text: str) -> str:
@@ -154,7 +159,7 @@ def detect_languages(texts):
     df = df.with_columns(
         [
             pl.col("words")
-            .list.eval(pl.element().is_in(sorted(_LANG_PROFILES[lang])).cast(pl.Int64))
+            .list.eval(pl.element().is_in(_LANG_STOP_LISTS[lang]).cast(pl.Int64))
             .list.sum()
             .fill_null(0)
             .alias(f"s_{lang}")

@@ -2157,12 +2157,45 @@ def _band_store_meta(store_dir: str) -> dict:
         return json.load(f)
 
 
+def _tag_band_bucket(t: pa.Table, num_buckets: int) -> pa.Table:
+    """Append the hive ``bucket`` column to banded rows — THE band
+    store's placement rule (band_hash as uint64 mod num_buckets).
+    Every build/append path, fused or distributed, must route through
+    here so files written by different paths agree on placement."""
+    h = t.column("band_hash").to_numpy(zero_copy_only=False)
+    return t.append_column(
+        "bucket",
+        pa.array((h.astype(np.uint64) % num_buckets).astype(np.int64)),
+    )
+
+
+def _sha_bucket_rows(
+    t: pa.Table, hash_col: str, id_col: str, num_buckets: int
+) -> pa.Table:
+    """(hash, id, bucket) thin store rows — THE sha store's placement
+    rule (crc32 of the hex digest, null -> 0; process-stable per the
+    CLAUDE.md hash rule). Shared by every build/append path, fused or
+    distributed, so files agree on placement."""
+    import zlib as _zlib
+
+    shas = t.column(hash_col).to_pylist()
+    bucket = [
+        _zlib.crc32(s.encode()) % num_buckets if s is not None else 0
+        for s in shas
+    ]
+    return pa.table(
+        {
+            hash_col: t.column(hash_col),
+            id_col: t.column(id_col),
+            "bucket": pa.array(bucket, pa.int64()),
+        }
+    )
+
+
 def _banded_with_bucket(ds, *, text_col: str, id_col: str, num_perm: int,
                         bands: int, shingle_k: int, num_buckets: int):
     """(band, band_hash, id, bucket) rows for every doc — the wire
     format of the band store and of incremental probes."""
-    import pyarrow.compute as _pc
-
     from .cache import cached_task_stage
 
     banded = ds.map_batches(
@@ -2172,15 +2205,9 @@ def _banded_with_bucket(ds, *, text_col: str, id_col: str, num_perm: int,
         ),
         batch_format="pyarrow",
     )
-
-    def tag_bucket(b: pa.Table) -> pa.Table:
-        h = b.column("band_hash").to_numpy(zero_copy_only=False)
-        return b.append_column(
-            "bucket",
-            pa.array((h.astype(np.uint64) % num_buckets).astype(np.int64)),
-        )
-
-    return banded.map_batches(tag_bucket, batch_format="pyarrow")
+    return banded.map_batches(
+        lambda b: _tag_band_bucket(b, num_buckets), batch_format="pyarrow"
+    )
 
 
 def minhash_band_store_write(ds, store_dir: str, *, text_col: str,
@@ -2233,13 +2260,8 @@ def minhash_band_store_write(ds, store_dir: str, *, text_col: str,
                 text_col, id_col, num_perm=num_perm, bands=bands,
                 shingle_k=shingle_k,
             )
-            banded = pa.concat_tables([stage(t) for t in tabs])
-            h = banded.column("band_hash").to_numpy(zero_copy_only=False)
-            banded = banded.append_column(
-                "bucket",
-                pa.array(
-                    (h.astype(np.uint64) % num_buckets).astype(np.int64)
-                ),
+            banded = _tag_band_bucket(
+                pa.concat_tables([stage(t) for t in tabs]), num_buckets
             )
             _write_bucket_files(pl.from_arrow(banded), store_dir, run_id)
             return int(_pc.max(banded.column(id_col)).as_py())
@@ -2424,13 +2446,7 @@ def _minhash_incremental_fused(new_ds, store_dir: str, meta: dict, *,
                     _pc.is_in(banded.column(id_col), value_set=drop_ids)
                 )
             )
-            h = kb.column("band_hash").to_numpy(zero_copy_only=False)
-            kb = kb.append_column(
-                "bucket",
-                pa.array(
-                    (h.astype(np.uint64) % num_buckets).astype(np.int64)
-                ),
-            )
+            kb = _tag_band_bucket(kb, num_buckets)
             _write_bucket_files(pl.from_arrow(kb), store_dir, run_id)
         new_max = (
             _pc.max(kept.column(id_col)).as_py() if kept.num_rows else None
@@ -2498,17 +2514,16 @@ def minhash_dedup_incremental(new_ds, store_dir: str, *, text_col: str,
 
     meta = _band_store_meta(store_dir)
     max_old = int(meta["max_id"])
+    # one directory walk decides BOTH local-path gates (the store can
+    # hold thousands of append files; don't stat them twice per slice)
+    store_small = _store_nbytes(store_dir) <= local_probe_store_bytes
 
     # Fused whole-slice fast path: input size knowable WITHOUT
     # executing (pure read / materialized input) and tiny, store tiny
     # -> band + validate + probe + drop + append in ONE remote task.
     # local_probe_threshold=0 (the tests' force-distributed switch)
     # disables this too; unknown size falls through safely.
-    if (
-        local_slice_bytes
-        and local_probe_threshold
-        and _store_nbytes(store_dir) <= local_probe_store_bytes
-    ):
+    if local_slice_bytes and local_probe_threshold and store_small:
         est = _est_input_bytes(new_ds)
         if est is not None and est <= local_slice_bytes:
             return _minhash_incremental_fused(
@@ -2534,7 +2549,7 @@ def minhash_dedup_incremental(new_ds, store_dir: str, *, text_col: str,
     if (
         local_probe_threshold
         and n_banded <= local_probe_threshold
-        and _store_nbytes(store_dir) <= local_probe_store_bytes
+        and store_small
     ):
         drop_ds = _probe_band_store_local(
             new_banded, store_dir, max_old=max_old,
@@ -2682,8 +2697,6 @@ def sha_store_write(ds, store_dir: str, *, text_col: str, id_col: str,
     re-crawls without re-reading the corpus. A metadata-known-tiny
     corpus builds in ONE remote task (same rule as
     :func:`minhash_band_store_write`)."""
-    import zlib
-
     hash_col = precomputed_hash or "content_sha"
 
     est = _est_input_bytes(ds)
@@ -2697,8 +2710,6 @@ def sha_store_write(ds, store_dir: str, *, text_col: str, id_col: str,
 
         @ray.remote
         def build(*tables):
-            import zlib as _zlib
-
             import polars as pl
             import pyarrow.compute as _pc
 
@@ -2708,19 +2719,7 @@ def sha_store_write(ds, store_dir: str, *, text_col: str, id_col: str,
             if need_hash:
                 tabs = [add_content_hash(t, text_col, hash_col) for t in tabs]
             allr = pa.concat_tables(tabs)
-            shas = allr.column(hash_col).to_pylist()
-            bucket = [
-                _zlib.crc32(s.encode()) % num_buckets if s is not None
-                else 0
-                for s in shas
-            ]
-            rows = pa.table(
-                {
-                    hash_col: allr.column(hash_col),
-                    id_col: allr.column(id_col),
-                    "bucket": pa.array(bucket, pa.int64()),
-                }
-            )
+            rows = _sha_bucket_rows(allr, hash_col, id_col, num_buckets)
             _write_bucket_files(pl.from_arrow(rows), store_dir, run_id)
             return int(_pc.max(allr.column(id_col)).as_py())
 
@@ -2745,22 +2744,12 @@ def sha_store_write(ds, store_dir: str, *, text_col: str, id_col: str,
     else:
         ds2 = ds
 
-    def rows(b: pa.Table) -> pa.Table:
-        shas = b.column(hash_col).to_pylist()
-        bucket = [
-            zlib.crc32(s.encode()) % num_buckets if s is not None else 0
-            for s in shas
-        ]
-        return pa.table(
-            {
-                hash_col: b.column(hash_col),
-                id_col: b.column(id_col),
-                "bucket": pa.array(bucket, pa.int64()),
-            }
-        )
-
     _write_store_partitioned(
-        ds2.map_batches(rows, batch_format="pyarrow"), store_dir
+        ds2.map_batches(
+            lambda b: _sha_bucket_rows(b, hash_col, id_col, num_buckets),
+            batch_format="pyarrow",
+        ),
+        store_dir,
     )
     meta = {
         "num_buckets": num_buckets,
@@ -2839,8 +2828,6 @@ def _exact_incremental_fused(new_ds, store_dir: str, meta: dict, *,
 
     @ray.remote
     def slice_task(append_flag, *tables):
-        import zlib
-
         import polars as pl
         import pyarrow.compute as _pc
 
@@ -2869,19 +2856,7 @@ def _exact_incremental_fused(new_ds, store_dir: str, meta: dict, *,
             )
         )
         if append_flag and kept.num_rows:
-            shas = kept.column(hash_col).to_pylist()
-            bucket = [
-                zlib.crc32(s.encode()) % num_buckets if s is not None
-                else 0
-                for s in shas
-            ]
-            rows = pa.table(
-                {
-                    hash_col: kept.column(hash_col),
-                    id_col: kept.column(id_col),
-                    "bucket": pa.array(bucket, pa.int64()),
-                }
-            )
+            rows = _sha_bucket_rows(kept, hash_col, id_col, num_buckets)
             _write_bucket_files(pl.from_arrow(rows), store_dir, run_id)
         new_max = (
             _pc.max(kept.column(id_col)).as_py() if kept.num_rows else None
@@ -2921,14 +2896,12 @@ def exact_dedup_incremental(new_ds, store_dir: str, *, text_col: str,
     meta = _band_store_meta(store_dir)
     max_old = int(meta["max_id"])
     hash_col = meta.get("hash_col", "content_sha")
+    # one directory walk decides BOTH local-path gates
+    store_small = _store_nbytes(store_dir) <= local_probe_store_bytes
 
     # Fused whole-slice fast path (see _minhash_incremental_fused's
     # gate for the rules; local_probe_threshold=0 disables both).
-    if (
-        local_slice_bytes
-        and local_probe_threshold
-        and _store_nbytes(store_dir) <= local_probe_store_bytes
-    ):
+    if local_slice_bytes and local_probe_threshold and store_small:
         est = _est_input_bytes(new_ds)
         if est is not None and est <= local_slice_bytes:
             return _exact_incremental_fused(
@@ -2955,7 +2928,7 @@ def exact_dedup_incremental(new_ds, store_dir: str, *, text_col: str,
     if (
         local_probe_threshold
         and n_new <= local_probe_threshold
-        and _store_nbytes(store_dir) <= local_probe_store_bytes
+        and store_small
     ):
         drop_ds = _probe_sha_store_local(
             thin, store_dir, max_old=max_old,
@@ -2993,23 +2966,13 @@ def exact_dedup_incremental(new_ds, store_dir: str, *, text_col: str,
 
     if append:
         kept = kept.materialize()
-        sha_kept = kept.map_batches(
-            lambda b: b.select([hash_col, id_col]), batch_format="pyarrow"
-        )
-        import zlib
-
         nb = int(meta["num_buckets"])
-
-        def rows(b: pa.Table) -> pa.Table:
-            shas = b.column(hash_col).to_pylist()
-            bucket = [
-                zlib.crc32(s.encode()) % nb if s is not None else 0
-                for s in shas
-            ]
-            return b.append_column("bucket", pa.array(bucket, pa.int64()))
-
         _write_store_partitioned(
-            sha_kept.map_batches(rows, batch_format="pyarrow"), store_dir
+            kept.map_batches(
+                lambda b: _sha_bucket_rows(b, hash_col, id_col, nb),
+                batch_format="pyarrow",
+            ),
+            store_dir,
         )
         if kept.count():
             meta["max_id"] = max(max_old, int(kept.max(id_col)))

@@ -170,20 +170,17 @@ class RedactionStage:
                 new = new.combine_chunks()
             return pc.if_else(oversize, arr, new)
 
+        # cells.transformed = non-null, non-oversize cells PROCESSED by
+        # the transform (matched or not) — identical on every path so
+        # the metric never depends on which fast path a pattern took
+        n_over = (
+            (pc.sum(oversize).as_py() or 0) if oversize is not None else 0
+        )
+        n_processed = batch.num_rows - col.null_count - n_over
+
         vec = self._vectorized_column(op, col)
         if vec is not None:
-            # count like the Python span path does: cells actually
-            # transformed = non-null minus oversize-restored (the
-            # metric must not depend on which path a pattern took)
-            n_over = (
-                (pc.sum(oversize).as_py() or 0)
-                if oversize is not None
-                else 0
-            )
-            self.metrics.incr(
-                "cells.transformed",
-                batch.num_rows - col.null_count - n_over,
-            )
+            self.metrics.incr("cells.transformed", n_processed)
             if isinstance(vec, pa.ChunkedArray):
                 vec = vec.combine_chunks()
             return _restore(vec.cast(col.type))
@@ -197,6 +194,7 @@ class RedactionStage:
                 if oversize is not None:
                     cand = pc.and_(cand, pc.invert(oversize))
                 n_cand = pc.sum(cand).as_py() or 0
+                self.metrics.incr("cells.transformed", n_processed)
                 if n_cand == 0:
                     return col  # untouched — zero-copy passthrough
                 arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
@@ -208,7 +206,6 @@ class RedactionStage:
                 out = apply_spans_column(
                     op.config, op.bank, subset, sub_ctx, prefiltered=True
                 )
-                self.metrics.incr("cells.transformed", n_cand)
                 return pc.replace_with_mask(
                     arr, cand, pa.array(out, type=arr.type)
                 )
@@ -225,7 +222,7 @@ class RedactionStage:
             out = apply_spans_column(op.config, op.bank, values, contexts)
         for i, v in skipped.items():
             out[i] = v
-        self.metrics.incr("cells.transformed", len(values) - len(skipped))
+        self.metrics.incr("cells.transformed", n_processed)
         return pa.array(out, type=col.type)
 
     def _transform_map_column(

@@ -1489,15 +1489,45 @@ class TestTimeTravel:
         # a fresh resolution at the NEW watermark reads cleanly
         assert RP.read_lake_asof(lake, ms + 1).count() > 0
 
+    def test_asof_read_detects_live_delete_only_rewrite(
+        self, events_dir, tmp_path
+    ):
+        """A DELETE-ONLY commit removes rows from the live
+        data.parquet and leaves NO row with seq above the watermark
+        (the winning delete goes to the tombstone sidecar) — so a
+        max-seq probe alone would silently serve post-watermark state;
+        only the manifest's attested row count catches the rewrite."""
+        lake = str(tmp_path / "asof_live_del_lake")
+        RP.replay(events_dir, lake, num_partitions=4)
+        ms = max(
+            m.max_seq for m in MF.committed_partitions(lake).values()
+        )
+        ds = RP.read_lake_asof(lake, ms)  # lazy; picks = live files
+        n_before = RP.read_lake_table(lake).count()
+        row = RP.read_lake_table(lake).to_pandas().iloc[0]
+        self._advance_with_update(
+            events_dir, tmp_path, lake, row["repo"], row["path"],
+            ms + 1, op="delete",
+        )
+        # the rewrite really removed the row (no seq above watermark
+        # anywhere in the live data — the pre-fix guard can't see it)
+        assert RP.read_lake_table(lake).count() == n_before - 1
+        with pytest.raises(Exception, match="asof read"):
+            ds.to_pandas()
+        # a fresh resolution at the NEW watermark reads cleanly
+        assert RP.read_lake_asof(lake, ms + 1).count() == n_before - 1
+
     @staticmethod
-    def _advance_with_update(events_dir, tmp_path, lake, repo, path, seq):
+    def _advance_with_update(
+        events_dir, tmp_path, lake, repo, path, seq, op="update"
+    ):
         events = _read_all_events(events_dir)
         tmpl = events.slice(0, 1)
         sch = tmpl.schema
         probe = tmpl
         for col, val, typ in [
             ("seq", seq, pa.int64()),
-            ("op", "update", pa.string()),
+            ("op", op, pa.string()),
             ("repo", repo, pa.string()),
             ("path", path, pa.string()),
         ]:

@@ -485,6 +485,54 @@ class TestPayloadCap:
         assert out[0] == "#" * len(big)
 
 
+class TestTransformedMetricParity:
+    """``cells.transformed`` counts non-null, non-oversize cells
+    PROCESSED by the transform — identically on every code path
+    (vectorized RE2 kernel, prefilter+span, per-cell Python fallback),
+    so the metric never depends on which fast path a pattern took."""
+
+    DATA = ["a1b", None, "xyz", None, "c2d"]  # 3 non-null, 2 matching
+
+    def _run(self, policy, tmp_path=None):
+        stage = RedactionStage(policy)
+        stage(pa.table({"notes": self.DATA}))
+        return stage.metrics.snapshot().get("cells.transformed")
+
+    def test_all_paths_count_non_null_cells(self, tmp_path):
+        # (1) vectorized: span REDACT + single case-sensitive RE2 regex
+        vec = {
+            "transforms": [
+                {"transform": "REDACT", "fields": "notes",
+                 "filters": "NONE", "transformProperties": {}}
+            ],
+            "customTemplateEnabled": True, "templateId": "NumberTemplate",
+        }
+        # (2) prefilter + span: MASKING with a detector bank
+        pre = {
+            "transforms": [
+                {"transform": "MASKING", "fields": "notes",
+                 "filters": "NONE", "transformProperties": {"maskingChar": "#"}}
+            ],
+            "customTemplateEnabled": True, "templateId": "NumberTemplate",
+        }
+        # (3) Python fallback: case-insensitive template regex (the
+        # IGNORECASE flag keeps the RE2 kernel off)
+        tf = tmp_path / "ci_digits.json"
+        tf.write_text(
+            '{"name": "CiDigits", "regexes": {"NUMBER": "[0-9]+"},'
+            ' "caseInsensitive": true}'
+        )
+        py = {
+            "transforms": [
+                {"transform": "REDACT", "fields": "notes",
+                 "filters": "NONE", "transformProperties": {}}
+            ],
+            "customTemplateEnabled": True, "templateId": str(tf),
+        }
+        counts = [self._run(p) for p in (vec, pre, py)]
+        assert counts == [3, 3, 3]
+
+
 @pytest.mark.usefixtures("ray_session")
 class TestPackedBucketedReduce:
     def test_pack_equals_raw(self):
