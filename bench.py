@@ -232,6 +232,7 @@ def _compact(result: dict) -> dict:
             "final_rows",
             "sf",
             "num_cpus",
+            "cpu_probe_gflops",
         )
         if k in result
     }
@@ -256,6 +257,26 @@ def _compact(result: dict) -> dict:
                 break
         core["queries_omitted"] = len(qs) - len(core["queries"])
     return core
+
+
+def _cpu_probe_gflops() -> float:
+    """DGEMM calibration probe: best of 2 timed passes after a warm-up
+    multiply. The sandbox host's per-core speed swings ~2.5-3x between
+    windows with zero guest-visible load or steal (BASELINE.md
+    host-degradation advisory: 13 GFLOPS on this probe in a degraded
+    window vs the healthy band), so every bench line carries the probe
+    — round-over-round wall-clock comparisons should be read relative
+    to it. ~0.4 GFLOP per pass: <70 ms even on a degraded core."""
+    import numpy as np
+
+    a = np.random.default_rng(0).random((600, 600))
+    a @ a  # first-touch the arena / spin up BLAS threads
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        a @ a
+        best = min(best, time.perf_counter() - t0)
+    return round(2 * 600**3 / best / 1e9, 1)
 
 
 def _emit(result: dict) -> None:
@@ -342,6 +363,7 @@ def main() -> None:
         "queries": {},
         "sf": sf,
         "num_cpus": NUM_CPUS,
+        "cpu_probe_gflops": _cpu_probe_gflops(),
     }
     # flush the headline line NOW — every later step (queries, ray
     # shutdown) can die without losing the headline measurement; the
