@@ -2435,6 +2435,35 @@ def q_jaccard_verified_pairs(sf_dir: str):
 QUERIES["jaccard_verified_pairs"] = q_jaccard_verified_pairs
 
 
+def q_edit_distance_pairs(sf_dir: str):
+    """Exact Levenshtein distance over the planted textdup pairs —
+    the one dedup verifier whose oracle RECOMPUTES the metric itself:
+    DuckDB's built-in ``levenshtein()`` over the same fixture join.
+    Exact, near and decoy plants all flow through (distances 0 /
+    small / large), so the vectorized DP kernel
+    (``stages/dedup._levenshtein_many``) is value-checked across the
+    whole distance range, not reduced to a threshold flag. Emits
+    (id_a, id_b, edit_dist)."""
+    import ray.data as rd
+
+    path = textdup_docs_path(sf_dir)
+    ds = rd.read_parquet(
+        path, columns=["doc_id", "text"],
+        override_num_blocks=_sized_blocks(path),
+    )
+    cands = rd.from_arrow(
+        _textdup_planted(sf_dir, ("exact", "near", "decoy")).select(
+            ["id_a", "id_b"]
+        )
+    )
+    return DD.verify_pairs_edit_distance(
+        ds, cands, text_col="text", id_col="doc_id"
+    )
+
+
+QUERIES["edit_distance_pairs"] = q_edit_distance_pairs
+
+
 # ---------------------------------------------------------------------------
 # oracles for formerly rows-only queries. The langid / quality oracles
 # re-express the Python heuristics EXACTLY in SQL (verified bit-equal
@@ -2783,6 +2812,27 @@ def tmp_oracle_sql(sf: str = "sf0.01") -> dict[str, str]:
             UNION ALL
             SELECT doc_id, doc_id + {TEXTDUP_DECOY_OFF}, 'decoy', true
             FROM ({base}) WHERE doc_id % 20 = 15
+        """,
+        # value-level crosscheck: DuckDB recomputes every Levenshtein
+        # distance the engine's vectorized DP kernel produced
+        "edit_distance_pairs": f"""
+            WITH planted AS (
+                SELECT doc_id AS id_a,
+                       doc_id + {TEXTDUP_EXACT_OFF} AS id_b
+                FROM ({base}) WHERE doc_id % 20 = 0
+                UNION ALL
+                SELECT doc_id, doc_id + {TEXTDUP_NEAR_OFF}
+                FROM ({base}) WHERE doc_id % 20 = 10
+                UNION ALL
+                SELECT doc_id, doc_id + {TEXTDUP_DECOY_OFF}
+                FROM ({base}) WHERE doc_id % 20 = 15
+            )
+            SELECT p.id_a, p.id_b,
+                   CAST(levenshtein(da.text, db.text) AS BIGINT)
+                       AS edit_dist
+            FROM planted p
+            JOIN read_parquet('{fix}') da ON da.doc_id = p.id_a
+            JOIN read_parquet('{fix}') db ON db.doc_id = p.id_b
         """,
         "minhash_dedup_keep": f"""
             SELECT doc_id AS id_a, doc_id + {TEXTDUP_EXACT_OFF} AS id_b,

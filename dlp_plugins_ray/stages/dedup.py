@@ -1019,8 +1019,6 @@ def verify_pairs_jaccard(
     which a single task beats even cold."""
     import polars as pl
 
-    from .shuffle import bucketed_group_reduce
-
     if local_threshold:
         pairs = pairs.materialize()
         if pairs.count() <= local_threshold:
@@ -1028,62 +1026,6 @@ def verify_pairs_jaccard(
                 ds, pairs, text_col=text_col, id_col=id_col,
                 k=k, threshold=threshold,
             )
-
-    def pair_members(b: pa.Table) -> pa.Table:
-        a = b.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
-        c = b.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
-        n = len(a)
-        return pa.table(
-            {
-                "key": pa.array(np.concatenate([a, c])),
-                "id_a": pa.array(np.tile(a, 2)),
-                "id_b": pa.array(np.tile(c, 2)),
-                "side": pa.array(
-                    np.concatenate(
-                        [np.zeros(n, np.int8), np.ones(n, np.int8)]
-                    )
-                ),
-                text_col: pa.nulls(2 * n, pa.string()),
-            }
-        )
-
-    def doc_rows(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "key": b.column(id_col).cast(pa.int64()),
-                "id_a": pa.nulls(b.num_rows, pa.int64()),
-                "id_b": pa.nulls(b.num_rows, pa.int64()),
-                "side": pa.nulls(b.num_rows, pa.int8()),
-                text_col: b.column(text_col),
-            }
-        )
-
-    mixed = pairs.map_batches(pair_members, batch_format="pyarrow").union(
-        ds.map_batches(doc_rows, batch_format="pyarrow")
-    )
-
-    def attach_text(block: pa.Table) -> pa.Table:
-        df = pl.from_arrow(block)
-        members = df.filter(pl.col("id_a").is_not_null()).select(
-            ["key", "id_a", "id_b", "side"]
-        )
-        texts = df.filter(pl.col("id_a").is_null()).select(
-            ["key", text_col]
-        )
-        out = members.join(texts, on="key")
-        return out.to_arrow().cast(
-            pa.schema(
-                [
-                    ("key", pa.int64()),
-                    ("id_a", pa.int64()),
-                    ("id_b", pa.int64()),
-                    ("side", pa.int8()),
-                    (text_col, pa.string()),
-                ]
-            )
-        )
-
-    exploded = bucketed_group_reduce(mixed, ["key"], attach_text)
 
     out_schema = pa.schema(
         [
@@ -1148,8 +1090,207 @@ def verify_pairs_jaccard(
             }
         ).cast(out_schema)
 
+    return _pair_text_exchange(
+        ds, pairs, text_col=text_col, id_col=id_col,
+        per_pair_block=per_pair_block, out_schema=out_schema,
+    )
+
+
+def _pair_text_exchange(
+    ds, pairs, *, text_col: str, id_col: str, per_pair_block, out_schema
+):
+    """The two-exchange member join shared by the pair verifiers
+    (:func:`verify_pairs_jaccard`, :func:`verify_pairs_edit_distance`):
+    each candidate pair emits two member rows keyed by doc id; one
+    shuffle on doc id attaches each text block-locally; one shuffle on
+    the (id_a, id_b) columns THEMSELVES co-locates both texts for
+    ``per_pair_block`` (receives columns key/id_a/id_b/side/text_col;
+    side 0 rows carry id_a's text, side 1 rows id_b's). Keying
+    co-location on the real id pair (not a 64-bit pair_id hash) means
+    hash collisions between distinct pairs are impossible, and
+    duplicate pairs in the input deduplicate inside the reduce rather
+    than silently drop (round-2 ADVICE)."""
+    import polars as pl
+
+    from .shuffle import bucketed_group_reduce
+
+    def pair_members(b: pa.Table) -> pa.Table:
+        a = b.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(a)
+        return pa.table(
+            {
+                "key": pa.array(np.concatenate([a, c])),
+                "id_a": pa.array(np.tile(a, 2)),
+                "id_b": pa.array(np.tile(c, 2)),
+                "side": pa.array(
+                    np.concatenate(
+                        [np.zeros(n, np.int8), np.ones(n, np.int8)]
+                    )
+                ),
+                text_col: pa.nulls(2 * n, pa.string()),
+            }
+        )
+
+    def doc_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": b.column(id_col).cast(pa.int64()),
+                "id_a": pa.nulls(b.num_rows, pa.int64()),
+                "id_b": pa.nulls(b.num_rows, pa.int64()),
+                "side": pa.nulls(b.num_rows, pa.int8()),
+                text_col: b.column(text_col),
+            }
+        )
+
+    mixed = pairs.map_batches(pair_members, batch_format="pyarrow").union(
+        ds.map_batches(doc_rows, batch_format="pyarrow")
+    )
+
+    def attach_text(block: pa.Table) -> pa.Table:
+        df = pl.from_arrow(block)
+        members = df.filter(pl.col("id_a").is_not_null()).select(
+            ["key", "id_a", "id_b", "side"]
+        )
+        texts = df.filter(pl.col("id_a").is_null()).select(
+            ["key", text_col]
+        )
+        out = members.join(texts, on="key")
+        return out.to_arrow().cast(
+            pa.schema(
+                [
+                    ("key", pa.int64()),
+                    ("id_a", pa.int64()),
+                    ("id_b", pa.int64()),
+                    ("side", pa.int8()),
+                    (text_col, pa.string()),
+                ]
+            )
+        )
+
+    exploded = bucketed_group_reduce(mixed, ["key"], attach_text)
+
     return bucketed_group_reduce(
         exploded, ["id_a", "id_b"], per_pair_block, out_schema=out_schema
+    )
+
+
+def _levenshtein_many(texts_a, texts_b) -> np.ndarray:
+    """Exact Levenshtein distance for many string pairs at once. The
+    DP is vectorized across the PAIR axis and the column axis; the
+    only Python loop is over the longest left string. The sequential
+    ``cur[j-1] + 1`` insertion chain in the textbook recurrence
+    ``cur[j] = min(prev[j]+1, prev[j-1]+cost_j, cur[j-1]+1)`` is
+    resolved closed-form: with ``f[0] = i`` and
+    ``f[j] = min(prev[j]+1, prev[j-1]+cost_j)``,
+    ``cur[j] = j + cummin_{k<=j}(f[k] - k)`` — one
+    ``np.minimum.accumulate`` per row instead of a scalar loop.
+    Distances are over Unicode codepoints (utf-32 code arrays);
+    padding uses disjoint negative sentinels so it can never match.
+    Memory O(pairs x max_len). Property-pinned to the naive
+    quadratic DP and to DuckDB's ``levenshtein()`` in
+    tests/test_properties.py."""
+    n_pairs = len(texts_a)
+    if n_pairs == 0:
+        return np.zeros(0, dtype=np.int64)
+    la = np.array([len(t) for t in texts_a], dtype=np.int64)
+    lb = np.array([len(t) for t in texts_b], dtype=np.int64)
+    len_a, len_b = int(la.max()), int(lb.max())
+    codes_a = np.full((n_pairs, max(len_a, 1)), -1, dtype=np.int64)
+    codes_b = np.full((n_pairs, max(len_b, 1)), -2, dtype=np.int64)
+    for p, t in enumerate(texts_a):
+        if t:
+            codes_a[p, : len(t)] = np.frombuffer(
+                t.encode("utf-32-le"), dtype=np.uint32
+            )
+    for p, t in enumerate(texts_b):
+        if t:
+            codes_b[p, : len(t)] = np.frombuffer(
+                t.encode("utf-32-le"), dtype=np.uint32
+            )
+    res = np.where(la == 0, lb, 0).astype(np.int64)
+    col = np.arange(len_b + 1, dtype=np.int64)
+    prev = np.broadcast_to(col, (n_pairs, len_b + 1)).copy()
+    for i in range(1, len_a + 1):
+        cost = (codes_b[:, :len_b] != codes_a[:, i - 1 : i]).astype(
+            np.int64
+        )
+        f = np.empty((n_pairs, len_b + 1), dtype=np.int64)
+        f[:, 0] = i
+        np.minimum(prev[:, 1:] + 1, prev[:, :-1] + cost, out=f[:, 1:])
+        cur = np.minimum.accumulate(f - col, axis=1) + col
+        # a pair's answer lives at DP cell (la, lb); rows past la keep
+        # iterating on garbage that is never read again
+        hit = la == i
+        if hit.any():
+            res[hit] = cur[hit, lb[hit]]
+        prev = cur
+    return res
+
+
+def verify_pairs_edit_distance(
+    ds,
+    pairs,
+    *,
+    text_col: str,
+    id_col: str,
+):
+    """Exact Levenshtein distance for candidate pairs — the same
+    two-exchange shape as :func:`verify_pairs_jaccard` (texts ship
+    once per pair membership, nothing on the driver), with the
+    per-pair quadratic DP vectorized ACROSS the block's pairs
+    (:func:`_levenshtein_many`). Emits ``(id_a, id_b, edit_dist)``.
+
+    This is the one near-dup verifier whose conformance oracle
+    RECOMPUTES the metric itself: DuckDB's built-in ``levenshtein()``
+    over the same fixture join (queries.py ``edit_distance_pairs``),
+    so the kernel is value-checked end to end, not just thresholded.
+    Reference scope note: the reference engine has no string-distance
+    operator; this extends the LLM-pipeline dedup family (exact /
+    MinHash / SimHash / Jaccard / cosine) with an edit-distance
+    flavor for short-text corpora where shingle sets are too small to
+    discriminate."""
+    import polars as pl
+
+    out_schema = pa.schema(
+        [
+            ("id_a", pa.int64()),
+            ("id_b", pa.int64()),
+            ("edit_dist", pa.int64()),
+        ]
+    )
+
+    def per_pair_block(block: pa.Table) -> pa.Table:
+        df = pl.from_arrow(block).unique(subset=["id_a", "id_b", "side"])
+        df = df.filter(pl.len().over(["id_a", "id_b"]) == 2)
+        if df.height == 0:
+            return out_schema.empty_table()
+        left = (
+            df.filter(pl.col("side") == 0)
+            .select(["id_a", "id_b", text_col])
+            .rename({text_col: "_text_a"})
+        )
+        right = (
+            df.filter(pl.col("side") == 1)
+            .select(["id_a", "id_b", text_col])
+            .rename({text_col: "_text_b"})
+        )
+        both = left.join(right, on=["id_a", "id_b"]).sort(["id_a", "id_b"])
+        dist = _levenshtein_many(
+            both["_text_a"].fill_null("").to_list(),
+            both["_text_b"].fill_null("").to_list(),
+        )
+        return pa.table(
+            {
+                "id_a": pa.array(both["id_a"].to_numpy(), pa.int64()),
+                "id_b": pa.array(both["id_b"].to_numpy(), pa.int64()),
+                "edit_dist": pa.array(dist, pa.int64()),
+            }
+        ).cast(out_schema)
+
+    return _pair_text_exchange(
+        ds, pairs, text_col=text_col, id_col=id_col,
+        per_pair_block=per_pair_block, out_schema=out_schema,
     )
 
 

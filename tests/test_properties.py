@@ -443,6 +443,67 @@ class TestVectorizedJaccardProperty:
             )
 
 
+class TestLevenshteinKernel:
+    """_levenshtein_many (the vectorized cross-pair DP behind
+    verify_pairs_edit_distance) must equal the naive quadratic DP on
+    arbitrary unicode pairs, and DuckDB's levenshtein() on ascii —
+    the edit_distance_pairs oracle recomputes every distance with
+    the latter."""
+
+    @staticmethod
+    def _naive(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(
+                        prev[j] + 1,
+                        cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb),
+                    )
+                )
+            prev = cur
+        return prev[len(b)]
+
+    @given(pairs=st.lists(st.tuples(TEXT, TEXT), min_size=1, max_size=10))
+    @settings(max_examples=150, deadline=None)
+    def test_matches_naive(self, pairs):
+        from dlp_plugins_ray.stages.dedup import _levenshtein_many
+
+        got = _levenshtein_many(
+            [a for a, _ in pairs], [b for _, b in pairs]
+        )
+        assert got.tolist() == [self._naive(a, b) for a, b in pairs]
+
+    def test_matches_duckdb(self):
+        import random
+
+        import duckdb
+
+        from dlp_plugins_ray.stages.dedup import _levenshtein_many
+
+        rng = random.Random(42)
+        pairs = [
+            (
+                "".join(rng.choices("abcd ", k=rng.randint(0, 60))),
+                "".join(rng.choices("abcd ", k=rng.randint(0, 60))),
+            )
+            for _ in range(200)
+        ]
+        con = duckdb.connect()
+        want = [
+            con.sql(
+                "SELECT levenshtein(?, ?)", params=[a, b]
+            ).fetchone()[0]
+            for a, b in pairs
+        ]
+        got = _levenshtein_many(
+            [a for a, _ in pairs], [b for _, b in pairs]
+        )
+        assert got.tolist() == want
+
+
 class TestLocalVerifyEquivalence:
     """minhash_dedup's single-task verify fast path
     (_verify_pairs_local_task) must emit exactly the pairs the
