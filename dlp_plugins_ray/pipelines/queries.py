@@ -5363,6 +5363,9 @@ _DRIVER_PREFIX = [
     "minhash_dedup_keep",
     "dedup_minhash_pairs",
     "jaccard_verified_pairs",
+    # new this round: shares _pair_text_exchange with the jaccard
+    # verifier; its oracle value-checks the Levenshtein kernel itself
+    "edit_distance_pairs",
     "simhash_near_dup_pairs",
     "ann_ivf_topk",
     "embedding_near_dup",
@@ -5380,6 +5383,11 @@ _DRIVER_PREFIX = [
     # driver-green and the exact-dedup kernel is untouched this round
     "cdc_full_replay",
     "redact_mask",
+    # fpe_roundtrip slides to position 51 (outside the ~50-entry
+    # checked window) to make room for edit_distance_pairs: it was r4
+    # driver-green, the FF1 kernel is untouched since, and it stays
+    # covered by the dtype-strict full-suite gate (test_entry.py) and
+    # the committed local full-run log
     "fpe_roundtrip",
 ]
 
