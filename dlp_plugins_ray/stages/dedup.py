@@ -1228,12 +1228,97 @@ def _levenshtein_many(texts_a, texts_b) -> np.ndarray:
     return res
 
 
+def _levenshtein_many_banded(texts_a, texts_b, max_dist: int) -> np.ndarray:
+    """Ukkonen-banded Levenshtein, vectorized across pairs like
+    :func:`_levenshtein_many` but touching only the ``2*max_dist+1``
+    diagonals ``|i-j| <= max_dist`` — O(len x max_dist) per pair
+    instead of O(len^2), the shape that scales to long documents with
+    a small edit budget. Returns the EXACT distance where it is
+    <= ``max_dist`` and the clamp value ``max_dist + 1`` otherwise
+    (pairs whose length difference alone exceeds the budget never
+    enter the DP). Window-relative DP: column d of the rolling window
+    holds cell (i, i+d-max_dist); the insertion chain inside the
+    window uses the same prefix-min closed form as the full kernel.
+    Property-pinned to the full DP in tests/test_properties.py."""
+    n_pairs = len(texts_a)
+    clamp = max_dist + 1
+    if n_pairs == 0:
+        return np.zeros(0, dtype=np.int64)
+    if max_dist < 0:
+        raise ValueError("max_dist must be >= 0")
+    la = np.array([len(t) for t in texts_a], dtype=np.int64)
+    lb = np.array([len(t) for t in texts_b], dtype=np.int64)
+    res = np.full(n_pairs, clamp, dtype=np.int64)
+    live = np.abs(la - lb) <= max_dist
+    res[live & (la == 0)] = lb[live & (la == 0)]
+    len_a = int(la[live].max()) if live.any() else 0
+    len_b = int(lb[live].max()) if live.any() else 0
+    if len_a == 0:
+        return res
+    codes_a = np.full((n_pairs, len_a), -1, dtype=np.int64)
+    # pad B left AND right so the window gather never needs clipping:
+    # column j of B lives at codes_b[:, j - 1 + max_dist]; the right
+    # pad must also cover row len_a's window (i - 1 + width columns)
+    b_width = max(len_b + 1, len_a) + 2 * max_dist
+    codes_b = np.full((n_pairs, b_width), -2, dtype=np.int64)
+    for p, t in enumerate(texts_a):
+        if live[p] and t:
+            codes_a[p, : len(t)] = np.frombuffer(
+                t.encode("utf-32-le"), dtype=np.uint32
+            )
+    for p, t in enumerate(texts_b):
+        if live[p] and t:
+            codes_b[p, max_dist : max_dist + len(t)] = np.frombuffer(
+                t.encode("utf-32-le"), dtype=np.uint32
+            )
+    width = 2 * max_dist + 1
+    big = np.int64(1) << 40  # effective infinity, safe to add to
+    d_off = np.arange(width, dtype=np.int64)
+    # row 0: window column d holds D[0, d - max_dist] = that j, or INF
+    # outside 0..lb
+    j0 = d_off - max_dist
+    window = np.where(
+        (j0 >= 0) & (j0 <= lb[:, None]), np.maximum(j0, 0), big
+    )
+    for i in range(1, len_a + 1):
+        jcols = i + j0  # the j each window column holds this row
+        cost = (
+            codes_b[:, i - 1 : i - 1 + width]
+            != codes_a[:, i - 1 : i]
+        ).astype(np.int64)
+        # prev[j] sat one column RIGHT in last row's window;
+        # prev[j-1] sat in the SAME column
+        prev_shift = np.concatenate(
+            [window[:, 1:], np.full((n_pairs, 1), big)], axis=1
+        )
+        f = np.minimum(prev_shift + 1, window + cost)
+        # boundary column j == 0 (only while i <= max_dist): D[i,0] = i
+        f[:, jcols == 0] = i
+        cur = np.minimum.accumulate(f - d_off, axis=1) + d_off
+        # cells past j == lb are outside the matrix — poison them so
+        # the next row's prefix-min can't flow values back in
+        cur[jcols[None, :] > lb[:, None]] = big
+        hit = live & (la == i)
+        if hit.any():
+            d_end = lb[hit] - i + max_dist  # window column of (i, lb)
+            got = cur[hit, d_end]
+            res[hit] = np.minimum(got, clamp)
+        window = cur
+        # Ukkonen early exit: once every unfinished pair's whole band
+        # already exceeds the budget, no later cell can come back down
+        alive = live & (la > i)
+        if not alive.any() or int(window[alive].min()) > max_dist:
+            break
+    return res
+
+
 def verify_pairs_edit_distance(
     ds,
     pairs,
     *,
     text_col: str,
     id_col: str,
+    max_dist: int | None = None,
 ):
     """Exact Levenshtein distance for candidate pairs — the same
     two-exchange shape as :func:`verify_pairs_jaccard` (texts ship
@@ -1249,7 +1334,15 @@ def verify_pairs_edit_distance(
     operator; this extends the LLM-pipeline dedup family (exact /
     MinHash / SimHash / Jaccard / cosine) with an edit-distance
     flavor for short-text corpora where shingle sets are too small to
-    discriminate."""
+    discriminate.
+
+    ``max_dist`` is the scale lever: None computes the exact full DP
+    (O(len^2) per pair — conformance-sized candidates only); an int
+    switches to the Ukkonen-banded kernel
+    (:func:`_levenshtein_many_banded`): O(len x max_dist) per pair
+    with early exit, exact for every distance <= max_dist and the
+    clamp value ``max_dist + 1`` beyond — the right shape for long
+    documents under a small edit budget."""
     import polars as pl
 
     out_schema = pa.schema(
@@ -1276,10 +1369,12 @@ def verify_pairs_edit_distance(
             .rename({text_col: "_text_b"})
         )
         both = left.join(right, on=["id_a", "id_b"]).sort(["id_a", "id_b"])
-        dist = _levenshtein_many(
-            both["_text_a"].fill_null("").to_list(),
-            both["_text_b"].fill_null("").to_list(),
-        )
+        texts_a = both["_text_a"].fill_null("").to_list()
+        texts_b = both["_text_b"].fill_null("").to_list()
+        if max_dist is None:
+            dist = _levenshtein_many(texts_a, texts_b)
+        else:
+            dist = _levenshtein_many_banded(texts_a, texts_b, max_dist)
         return pa.table(
             {
                 "id_a": pa.array(both["id_a"].to_numpy(), pa.int64()),

@@ -476,6 +476,28 @@ class TestLevenshteinKernel:
         )
         assert got.tolist() == [self._naive(a, b) for a, b in pairs]
 
+    @given(
+        pairs=st.lists(st.tuples(TEXT, TEXT), min_size=1, max_size=8),
+        k=st.integers(min_value=0, max_value=12),
+    )
+    @settings(max_examples=150, deadline=None)
+    def test_banded_matches_clamped_full(self, pairs, k):
+        import numpy as np
+
+        from dlp_plugins_ray.stages.dedup import (
+            _levenshtein_many,
+            _levenshtein_many_banded,
+        )
+
+        full = _levenshtein_many(
+            [a for a, _ in pairs], [b for _, b in pairs]
+        )
+        band = _levenshtein_many_banded(
+            [a for a, _ in pairs], [b for _, b in pairs], k
+        )
+        want = np.where(full <= k, full, k + 1)
+        assert band.tolist() == want.tolist()
+
     def test_matches_duckdb(self):
         import random
 
