@@ -2464,6 +2464,35 @@ def q_edit_distance_pairs(sf_dir: str):
 QUERIES["edit_distance_pairs"] = q_edit_distance_pairs
 
 
+def q_edit_distance_banded(sf_dir: str):
+    """The SCALE path of the edit-distance verifier under the oracle's
+    eye: ``max_dist=60`` routes through the Ukkonen-banded kernel
+    (``_levenshtein_many_banded`` — O(len x 60) diagonals + early
+    exit, what long documents run at 100 TB). The fixture makes both
+    regimes non-vacuous: exact plants (0) and near plants (42-54)
+    are below the budget so the band must produce the EXACT distance;
+    decoy plants (~600) exceed it and must clamp to 61. Oracle:
+    DuckDB LEAST(levenshtein(...), 61)."""
+    import ray.data as rd
+
+    path = textdup_docs_path(sf_dir)
+    ds = rd.read_parquet(
+        path, columns=["doc_id", "text"],
+        override_num_blocks=_sized_blocks(path),
+    )
+    cands = rd.from_arrow(
+        _textdup_planted(sf_dir, ("exact", "near", "decoy")).select(
+            ["id_a", "id_b"]
+        )
+    )
+    return DD.verify_pairs_edit_distance(
+        ds, cands, text_col="text", id_col="doc_id", max_dist=60
+    )
+
+
+QUERIES["edit_distance_banded"] = q_edit_distance_banded
+
+
 # ---------------------------------------------------------------------------
 # oracles for formerly rows-only queries. The langid / quality oracles
 # re-express the Python heuristics EXACTLY in SQL (verified bit-equal
@@ -2830,6 +2859,27 @@ def tmp_oracle_sql(sf: str = "sf0.01") -> dict[str, str]:
             SELECT p.id_a, p.id_b,
                    CAST(levenshtein(da.text, db.text) AS BIGINT)
                        AS edit_dist
+            FROM planted p
+            JOIN read_parquet('{fix}') da ON da.doc_id = p.id_a
+            JOIN read_parquet('{fix}') db ON db.doc_id = p.id_b
+        """,
+        # the banded (max_dist=60) kernel: exact below the budget,
+        # clamped to 61 beyond — LEAST re-expresses the clamp
+        "edit_distance_banded": f"""
+            WITH planted AS (
+                SELECT doc_id AS id_a,
+                       doc_id + {TEXTDUP_EXACT_OFF} AS id_b
+                FROM ({base}) WHERE doc_id % 20 = 0
+                UNION ALL
+                SELECT doc_id, doc_id + {TEXTDUP_NEAR_OFF}
+                FROM ({base}) WHERE doc_id % 20 = 10
+                UNION ALL
+                SELECT doc_id, doc_id + {TEXTDUP_DECOY_OFF}
+                FROM ({base}) WHERE doc_id % 20 = 15
+            )
+            SELECT p.id_a, p.id_b,
+                   CAST(LEAST(levenshtein(da.text, db.text), 61)
+                        AS BIGINT) AS edit_dist
             FROM planted p
             JOIN read_parquet('{fix}') da ON da.doc_id = p.id_a
             JOIN read_parquet('{fix}') db ON db.doc_id = p.id_b
