@@ -476,6 +476,13 @@ def scaling() -> None:
                 "raw_runs": {
                     str(c): [r["events_per_sec"] for r in raw[c]] for c in levels
                 },
+                # window-speed calibration per subprocess run — a
+                # drifting probe across levels means the efficiency
+                # quotient mixes two different machines
+                "cpu_probe_gflops": {
+                    str(c): [r.get("cpu_probe_gflops") for r in raw[c]]
+                    for c in levels
+                },
                 "reps_per_level": reps,
                 "events": res[hi]["events"],
                 "sf": res[hi]["sf"],
