@@ -693,3 +693,61 @@ class TestJaccardVerify:
         assert len(out) == 2  # duplicates collapsed, not multiplied
         for (a, b) in got:
             assert got[(a, b)] == DD.jaccard(t[a], t[b], 5)
+
+
+class TestEditDistanceVerify:
+    def _docs(self):
+        base = "alpha beta gamma delta epsilon zeta eta theta " * 8
+        return pa.table(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    base,
+                    base + " tail",
+                    base.replace("beta", "bete"),
+                ],
+            }
+        )
+
+    def test_distances_exact_with_dup_and_dangling_pairs(self):
+        """Same exchange contract as the Jaccard verifier: duplicate
+        candidate pairs collapse, a pair referencing a missing doc id
+        drops without poisoning others, and every emitted distance is
+        the exact Levenshtein value."""
+        import ray.data as rd
+
+        docs = self._docs()
+        pairs = pa.table(
+            {"id_a": [1, 1, 1, 1, 2], "id_b": [2, 2, 2, 3, 99]}
+        )
+        out = DD.verify_pairs_edit_distance(
+            rd.from_arrow(docs), rd.from_arrow(pairs),
+            text_col="text", id_col="doc_id",
+        ).take_all()
+        got = {(r["id_a"], r["id_b"]): r["edit_dist"] for r in out}
+        t = dict(
+            zip(
+                docs.column("doc_id").to_pylist(),
+                docs.column("text").to_pylist(),
+            )
+        )
+        assert set(got) == {(1, 2), (1, 3)}
+        assert len(out) == 2
+        for (a, b) in got:
+            assert got[(a, b)] == int(
+                DD._levenshtein_many([t[a]], [t[b]])[0]
+            )
+        assert got[(1, 2)] == 5  # " tail" appended
+        assert got[(1, 3)] == 8  # one char per "beta" occurrence
+
+    def test_banded_clamps_beyond_budget(self):
+        import ray.data as rd
+
+        docs = self._docs()
+        pairs = pa.table({"id_a": [1, 1], "id_b": [2, 3]})
+        out = DD.verify_pairs_edit_distance(
+            rd.from_arrow(docs), rd.from_arrow(pairs),
+            text_col="text", id_col="doc_id", max_dist=6,
+        ).take_all()
+        got = {(r["id_a"], r["id_b"]): r["edit_dist"] for r in out}
+        assert got == {(1, 2): 5, (1, 3): 7}  # 5 exact; 8 clamps to 7
