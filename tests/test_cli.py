@@ -117,3 +117,50 @@ def test_tail_two_slices_equals_one_shot(tmp_path, ray_session):
     assert len(state["processed"]) == len(slices[0]) + len(slices[1])
     out3 = _run_tail(watch, lake_tail)
     assert out3 == {}  # no JSON line emitted -> nothing applied
+
+
+class TestBenchContract:
+    """bench.py's JSON line is the driver's perf artifact — pin the
+    calibration/compaction contract without spawning a Ray session."""
+
+    @staticmethod
+    def _load_bench():
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "bench_module",
+            os.path.join(os.path.dirname(__file__), "..", "bench.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_cpu_probe_is_sane(self):
+        bench = self._load_bench()
+        g = bench._cpu_probe_gflops()
+        # a real DGEMM on any machine this century lands in (0.5, 5000)
+        assert 0.5 < g < 5000
+
+    def test_compact_carries_probe_and_failure_counts(self):
+        bench = self._load_bench()
+        result = {
+            "metric": "cdc_replay_upsert_seconds",
+            "value": 1.0,
+            "unit": "sec",
+            "events_per_sec": 100.0,
+            "events": 100,
+            "final_rows": 10,
+            "sf": "sf0.001",
+            "num_cpus": 4,
+            "cpu_probe_gflops": 12.3,
+            "queries": {"q_ok": 0.5, "q_crashed": -1.0},
+            "incremental_slices": {
+                "vs_one_shot": 1.1,
+                "rows_match": True,
+            },
+        }
+        core = bench._compact(result)
+        assert core["cpu_probe_gflops"] == 12.3
+        assert core["queries_failed"] == 1
+        assert core["queries_count"] == 2
+        assert core["inc_rows_match"] is True
