@@ -2493,6 +2493,88 @@ def q_edit_distance_banded(sf_dir: str):
 QUERIES["edit_distance_banded"] = q_edit_distance_banded
 
 
+def q_substring_dup_pairs(sf_dir: str):
+    """Substring-level dedup, pairwise face: every document pair
+    sharing at least one EXACT 25-codepoint substring, with the exact
+    count of distinct shared 25-grams. Winnowed rolling-hash
+    fingerprint candidates (guaranteed recall for shared substrings of
+    >= w+k-1 = 25 chars, Schleimer et al. 2003) verified exactly in
+    the pair exchange (``stages/dedup.substring_duplicate_pairs``).
+    Runs over the RAW documents table — the oracle enumerates every
+    25-gram in SQL and recomputes the pair counts value-for-value."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return DD.substring_duplicate_pairs(
+        ds, text_col="text", id_col="doc_id", k=13, w=13, min_shared=1
+    )
+
+
+QUERIES["substring_dup_pairs"] = q_substring_dup_pairs
+
+
+def q_substring_dup_spans(sf_dir: str):
+    """Substring-level dedup, per-document face: how many of each
+    document's characters are covered by a 25-codepoint window that
+    appears verbatim in at least one OTHER document (the quantity
+    substring dedup removes — Lee et al. 2022). Emits
+    ``(doc_id, dup_chars, doc_chars)`` for every document; the oracle
+    recomputes the interval-union coverage with SQL window
+    functions."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return DD.substring_dup_spans(
+        ds, text_col="text", id_col="doc_id", L=25
+    )
+
+
+QUERIES["substring_dup_spans"] = q_substring_dup_spans
+
+
+ORACLE_SQL["substring_dup_pairs"] = r"""
+    WITH docs AS (
+      SELECT doc_id, coalesce(text, '') AS text FROM documents
+    ), long_docs AS (
+      SELECT * FROM docs WHERE length(text) >= 25
+    ), grams AS (
+      SELECT DISTINCT doc_id, substr(text, CAST(p AS INT), 25) AS g
+      FROM long_docs,
+           LATERAL (SELECT unnest(generate_series(1, length(text) - 24)) AS p)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+"""
+
+ORACLE_SQL["substring_dup_spans"] = r"""
+    WITH docs AS (
+      SELECT doc_id, coalesce(text, '') AS text FROM documents
+    ), long_docs AS (
+      SELECT * FROM docs WHERE length(text) >= 25
+    ), grams AS (
+      SELECT doc_id, CAST(p AS BIGINT) AS p,
+             substr(text, CAST(p AS INT), 25) AS g
+      FROM long_docs,
+           LATERAL (SELECT unnest(generate_series(1, length(text) - 24)) AS p)
+    ), shared AS (
+      SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+    ), marked AS (
+      SELECT doc_id, p FROM grams JOIN shared USING (g)
+    ), cov AS (
+      SELECT doc_id,
+             CAST(sum(LEAST(coalesce(np - p, 25), 25)) AS BIGINT)
+                 AS dup_chars
+      FROM (
+        SELECT doc_id, p,
+               lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS np
+        FROM marked
+      ) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(c.dup_chars, 0) AS dup_chars,
+           CAST(length(d.text) AS BIGINT) AS doc_chars
+    FROM docs d LEFT JOIN cov c USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # oracles for formerly rows-only queries. The langid / quality oracles
 # re-express the Python heuristics EXACTLY in SQL (verified bit-equal
@@ -5363,6 +5445,10 @@ _DRIVER_PREFIX = [
     "cdc_tombstone_guard",
     "cdc_time_travel",
     "cdc_change_feed",
+    # substring-level dedup (winnowing candidates + exact L-gram
+    # verify; raw-documents oracles recompute counts/coverage in SQL)
+    "substring_dup_pairs",
+    "substring_dup_spans",
     # (b) the six round-4 driver-red (dtype-only) queries — fixed via
     # CAST(sum(...) AS BIGINT) in their oracle SQL; kept in the checked
     # window to prove the fix

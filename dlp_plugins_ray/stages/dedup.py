@@ -476,7 +476,7 @@ def jaccard(a: str, b: str, k: int = 5) -> float:
 
 
 def _char_shingle_hashes_many(
-    texts: list[str], k: int
+    texts: list[str], k: int, *, include_short: bool = True
 ) -> tuple[np.ndarray, np.ndarray]:
     """Distinct character k-shingle hashes for MANY texts in one
     vectorized pass — the batch kernel behind the exact-Jaccard verify
@@ -490,12 +490,20 @@ def _char_shingle_hashes_many(
     collision budget the minhash path already accepts). All k-length
     windows of all texts are hashed in one numpy polynomial +
     splitmix64 pass over the concatenated codepoints; equality of
-    codepoint windows IFF equality of the character shingles."""
+    codepoint windows IFF equality of the character shingles.
+
+    ``include_short=False`` switches to strict WINDOW semantics: a
+    text shorter than ``k`` contributes nothing (it contains no
+    k-length substring) — the contract the exact-substring verifier
+    needs, where two equal short texts must NOT count as sharing a
+    k-gram."""
     n = len(texts)
     lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
     rows_parts: list[np.ndarray] = []
     hash_parts: list[np.ndarray] = []
-    short_idx = np.flatnonzero(lens < k)
+    short_idx = (
+        np.flatnonzero(lens < k) if include_short else np.array([], np.int64)
+    )
     for i in short_idx:
         h = int.from_bytes(
             hashlib.blake2b(
@@ -3216,3 +3224,684 @@ def exact_dedup_incremental(new_ds, store_dir: str, *, text_col: str,
     return kept.map_batches(
         lambda b: b.drop_columns([hash_col]), batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints / exact substring duplication
+# ---------------------------------------------------------------------------
+# The substring-level dedup flavor ("Deduplicating Training Data Makes
+# Language Models Better", Lee et al. 2022, built there on suffix
+# arrays): find documents that share an EXACT substring of >= L
+# characters, and measure how much of each document is covered by
+# such shared substrings. Re-expressed Ray-Data-first: candidate
+# generation via winnowed rolling-hash fingerprints (Schleimer,
+# Wilkerson, Aiken, "Winnowing: Local Algorithms for Document
+# Fingerprinting", SIGMOD 2003 — a public algorithm), exact
+# verification via distinct L-gram hash intersects in the shared
+# pair exchange. Reference scope note: the reference engine
+# (/root/reference, CDAP dlp-plugins) has no dedup operators at all;
+# this extends the LLM-pipeline dedup family (exact / MinHash /
+# SimHash / Jaccard / cosine / edit-distance) with the substring
+# flavor.
+
+
+def _window_hashes_positional(text: str, L: int) -> np.ndarray:
+    """Avalanched polynomial hash of EVERY L-codepoint window of
+    ``text`` in position order (uint64); empty for texts shorter than
+    L codepoints. Codepoint (utf-32) windows, not utf-8 bytes, so
+    window i hashes exactly the character slice ``text[i:i+L]`` — the
+    same substring semantics DuckDB's ``substr`` oracle enumerates."""
+    cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(
+        np.uint64
+    )
+    if cp.size < L:
+        return np.empty(0, np.uint64)
+    h = _poly_windows(cp, L)
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
+    return h
+
+
+def winnow_fingerprints(text: str, k: int, w: int) -> np.ndarray:
+    """Distinct winnowed fingerprint VALUES of ``text``: k-codepoint
+    rolling hashes, each window of ``w`` consecutive hashes selecting
+    its minimum value (classic winnowing keeps positions for locality;
+    candidate generation only needs the values).
+
+    The winnowing guarantee (SIGMOD 2003, thm 1): two texts sharing a
+    substring of >= ``w + k - 1`` codepoints share at least one
+    selected fingerprint value — the shared substring contains a full
+    window of ``w`` identical k-gram hashes, whose minimum is selected
+    in both. Density: ~2/(w+1) of all k-grams are selected, so the
+    thin fingerprint rows are a bounded fraction of the corpus.
+
+    The sliding-window min is O(len x w) via a strided view — right
+    for the small w used here; swap in a monotonic-queue pass if w
+    grows past ~100."""
+    h = _window_hashes_positional(text, k)
+    if h.size < w:
+        # no full window => text shorter than w+k-1: it cannot contain
+        # a shared substring of the guaranteed length, emit nothing
+        return np.empty(0, np.uint64)
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    return np.unique(sliding_window_view(h, w).min(axis=1))
+
+
+class WinnowFingerprintStage:
+    """map_batches task stage: text -> thin ``(fp, id)`` rows, distinct
+    per document (int64 fp = uint64 fingerprint viewed as int64; the
+    shuffle key only needs equality)."""
+
+    def __init__(self, text_col: str, id_col: str, *, k: int, w: int):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.k = k
+        self.w = w
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        ids = batch.column(self.id_col).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        parts = [
+            winnow_fingerprints(t or "", self.k, self.w) for t in texts
+        ]
+        counts = np.fromiter(
+            (p.size for p in parts), np.int64, count=len(parts)
+        )
+        fp = (
+            np.concatenate(parts)
+            if parts
+            else np.empty(0, np.uint64)
+        ).view(np.int64)
+        return pa.table(
+            {
+                "fp": pa.array(fp, pa.int64()),
+                self.id_col: pa.array(np.repeat(ids, counts)),
+            }
+        )
+
+
+def winnow_candidate_pairs(
+    ds,
+    *,
+    text_col: str,
+    id_col: str,
+    k: int = 13,
+    w: int = 13,
+    num_buckets: int = 64,
+    max_fp_docs: int | None = None,
+):
+    """Candidate pairs (id_a < id_b) of documents sharing at least one
+    winnowed fingerprint — a GUARANTEED superset of all pairs sharing
+    an exact substring of >= ``w + k - 1`` codepoints (see
+    :func:`winnow_fingerprints`). One bucketed exchange of thin
+    (fp, id) rows; pairs emitted per fingerprint group with a
+    block-local polars self-join.
+
+    Pair semantics are inherently quadratic in a fingerprint's doc
+    count (boilerplate shared by m docs IS m(m-1)/2 true pairs);
+    ``max_fp_docs`` is the scale valve: groups larger than it emit a
+    recall-preserving STAR (min-id to each member — every member is
+    still linked into the duplicate component) instead of all pairs.
+    Default None = exact pair completeness, the conformance contract.
+    """
+    import polars as pl
+
+    from .cache import cached_task_stage
+    from .shuffle import bucketed_group_reduce
+
+    thin = ds.map_batches(
+        cached_task_stage(
+            WinnowFingerprintStage, text_col, id_col, k=k, w=w
+        ),
+        batch_format="pyarrow",
+    )
+
+    pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+
+    def pairs_block(block: pa.Table) -> pa.Table:
+        df = pl.from_arrow(block).unique()
+        if df.height == 0:
+            return pair_schema.empty_table()
+        if max_fp_docs is not None:
+            sizes = pl.len().over("fp")
+            small = df.filter(sizes <= max_fp_docs)
+            big = df.filter(sizes > max_fp_docs)
+        else:
+            small, big = df, None
+        j = small.join(small, on="fp")
+        pairs = (
+            j.filter(pl.col(id_col) < pl.col(f"{id_col}_right"))
+            .select(
+                pl.col(id_col).cast(pl.Int64).alias("id_a"),
+                pl.col(f"{id_col}_right").cast(pl.Int64).alias("id_b"),
+            )
+            .unique()
+        )
+        if big is not None and big.height:
+            star = (
+                big.with_columns(
+                    pl.col(id_col).min().over("fp").alias("_min")
+                )
+                .filter(pl.col(id_col) != pl.col("_min"))
+                .select(
+                    pl.col("_min").cast(pl.Int64).alias("id_a"),
+                    pl.col(id_col).cast(pl.Int64).alias("id_b"),
+                )
+                .unique()
+            )
+            pairs = pl.concat([pairs, star]).unique()
+        return pairs.sort(["id_a", "id_b"]).to_arrow().cast(pair_schema)
+
+    return bucketed_group_reduce(
+        thin, ["fp"], pairs_block,
+        num_buckets=num_buckets, out_schema=pair_schema,
+    )
+
+
+def verify_pairs_shared_windows(
+    ds,
+    pairs,
+    *,
+    text_col: str,
+    id_col: str,
+    L: int,
+    min_shared: int = 1,
+):
+    """Exact verification of candidate pairs against the substring
+    contract: count the DISTINCT L-codepoint windows (L-grams) the two
+    texts share, keep pairs with >= ``min_shared``. Same two-exchange
+    member-join shape as :func:`verify_pairs_jaccard` (texts ship once
+    per pair membership, nothing on the driver); per-pair work is two
+    C-speed sorted intersects over per-DISTINCT-doc window-hash
+    arrays. Equality of 64-bit avalanched window hashes stands in for
+    string equality at the same 2^-64 collision budget every hash path
+    here accepts (property-pinned against naive Python string sets in
+    tests/test_properties.py). Emits ``(id_a, id_b, n_shared)``."""
+    import polars as pl
+
+    out_schema = pa.schema(
+        [
+            ("id_a", pa.int64()),
+            ("id_b", pa.int64()),
+            ("n_shared", pa.int64()),
+        ]
+    )
+
+    def per_pair_block(block: pa.Table) -> pa.Table:
+        df = pl.from_arrow(block).unique(subset=["id_a", "id_b", "side"])
+        df = df.filter(pl.len().over(["id_a", "id_b"]) == 2)
+        if df.height == 0:
+            return out_schema.empty_table()
+        docs = df.unique(subset=["key"]).sort("key")
+        rows, hashes = _char_shingle_hashes_many(
+            docs[text_col].fill_null("").to_list(), L, include_short=False
+        )
+        nd = docs.height
+        starts = np.searchsorted(rows, np.arange(nd))
+        ends = np.searchsorted(rows, np.arange(nd), side="right")
+        keys = docs["key"].to_numpy()
+        pairs_np = (
+            df.filter(pl.col("side") == 0)
+            .select(["id_a", "id_b"])
+            .to_numpy()
+        )
+        slot_a = np.searchsorted(keys, pairs_np[:, 0])
+        slot_b = np.searchsorted(keys, pairs_np[:, 1])
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_n: list[int] = []
+        for (x, y), sa, sb in zip(pairs_np, slot_a, slot_b):
+            A = hashes[starts[sa]:ends[sa]]
+            B = hashes[starts[sb]:ends[sb]]
+            n = int(np.intersect1d(A, B, assume_unique=True).size)
+            if n >= min_shared:
+                out_a.append(int(x))
+                out_b.append(int(y))
+                out_n.append(n)
+        return pa.table(
+            {
+                "id_a": pa.array(out_a, pa.int64()),
+                "id_b": pa.array(out_b, pa.int64()),
+                "n_shared": pa.array(out_n, pa.int64()),
+            }
+        ).cast(out_schema)
+
+    return _pair_text_exchange(
+        ds, pairs, text_col=text_col, id_col=id_col,
+        per_pair_block=per_pair_block, out_schema=out_schema,
+    )
+
+
+def _substring_pairs_kernel(
+    texts: list[str], ids: np.ndarray, L: int, min_shared: int
+) -> pa.Table:
+    """Shared exact kernel of the substring-pair op: distinct
+    (window-hash, doc) rows -> polars self-join on hash -> per-pair
+    distinct-shared-gram counts. Used verbatim by the one-task local
+    fast path; the distributed path (winnow candidates + pair-exchange
+    verify) is property-pinned equal to it."""
+    import polars as pl
+
+    out_schema = pa.schema(
+        [
+            ("id_a", pa.int64()),
+            ("id_b", pa.int64()),
+            ("n_shared", pa.int64()),
+        ]
+    )
+    rows, hashes = _char_shingle_hashes_many(
+        texts, L, include_short=False
+    )
+    if rows.size == 0:
+        return out_schema.empty_table()
+    df = pl.DataFrame(
+        {
+            "h": hashes.view(np.int64),
+            "id": ids.astype(np.int64)[rows],
+        }
+    )
+    j = df.join(df, on="h")
+    return (
+        j.filter(pl.col("id") < pl.col("id_right"))
+        .group_by(["id", "id_right"])
+        .agg(pl.len().cast(pl.Int64).alias("n_shared"))
+        .filter(pl.col("n_shared") >= min_shared)
+        .select(
+            pl.col("id").alias("id_a"),
+            pl.col("id_right").alias("id_b"),
+            pl.col("n_shared"),
+        )
+        .sort(["id_a", "id_b"])
+        .to_arrow()
+        .cast(out_schema)
+    )
+
+
+def substring_duplicate_pairs(
+    ds,
+    *,
+    text_col: str,
+    id_col: str,
+    k: int = 13,
+    w: int = 13,
+    min_shared: int = 1,
+    num_buckets: int = 64,
+    max_fp_docs: int | None = None,
+    local_threshold: int = 20_000,
+):
+    """All document pairs sharing at least ``min_shared`` DISTINCT
+    exact substrings of length L = ``w + k - 1`` codepoints, with the
+    exact count — the pairwise face of substring-level dedup.
+    Winnowed-fingerprint candidates (guaranteed-recall superset,
+    :func:`winnow_candidate_pairs`) verified exactly in the pair
+    exchange (:func:`verify_pairs_shared_windows`).
+
+    Size-adaptive (round-5 idiom): an input of <= ``local_threshold``
+    documents skips all three exchanges — one remote task runs
+    :func:`_substring_pairs_kernel` over the whole corpus (identical
+    semantics, property-pinned). Pass 0 to force the distributed
+    branch; at-scale runs take it automatically."""
+    import ray
+    import ray.data as rd
+
+    L = w + k - 1
+    if local_threshold:
+        ds = ds.materialize()
+        if ds.count() <= local_threshold:
+            @ray.remote
+            def solve(*tables) -> pa.Table:
+                tabs = [t for t in tables if t.num_rows]
+                if not tabs:
+                    return pa.schema(
+                        [
+                            ("id_a", pa.int64()),
+                            ("id_b", pa.int64()),
+                            ("n_shared", pa.int64()),
+                        ]
+                    ).empty_table()
+                t = pa.concat_tables(
+                    [x.select([id_col, text_col]) for x in tabs]
+                )
+                texts = [
+                    s if s is not None else ""
+                    for s in t.column(text_col).to_pylist()
+                ]
+                ids = t.column(id_col).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)
+                return _substring_pairs_kernel(texts, ids, L, min_shared)
+
+            return rd.from_arrow_refs(
+                [solve.remote(*ds.to_arrow_refs())]
+            )
+
+    cands = winnow_candidate_pairs(
+        ds, text_col=text_col, id_col=id_col, k=k, w=w,
+        num_buckets=num_buckets, max_fp_docs=max_fp_docs,
+    )
+    return verify_pairs_shared_windows(
+        ds, cands, text_col=text_col, id_col=id_col,
+        L=L, min_shared=min_shared,
+    )
+
+
+def _coverage_from_positions(pos: np.ndarray, L: int) -> int:
+    """Total characters covered by the union of the fixed-length
+    intervals ``[p, p+L)`` for SORTED window positions ``pos`` —
+    adjacent intervals overlap-merge closed-form: each position covers
+    ``min(next - p, L)`` new characters, the last covers ``L``."""
+    if pos.size == 0:
+        return 0
+    return int(np.minimum(np.diff(pos), L).sum() + L)
+
+
+class WindowHashStage:
+    """map_batches task stage: text -> thin DISTINCT ``(h, id)`` rows,
+    one per distinct L-codepoint window per document (strict window
+    semantics — docs shorter than L emit nothing)."""
+
+    def __init__(self, text_col: str, id_col: str, *, L: int):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.L = L
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = [
+            t if t is not None else ""
+            for t in batch.column(self.text_col).to_pylist()
+        ]
+        ids = batch.column(self.id_col).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        rows, hashes = _char_shingle_hashes_many(
+            texts, self.L, include_short=False
+        )
+        return pa.table(
+            {
+                "h": pa.array(hashes.view(np.int64), pa.int64()),
+                self.id_col: pa.array(ids[rows]),
+            }
+        )
+
+
+def shared_window_hashes(
+    ds, *, text_col: str, id_col: str, L: int, num_buckets: int = 64
+):
+    """Window hashes occurring in >= 2 DISTINCT documents (same-doc
+    repeats are not duplication) — ONE bucketed exchange of thin
+    8-byte+id rows; per-bucket reduce is a vectorized polars
+    ``n_unique`` filter. Dataset with single int64 column ``h``."""
+    import polars as pl
+
+    from .cache import cached_task_stage
+    from .shuffle import bucketed_group_reduce
+
+    thin = ds.map_batches(
+        cached_task_stage(WindowHashStage, text_col, id_col, L=L),
+        batch_format="pyarrow",
+    )
+    out_schema = pa.schema([("h", pa.int64())])
+
+    def shared_block(block: pa.Table) -> pa.Table:
+        df = pl.from_arrow(block)
+        return (
+            df.group_by("h")
+            .agg(pl.col(id_col).n_unique().alias("_nd"))
+            .filter(pl.col("_nd") >= 2)
+            .select("h")
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    return bucketed_group_reduce(
+        thin, ["h"], shared_block,
+        num_buckets=num_buckets, out_schema=out_schema,
+    )
+
+
+def _spans_from_shared(
+    texts: list[str], ids: np.ndarray, shared_sorted: np.ndarray, L: int
+) -> pa.Table:
+    """Per-doc coverage rows given the SORTED int64 array of shared
+    window hashes: recompute each doc's positional window hashes, mark
+    positions whose hash is shared (binary search), merge the
+    fixed-length intervals. Shared by the broadcast-mark map stage and
+    the one-task local path."""
+    spans_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("dup_chars", pa.int64()),
+            ("doc_chars", pa.int64()),
+        ]
+    )
+    dup = np.zeros(len(texts), np.int64)
+    chars = np.fromiter((len(t) for t in texts), np.int64, count=len(texts))
+    for i, t in enumerate(texts):
+        h = _window_hashes_positional(t, L).view(np.int64)
+        if h.size == 0 or shared_sorted.size == 0:
+            continue
+        idx = np.searchsorted(shared_sorted, h)
+        valid = idx < shared_sorted.size
+        hit = np.zeros(h.size, dtype=bool)
+        hit[valid] = shared_sorted[idx[valid]] == h[valid]
+        dup[i] = _coverage_from_positions(np.flatnonzero(hit), L)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids.astype(np.int64)),
+            "dup_chars": pa.array(dup),
+            "doc_chars": pa.array(chars),
+        }
+    ).cast(spans_schema)
+
+
+def substring_dup_spans(
+    ds,
+    *,
+    text_col: str,
+    id_col: str,
+    L: int = 25,
+    num_buckets: int = 64,
+    broadcast_threshold: int = 2_000_000,
+    local_threshold: int = 20_000,
+):
+    """Per-document duplicated-substring coverage: for every document,
+    how many of its characters are covered by some L-codepoint window
+    that also appears VERBATIM in at least one other document — the
+    per-doc face of substring-level dedup (the quantity Lee et al.
+    2022 remove). Emits ``(doc_id, dup_chars, doc_chars)`` for EVERY
+    input document (0 for short/unique docs).
+
+    Plan shape: (1) one bucketed exchange finds the shared window
+    hashes; (2) if they fit ``broadcast_threshold`` they broadcast via
+    ``ray.put`` (read once per task, never re-shipped per batch) and a
+    second map pass marks + merges intervals locally — the normal
+    regime, since shared hashes are bounded by actually-duplicated
+    content, not corpus size. Above the threshold (boilerplate-heavy
+    corpora) the plan stays fully distributed: positional thin rows
+    semi-join the shared hashes in one bucketed exchange, coverage
+    reduces per doc, and a left hash_join attaches the zero rows —
+    no driver materialization at any size (round-4 ADVICE pattern:
+    cap the pull, fall back to the join). Size-adaptive local path:
+    <= ``local_threshold`` docs solve in ONE remote task with the
+    identical kernels (property-pinned)."""
+    import ray
+    import ray.data as rd
+
+    spans_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("dup_chars", pa.int64()),
+            ("doc_chars", pa.int64()),
+        ]
+    )
+
+    if local_threshold:
+        ds = ds.materialize()
+        if ds.count() <= local_threshold:
+            @ray.remote
+            def solve(*tables) -> pa.Table:
+                tabs = [t for t in tables if t.num_rows]
+                if not tabs:
+                    return spans_schema.empty_table()
+                t = pa.concat_tables(
+                    [x.select([id_col, text_col]) for x in tabs]
+                )
+                texts = [
+                    s if s is not None else ""
+                    for s in t.column(text_col).to_pylist()
+                ]
+                ids = t.column(id_col).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)
+                rows, hashes = _char_shingle_hashes_many(
+                    texts, L, include_short=False
+                )
+                import polars as pl
+
+                shared = (
+                    pl.DataFrame(
+                        {"h": hashes.view(np.int64), "id": ids[rows]}
+                    )
+                    .group_by("h")
+                    .agg(pl.col("id").n_unique().alias("_nd"))
+                    .filter(pl.col("_nd") >= 2)["h"]
+                    .to_numpy()
+                )
+                return _spans_from_shared(
+                    texts, ids, np.sort(shared), L
+                )
+
+            return rd.from_arrow_refs([solve.remote(*ds.to_arrow_refs())])
+
+    shared = shared_window_hashes(
+        ds, text_col=text_col, id_col=id_col, L=L, num_buckets=num_buckets
+    ).materialize()
+    n_shared = shared.count()
+
+    if n_shared <= broadcast_threshold:
+        parts = [
+            t.column("h").to_numpy(zero_copy_only=False)
+            for t in ray.get(shared.to_arrow_refs())
+            if t.num_rows and "h" in t.column_names
+        ]
+        arr = np.sort(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+        shared_ref = ray.put(arr)
+
+        def mark(batch: pa.Table) -> pa.Table:
+            texts = [
+                t if t is not None else ""
+                for t in batch.column(text_col).to_pylist()
+            ]
+            ids = batch.column(id_col).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            return _spans_from_shared(texts, ids, ray.get(shared_ref), L)
+
+        return ds.map_batches(mark, batch_format="pyarrow")
+
+    # fully-distributed fallback: positional rows semi-join the shared
+    # hashes, coverage reduces per doc, left join restores zero rows
+    import polars as pl
+
+    from .joins import hash_join
+    from .shuffle import bucketed_group_reduce
+
+    def positional(batch: pa.Table) -> pa.Table:
+        texts = [
+            t if t is not None else ""
+            for t in batch.column(text_col).to_pylist()
+        ]
+        ids = batch.column(id_col).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        hs: list[np.ndarray] = []
+        ps: list[np.ndarray] = []
+        ns = np.zeros(len(texts), np.int64)
+        for i, t in enumerate(texts):
+            h = _window_hashes_positional(t, L).view(np.int64)
+            hs.append(h)
+            ps.append(np.arange(h.size, dtype=np.int64))
+            ns[i] = h.size
+        return pa.table(
+            {
+                "h": pa.array(
+                    np.concatenate(hs) if hs else np.empty(0, np.int64)
+                ),
+                "pos": pa.array(
+                    np.concatenate(ps) if ps else np.empty(0, np.int64)
+                ),
+                "doc_id": pa.array(np.repeat(ids, ns)),
+            }
+        )
+
+    marked = hash_join(
+        ds.map_batches(positional, batch_format="pyarrow"),
+        shared,
+        on="h",
+        how="semi",
+        num_buckets=num_buckets,
+    )
+
+    cov_schema = pa.schema(
+        [("doc_id", pa.int64()), ("dup_chars", pa.int64())]
+    )
+
+    def cov_block(block: pa.Table) -> pa.Table:
+        df = pl.from_arrow(block).sort(["doc_id", "pos"])
+        out = (
+            df.group_by("doc_id", maintain_order=True)
+            .agg(
+                (
+                    pl.col("pos").diff().fill_null(L).clip(upper_bound=L)
+                ).sum().cast(pl.Int64).alias("dup_chars")
+            )
+        )
+        return out.to_arrow().cast(cov_schema)
+
+    cov = bucketed_group_reduce(
+        marked, ["doc_id"], cov_block,
+        num_buckets=num_buckets, out_schema=cov_schema,
+    )
+
+    def doc_chars(batch: pa.Table) -> pa.Table:
+        texts = [
+            t if t is not None else ""
+            for t in batch.column(text_col).to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column(id_col).cast(pa.int64()),
+                "doc_chars": pa.array(
+                    np.fromiter(
+                        (len(t) for t in texts), np.int64, count=len(texts)
+                    )
+                ),
+            }
+        )
+
+    joined = hash_join(
+        ds.map_batches(doc_chars, batch_format="pyarrow"),
+        cov,
+        on="doc_id",
+        how="left",
+        num_buckets=num_buckets,
+    )
+
+    def fill(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "dup_chars": _pc.coalesce(
+                    batch.column("dup_chars"), pa.scalar(0, pa.int64())
+                ),
+                "doc_chars": batch.column("doc_chars"),
+            }
+        ).cast(spans_schema)
+
+    return joined.map_batches(fill, batch_format="pyarrow")

@@ -935,3 +935,124 @@ class TestSimhashLocalPairsEquivalence:
                 else []
             )
         assert got["local"] == got["dist"]
+
+
+class TestWinnowingSubstring:
+    """Pins for the substring-dedup family (stages/dedup.py winnowing
+    section): the winnowing recall guarantee, the vectorized kernels
+    vs naive Python string semantics, and the interval-union coverage
+    closed form."""
+
+    K, W = 5, 4  # L = 8 — small so hypothesis cases stay cheap
+    L = K + W - 1
+
+    def test_positional_hashes_align_with_substrings(self):
+        import numpy as np
+        from dlp_plugins_ray.stages.dedup import _window_hashes_positional
+
+        rng = np.random.RandomState(7)
+        text = "".join(
+            rng.choice(list("abcdef é中"), size=64)
+        )
+        h = _window_hashes_positional(text, self.K)
+        assert h.size == len(text) - self.K + 1
+        for i in range(h.size):
+            one = _window_hashes_positional(text[i : i + self.K], self.K)
+            assert one.size == 1 and one[0] == h[i]
+
+    @given(st.integers(0, 2**32 - 1))
+    @settings(max_examples=30, deadline=None)
+    def test_winnow_matches_naive(self, seed):
+        import numpy as np
+        from dlp_plugins_ray.stages.dedup import (
+            _window_hashes_positional,
+            winnow_fingerprints,
+        )
+
+        rng = np.random.RandomState(seed % 2**32)
+        n = int(rng.randint(0, 40))
+        text = "".join(rng.choice(list("abc"), size=n))
+        got = winnow_fingerprints(text, self.K, self.W)
+        h = _window_hashes_positional(text, self.K)
+        if h.size < self.W:
+            assert got.size == 0
+            return
+        naive = sorted(
+            {int(min(h[i : i + self.W])) for i in range(h.size - self.W + 1)}
+        )
+        assert [int(x) for x in got] == naive
+
+    @given(st.integers(0, 2**32 - 1))
+    @settings(max_examples=25, deadline=None)
+    def test_winnow_guarantee_planted_substring(self, seed):
+        """Two texts sharing a substring of >= w+k-1 chars MUST share a
+        winnowed fingerprint value (the SIGMOD 2003 theorem the
+        candidate stage's recall rests on); disjoint-alphabet texts
+        must share none."""
+        import numpy as np
+        from dlp_plugins_ray.stages.dedup import winnow_fingerprints
+
+        rng = np.random.RandomState(seed % 2**32)
+        plant = "".join(rng.choice(list("XYZ"), size=self.L))
+        a_pre = "".join(rng.choice(list("abc"), size=int(rng.randint(0, 20))))
+        a_post = "".join(rng.choice(list("abc"), size=int(rng.randint(0, 20))))
+        b_pre = "".join(rng.choice(list("def"), size=int(rng.randint(0, 20))))
+        b_post = "".join(rng.choice(list("def"), size=int(rng.randint(0, 20))))
+        fa = winnow_fingerprints(a_pre + plant + a_post, self.K, self.W)
+        fb = winnow_fingerprints(b_pre + plant + b_post, self.K, self.W)
+        assert np.intersect1d(fa, fb).size >= 1
+        # disjoint alphabets share no k-gram, hence no fingerprint
+        ua = winnow_fingerprints(a_pre + "a" * self.L, self.K, self.W)
+        ub = winnow_fingerprints(b_pre + "d" * self.L, self.K, self.W)
+        assert np.intersect1d(ua, ub).size == 0
+
+    @given(st.integers(0, 2**32 - 1))
+    @settings(max_examples=20, deadline=None)
+    def test_pairs_kernel_matches_string_sets(self, seed):
+        """_substring_pairs_kernel == naive Python: distinct shared
+        L-substring counts per pair, over a corpus with planted
+        overlaps."""
+        import numpy as np
+        from dlp_plugins_ray.stages.dedup import _substring_pairs_kernel
+
+        rng = np.random.RandomState(seed % 2**32)
+        plant = "".join(rng.choice(list("PQR"), size=self.L + 3))
+        texts = []
+        for i in range(8):
+            body = "".join(
+                rng.choice(list("abcde"), size=int(rng.randint(0, 30)))
+            )
+            if i % 3 == 0:
+                body = body[: len(body) // 2] + plant + body[len(body) // 2 :]
+            texts.append(body)
+        ids = np.arange(len(texts), dtype=np.int64)
+        got = _substring_pairs_kernel(texts, ids, self.L, 1).to_pydict()
+        got_map = {
+            (a, b): n
+            for a, b, n in zip(got["id_a"], got["id_b"], got["n_shared"])
+        }
+        want = {}
+        sets = [
+            {t[i : i + self.L] for i in range(len(t) - self.L + 1)}
+            for t in texts
+        ]
+        for i in range(len(texts)):
+            for j in range(i + 1, len(texts)):
+                n = len(sets[i] & sets[j])
+                if n >= 1:
+                    want[(i, j)] = n
+        assert got_map == want
+
+    @given(
+        st.lists(st.integers(0, 200), max_size=40),
+        st.integers(1, 30),
+    )
+    @settings(max_examples=50, deadline=None)
+    def test_coverage_matches_interval_union(self, positions, L):
+        import numpy as np
+        from dlp_plugins_ray.stages.dedup import _coverage_from_positions
+
+        pos = np.unique(np.asarray(positions, dtype=np.int64))
+        got = _coverage_from_positions(pos, L)
+        want = len({c for p in pos for c in range(p, p + L)})
+        assert got == want

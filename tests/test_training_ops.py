@@ -751,3 +751,137 @@ class TestEditDistanceVerify:
         ).take_all()
         got = {(r["id_a"], r["id_b"]): r["edit_dist"] for r in out}
         assert got == {(1, 2): 5, (1, 3): 7}  # 5 exact; 8 clamps to 7
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSubstringDedup:
+    """Ray-level pins for substring-level dedup: every plan branch
+    (one-task local, winnow+verify distributed, broadcast-mark spans,
+    fully-distributed semi-join spans) produces identical tables on a
+    corpus with nulls, empties, short docs, clones and a hot
+    boilerplate block."""
+
+    K, W = 5, 4  # L = 8
+    L = K + W - 1
+
+    def _corpus(self):
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        boiler = "".join(rng.choice(list("BOILR"), size=30))
+        texts: list = []
+        for i in range(40):
+            t = "".join(rng.choice(list("abcdefgh"), size=int(rng.randint(0, 60))))
+            if i % 5 == 0:
+                t = boiler + t  # hot shared block across 8 docs
+            texts.append(t)
+        texts += [None, "", "abc", texts[0]]  # null/empty/short/clone
+        ids = list(range(len(texts)))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    def _canon(self, ds):
+        df = ds.to_pandas()
+        return (
+            df[sorted(df.columns)]
+            .sort_values(by=sorted(df.columns))
+            .reset_index(drop=True)
+        )
+
+    def test_pairs_local_equals_distributed(self):
+        import pandas as pd
+        import ray.data as rd
+        from dlp_plugins_ray.stages import dedup as DD
+
+        t = self._corpus()
+        kw = dict(text_col="text", id_col="doc_id", k=self.K, w=self.W)
+        local = self._canon(
+            DD.substring_duplicate_pairs(rd.from_arrow(t), **kw)
+        )
+        dist = self._canon(
+            DD.substring_duplicate_pairs(
+                rd.from_arrow(t), **kw, local_threshold=0
+            )
+        )
+        assert len(local) > 0  # the boilerplate block makes pairs
+        pd.testing.assert_frame_equal(local, dist)
+
+    def test_pairs_star_cap_preserves_membership(self):
+        """max_fp_docs star expansion: every doc of an oversized
+        fingerprint group stays LINKED (appears in some pair), even
+        though pair completeness is traded away."""
+        import ray.data as rd
+        from dlp_plugins_ray.stages import dedup as DD
+
+        t = self._corpus()
+        full = self._canon(
+            DD.substring_duplicate_pairs(
+                rd.from_arrow(t), text_col="text", id_col="doc_id",
+                k=self.K, w=self.W, local_threshold=0,
+            )
+        )
+        capped = self._canon(
+            DD.substring_duplicate_pairs(
+                rd.from_arrow(t), text_col="text", id_col="doc_id",
+                k=self.K, w=self.W, local_threshold=0, max_fp_docs=3,
+            )
+        )
+        linked_full = set(full.id_a) | set(full.id_b)
+        linked_capped = set(capped.id_a) | set(capped.id_b)
+        assert linked_capped == linked_full
+        # capped pairs are a subset of the true pairs (star emits
+        # real co-occurrences only; verification stays exact)
+        assert set(zip(capped.id_a, capped.id_b)) <= set(
+            zip(full.id_a, full.id_b)
+        )
+
+    def test_spans_all_branches_equal(self):
+        import pandas as pd
+        import ray.data as rd
+        from dlp_plugins_ray.stages import dedup as DD
+
+        t = self._corpus()
+        kw = dict(text_col="text", id_col="doc_id", L=self.L)
+        local = self._canon(
+            DD.substring_dup_spans(rd.from_arrow(t), **kw)
+        )
+        bcast = self._canon(
+            DD.substring_dup_spans(
+                rd.from_arrow(t), **kw, local_threshold=0
+            )
+        )
+        fulldist = self._canon(
+            DD.substring_dup_spans(
+                rd.from_arrow(t), **kw, local_threshold=0,
+                broadcast_threshold=0,
+            )
+        )
+        assert len(local) == t.num_rows  # every doc gets a row
+        assert (local.dup_chars > 0).any()
+        assert (local.dup_chars <= local.doc_chars).all()
+        pd.testing.assert_frame_equal(local, bcast)
+        pd.testing.assert_frame_equal(local, fulldist)
+
+    def test_spans_clone_fully_covered(self):
+        """An exact clone pair must be 100%-covered (dup_chars ==
+        doc_chars) once the doc is at least L chars."""
+        import ray.data as rd
+        from dlp_plugins_ray.stages import dedup as DD
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(
+                    ["the same long document body", 
+                     "the same long document body",
+                     "completely different words!!"],
+                    pa.string(),
+                ),
+            }
+        )
+        df = DD.substring_dup_spans(
+            rd.from_arrow(t), text_col="text", id_col="doc_id", L=self.L
+        ).to_pandas().set_index("doc_id")
+        assert df.loc[0, "dup_chars"] == df.loc[0, "doc_chars"]
+        assert df.loc[1, "dup_chars"] == df.loc[1, "doc_chars"]
+        assert df.loc[2, "dup_chars"] == 0
