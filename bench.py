@@ -535,6 +535,47 @@ def dedup_soak() -> None:
         pass
 
 
+def substring_soak() -> None:
+    """At-scale substring-dedup soak (late round 5): both faces of the
+    winnowing operator over the per-content-unique-line planted corpus,
+    all distributed branches forced, closed-form exact teeth (see
+    pipelines/soak.run_substring_soak). Prints ONE JSON line; recorded
+    in BASELINE.md."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+
+    ctx = rd.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.op_resource_reservation_enabled = False
+    try:
+        from ray.data.context import ShuffleStrategy
+
+        ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    except Exception:
+        pass
+    from dlp_plugins_ray.pipelines.soak import run_substring_soak
+
+    n = int(os.environ.get("RAY_GRAFT_SUBSTR_DOCS", "200000"))
+    res = run_substring_soak(n)
+    res = {"metric": "substring_dedup_soak_seconds",
+           "value": res["spans_seconds"] + res["pairs_seconds"],
+           "unit": "sec", "num_cpus": NUM_CPUS,
+           "cpu_probe_gflops": _cpu_probe_gflops(), **res}
+    print(json.dumps(res), flush=True)
+    try:
+        ray.shutdown()
+    except Exception:
+        pass
+
+
 def incremental_soak() -> None:
     """STREAMING dedup soak (round-4 VERDICT item 7): the interleaved
     planted corpus arrives as 3 contiguous slices; slice 0 seeds the
@@ -751,6 +792,8 @@ if __name__ == "__main__":
         scaling()
     elif "--dedup-soak" in sys.argv:
         dedup_soak()
+    elif "--substring-soak" in sys.argv:
+        substring_soak()
     elif "--incremental-soak" in sys.argv:
         incremental_soak()
     elif "--change-feed-soak" in sys.argv:

@@ -2496,12 +2496,13 @@ QUERIES["edit_distance_banded"] = q_edit_distance_banded
 def q_substring_dup_pairs(sf_dir: str):
     """Substring-level dedup, pairwise face: every document pair
     sharing at least one EXACT 25-codepoint substring, with the exact
-    count of distinct shared 25-grams. Winnowed rolling-hash
-    fingerprint candidates (guaranteed recall for shared substrings of
-    >= w+k-1 = 25 chars, Schleimer et al. 2003) verified exactly in
-    the pair exchange (``stages/dedup.substring_duplicate_pairs``).
-    Runs over the RAW documents table — the oracle enumerates every
-    25-gram in SQL and recomputes the pair counts value-for-value."""
+    count of distinct shared 25-grams
+    (``stages/dedup.substring_duplicate_pairs``; default method groups
+    the 25-gram hashes themselves — counts computed in-exchange, no
+    text shipping; the winnowed-candidate variant of Schleimer et al.
+    2003 is property-pinned equal). Runs over the RAW documents table
+    — the oracle enumerates every 25-gram in SQL and recomputes the
+    pair counts value-for-value."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return DD.substring_duplicate_pairs(
         ds, text_col="text", id_col="doc_id", k=13, w=13, min_shared=1
@@ -2526,6 +2527,66 @@ def q_substring_dup_spans(sf_dir: str):
 
 
 QUERIES["substring_dup_spans"] = q_substring_dup_spans
+
+
+def q_substring_dup_remove(sf_dir: str):
+    """Substring-level dedup, REWRITE face: delete from every document
+    each character covered by a 25-codepoint window that also occurs
+    verbatim in a LOWER-id document (deterministic
+    keep-first-occurrence — exactly one copy of every duplicated span
+    survives corpus-wide; same-doc repeats stay). The oracle
+    reconstructs every cleaned text CHARACTER BY CHARACTER in SQL
+    (`string_agg` over unremoved positions), so the rewrite kernel is
+    value-checked string-for-string, not just by counts."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return DD.remove_duplicated_spans(
+        ds, text_col="text", id_col="doc_id", L=25
+    )
+
+
+QUERIES["substring_dup_remove"] = q_substring_dup_remove
+
+
+ORACLE_SQL["substring_dup_remove"] = r"""
+    WITH docs AS (
+      SELECT doc_id, coalesce(text, '') AS text FROM documents
+    ), long_docs AS (
+      SELECT * FROM docs WHERE length(text) >= 25
+    ), grams AS (
+      SELECT doc_id, CAST(p AS BIGINT) AS p,
+             substr(text, CAST(p AS INT), 25) AS g
+      FROM long_docs,
+           LATERAL (SELECT unnest(generate_series(1, length(text) - 24)) AS p)
+    ), owners AS (
+      SELECT g, min(doc_id) AS min_doc
+      FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+    ), marked AS (
+      SELECT gr.doc_id, gr.p FROM grams gr JOIN owners o USING (g)
+      WHERE o.min_doc < gr.doc_id
+    ), removed AS (
+      SELECT DISTINCT m.doc_id, m.p + off.o AS i
+      FROM marked m,
+           LATERAL (SELECT unnest(generate_series(0, 24)) AS o) off(o)
+    ), chars AS (
+      SELECT d.doc_id, CAST(i AS BIGINT) AS i,
+             substr(d.text, CAST(i AS INT), 1) AS ch
+      FROM docs d,
+           LATERAL (SELECT unnest(generate_series(1, length(d.text))) AS i)
+    ), kept AS (
+      SELECT c.doc_id, c.i, c.ch
+      FROM chars c LEFT JOIN removed r
+        ON r.doc_id = c.doc_id AND r.i = c.i
+      WHERE r.i IS NULL
+    ), agg AS (
+      SELECT doc_id, string_agg(ch, '' ORDER BY i) AS text_clean
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.text_clean, '') AS text_clean,
+           CAST(length(d.text) - length(coalesce(a.text_clean, ''))
+                AS BIGINT) AS removed_chars
+    FROM docs d LEFT JOIN agg a USING (doc_id)
+"""
 
 
 ORACLE_SQL["substring_dup_pairs"] = r"""
@@ -5446,9 +5507,11 @@ _DRIVER_PREFIX = [
     "cdc_time_travel",
     "cdc_change_feed",
     # substring-level dedup (winnowing candidates + exact L-gram
-    # verify; raw-documents oracles recompute counts/coverage in SQL)
+    # verify; raw-documents oracles recompute counts/coverage —
+    # and, for the rewrite, every cleaned STRING — in SQL)
     "substring_dup_pairs",
     "substring_dup_spans",
+    "substring_dup_remove",
     # (b) the six round-4 driver-red (dtype-only) queries — fixed via
     # CAST(sum(...) AS BIGINT) in their oracle SQL; kept in the checked
     # window to prove the fix

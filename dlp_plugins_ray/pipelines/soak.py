@@ -637,3 +637,242 @@ def run_incremental_soak(n_docs: int, *, n_slices: int = 3,
         "store_max_id": int(meta["max_id"]),
         "drop_paths": drop_paths,
     }
+
+
+# --- substring-dedup soak ---------------------------------------------------
+# The pool-based soak corpus reuses each of 65k lines in ~73 docs —
+# right for shingle-set (Jaccard) semantics, but under SUBSTRING
+# semantics every shared line IS a true shared 25-gram, so the pair
+# graph would be the pool's quadratic co-occurrence graph, not the
+# planted plan. This corpus gives every CONTENT id its own hash-derived
+# lines (cross-content collisions only at the 2^-64 hash level), so the
+# exact expected outputs are closed-form:
+#   exact clones + every clone source  -> fully covered (dup_chars ==
+#     doc_chars: the clone carries the whole text verbatim)
+#   near clones -> dup_chars == doc_chars - 25 (the mutation is a
+#     25-char unique suffix: '\n' + 24 chars; every window touching it
+#     exists nowhere else)
+#   pure base docs -> dup_chars == 0
+#   pair graph == the clone families exactly (star-capped on hot ones)
+
+
+_SUB_LINES_PER_DOC = 12
+
+
+def _substring_doc_texts(ids: np.ndarray, n_docs: int, dup_frac: float,
+                         hot_frac: float, n_hot: int) -> list[str]:
+    n_base = n_docs - int(round(n_docs * dup_frac))
+    ids = ids.astype(np.int64)
+    is_dup = ids >= n_base
+    content_id = ids.copy()
+    near = np.zeros(len(ids), dtype=bool)
+    if is_dup.any():
+        src, isn = _plan_for(ids[is_dup], n_base,
+                             hot_frac=hot_frac, n_hot=n_hot)
+        content_id[is_dup] = src
+        near[is_dup] = isn
+    # per-content line hashes: key = content*LINES + j, two mixes per
+    # line. Lines are HEX-DENSE on purpose: with long constant filler
+    # (the first corpus draft used code-shaped "    vJ = fn_{h}({h})"
+    # lines) a 25-window crossing a line boundary carries only ~11
+    # hash hex chars, and at 200k docs the ~2e11 boundary pairs x
+    # 16^-11 birthday surface produced exactly one unplanned shared
+    # window — a real corpus artifact, not an engine bug. In this
+    # format every 25-window contains >= 20 hash hex chars from two
+    # independent mixes (worst case crosses the 5-char "-vJJ\n" + "."
+    # fillers), putting unplanned sharing at ~16^-20 per aligned pair
+    # — zero at any soak scale.
+    base_keys = content_id.astype(np.uint64) * np.uint64(_SUB_LINES_PER_DOC)
+    texts: list[str] = []
+    for i in range(len(ids)):
+        ks = base_keys[i] + np.arange(_SUB_LINES_PER_DOC, dtype=np.uint64)
+        h1 = _mix(ks, 31)
+        h2 = _mix(ks, 32)
+        lines = [
+            f"{h1[j]:016x}.{h2[j]:016x}-v{j:02d}"
+            for j in range(_SUB_LINES_PER_DOC)
+        ]
+        t = "\n".join(lines)
+        if near[i]:
+            # the mutation is keyed by the SOURCE, not the clone id:
+            # near siblings of one source are byte-identical to each
+            # other, so expected coverage stays closed-form (a
+            # per-clone suffix would still share its '\n# mut ' prefix
+            # with siblings across the newline boundary, covering 7
+            # extra chars only when near-multiplicity >= 2)
+            m = int(_mix(content_id[i : i + 1].astype(np.uint64), 33)[0])
+            t += f"\n# mut {m:016x}xx"  # '\n' + exactly 24 chars = 25
+        texts.append(t)
+    return texts
+
+
+def write_substring_corpus(out_dir: str, n_docs: int, *,
+                           dup_frac: float = 0.3, hot_frac: float = 0.5,
+                           n_hot: int = 10, n_shards: int = 64) -> str:
+    """Idempotent parallel writer for the substring-soak corpus (one
+    contiguous-id parquet shard per task, nothing corpus-sized on the
+    driver — same discipline as :func:`write_soak_corpus`)."""
+    import ray
+
+    marker = os.path.join(out_dir, _COMPLETE)
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    for name in os.listdir(out_dir):
+        os.unlink(os.path.join(out_dir, name))
+
+    @ray.remote(num_cpus=1)
+    def write_shard(i: int) -> int:
+        lo = i * n_docs // n_shards
+        hi = (i + 1) * n_docs // n_shards
+        if hi <= lo:
+            return 0
+        ids = np.arange(lo, hi, dtype=np.int64)
+        texts = _substring_doc_texts(ids, n_docs, dup_frac, hot_frac, n_hot)
+        t = pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)})
+        pq.write_table(
+            t, os.path.join(out_dir, f"docs-{i:04d}.parquet"),
+            compression="zstd",
+        )
+        return hi - lo
+
+    total = sum(ray.get([write_shard.remote(i) for i in range(n_shards)]))
+    with open(marker, "w") as f:
+        f.write(str(total))
+    return out_dir
+
+
+def run_substring_soak(n_docs: int, *, dup_frac: float = 0.3,
+                       hot_frac: float = 0.5, n_hot: int = 10,
+                       corpus_dir: str | None = None, L: int = 25,
+                       max_fp_docs: int = 64,
+                       force_distributed: bool = True) -> dict:
+    """At-scale adversarial run of BOTH substring-dedup faces over the
+    planted corpus, every distributed branch forced (local paths off;
+    spans pushed through the semi-join fallback with
+    ``broadcast_threshold=0`` — the no-driver-state 100-TB shape) and
+    every tooth EXACT (closed-form expected coverage per doc, pair
+    graph == clone families):
+
+    - spans: per-doc dup_chars must equal the plan's prediction for
+      all n docs (full / minus-25 / zero — see the corpus comment)
+    - pairs: the linked-id set must equal dups ∪ sources exactly
+      (hot families star-capped via ``max_fp_docs``), with zero
+      false-positive links (exact verification + per-content lines)
+    """
+    import time
+
+    import ray
+    import ray.data as rd
+
+    from dlp_plugins_ray.stages import dedup as DD
+
+    # force_distributed=False lets the size-adaptive local paths run
+    # (property-pinned equal to the distributed branches in
+    # tests/test_training_ops.py TestSubstringDedup) — the fast shape
+    # for small-n pytest runs at 4 CPUs, where each forced exchange
+    # pays multi-second fixed cost. The bench soak keeps the default:
+    # at scale the distributed branches are the ones under test.
+    assert L == 25, "teeth are closed-form for the 25-char suffix"
+    d = corpus_dir or os.path.join(
+        tempfile.gettempdir(),
+        f"dlp_ray_substr_v4_{n_docs}_{int(dup_frac*100)}",
+    )
+    write_substring_corpus(d, n_docs, dup_frac=dup_frac,
+                           hot_frac=hot_frac, n_hot=n_hot)
+    p = plan(n_docs, dup_frac=dup_frac, hot_frac=hot_frac, n_hot=n_hot)
+    n_base = p["n_base"]
+    sources = np.unique(p["source"])
+
+    files = sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    )
+    ds = rd.read_parquet(files, columns=["doc_id", "text"])
+    ds.count()  # warm pool/page cache outside the timed window
+
+    # ---- spans (fully-distributed branch) ----
+    t0 = time.time()
+    spans_tabs = [
+        t for t in ray.get(
+            DD.substring_dup_spans(
+                ds, text_col="text", id_col="doc_id", L=L,
+                local_threshold=0 if force_distributed else 20_000,
+                broadcast_threshold=0 if force_distributed else 2_000_000,
+            ).to_arrow_refs()
+        ) if t.num_rows
+    ]
+    spans_sec = time.time() - t0
+    spans = pa.concat_tables(spans_tabs)
+    got_ids = spans.column("doc_id").to_numpy(zero_copy_only=False)
+    got_dup = spans.column("dup_chars").to_numpy(zero_copy_only=False)
+    got_chars = spans.column("doc_chars").to_numpy(zero_copy_only=False)
+    order = np.argsort(got_ids)
+    got_ids, got_dup, got_chars = (
+        got_ids[order], got_dup[order], got_chars[order]
+    )
+    # closed-form expectations over the id space: every clone and
+    # every source is fully covered, EXCEPT a near clone whose source
+    # has exactly ONE near clone — its source-keyed 25-char suffix
+    # ('\n' + 24) exists nowhere else (near siblings are
+    # byte-identical, so multiplicity >= 2 shares the suffix too)
+    expect = np.zeros(n_docs, dtype=np.int64)
+    covered = np.zeros(n_docs, dtype=bool)
+    covered[p["dup_ids"]] = True
+    covered[sources] = True
+    expect[covered] = got_chars[covered]
+    near_ids = p["dup_ids"][p["is_near"]]
+    near_src = p["source"][p["is_near"]]
+    near_mult = np.bincount(near_src, minlength=n_base)
+    lonely = near_ids[near_mult[near_src] == 1]
+    expect[lonely] = got_chars[lonely] - L
+    spans_ok = bool(
+        len(got_ids) == n_docs
+        and (got_ids == np.arange(n_docs)).all()
+        and (got_dup == expect).all()
+    )
+
+    # ---- pairs (winnow candidates + exchange verify, star-capped) ----
+    t1 = time.time()
+    pair_tabs = [
+        t for t in ray.get(
+            DD.substring_duplicate_pairs(
+                ds, text_col="text", id_col="doc_id", k=13, w=13,
+                local_threshold=0 if force_distributed else 20_000,
+                max_fp_docs=max_fp_docs,
+            ).to_arrow_refs()
+        ) if t.num_rows and "id_a" in t.column_names
+    ]
+    pairs_sec = time.time() - t1
+    if pair_tabs:
+        pairs = pa.concat_tables(
+            [t.cast(pair_tabs[0].schema) for t in pair_tabs]
+        )
+        pa_ids = pairs.column("id_a").to_numpy(zero_copy_only=False)
+        pb_ids = pairs.column("id_b").to_numpy(zero_copy_only=False)
+    else:
+        pa_ids = pb_ids = np.empty(0, np.int64)
+    linked = np.zeros(n_docs, dtype=bool)
+    linked[pa_ids] = True
+    linked[pb_ids] = True
+    linked_ok = bool((linked == covered).all())
+    # zero false positives: both endpoints of every pair must carry the
+    # same planted content
+    content = np.arange(n_docs, dtype=np.int64)
+    content[p["dup_ids"]] = p["source"]
+    fp_pairs = int((content[pa_ids] != content[pb_ids]).sum())
+
+    return {
+        "docs": n_docs,
+        "n_base": int(n_base),
+        "n_dups": int(n_docs - n_base),
+        "n_sources": int(len(sources)),
+        "spans_seconds": round(spans_sec, 3),
+        "spans_docs_per_sec": round(n_docs / spans_sec, 1),
+        "spans_rows": int(len(got_ids)),
+        "spans_exact_match": spans_ok,
+        "pairs_seconds": round(pairs_sec, 3),
+        "pairs_rows": int(len(pa_ids)),
+        "pairs_linked_exact": linked_ok,
+        "pairs_false_links": fp_pairs,
+        "max_fp_docs": max_fp_docs,
+    }

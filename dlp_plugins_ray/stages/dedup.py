@@ -3396,8 +3396,29 @@ def winnow_candidate_pairs(
             pairs = pl.concat([pairs, star]).unique()
         return pairs.sort(["id_a", "id_b"]).to_arrow().cast(pair_schema)
 
-    return bucketed_group_reduce(
+    raw = bucketed_group_reduce(
         thin, ["fp"], pairs_block,
+        num_buckets=num_buckets, out_schema=pair_schema,
+    )
+
+    # DISTINCT pairs before anything downstream: a clone family
+    # sharing F fingerprints emits the same pair from up to F fp
+    # groups in F different buckets — without this one THIN exchange
+    # (16-byte rows) the verify stage's member join ships each pair's
+    # TEXTS F times over (measured on the 200k-doc soak: 27M pair
+    # rows / 15 GB through the sort for <100k distinct pairs; the
+    # minhash LSH pair path dedupes across bands the same way).
+    def dedup_block(block: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(block)
+            .unique()
+            .sort(["id_a", "id_b"])
+            .to_arrow()
+            .cast(pair_schema)
+        )
+
+    return bucketed_group_reduce(
+        raw, ["id_a", "id_b"], dedup_block,
         num_buckets=num_buckets, out_schema=pair_schema,
     )
 
@@ -3532,16 +3553,43 @@ def substring_duplicate_pairs(
     num_buckets: int = 64,
     max_fp_docs: int | None = None,
     local_threshold: int = 20_000,
+    method: str = "exact",
 ):
     """All document pairs sharing at least ``min_shared`` DISTINCT
     exact substrings of length L = ``w + k - 1`` codepoints, with the
     exact count — the pairwise face of substring-level dedup.
-    Winnowed-fingerprint candidates (guaranteed-recall superset,
-    :func:`winnow_candidate_pairs`) verified exactly in the pair
-    exchange (:func:`verify_pairs_shared_windows`).
+
+    ``method='exact'`` (default, the scale path): group the DISTINCT
+    L-gram hashes themselves — a shared hash IS a shared L-gram (at
+    the corpus-wide 2^-64 collision budget), so pair counts are
+    computed entirely inside two thin exchanges (per-hash-group pair
+    emission with a per-bucket count combiner, then a sum exchange on
+    the pair ids) and NO document text ever ships. This exists because
+    the winnowed candidate route measured pathological on realistic
+    corpora: ~25 constant 13-char k-grams (line-boundary boilerplate)
+    appeared in ~every doc of the 200k soak corpus, each emitting a
+    corpus-scale star — 10.6M false candidate pairs whose TEXTS then
+    moved 15 GB through the verify exchange, for an output where all
+    of them verified to zero. L-gram groups cannot have that floor:
+    no 25-char window is constant across unrelated docs.
+
+    ``method='winnow_verify'``: the winnowed-fingerprint candidate
+    route (:func:`winnow_candidate_pairs` ->
+    :func:`verify_pairs_shared_windows`) — ~w/2x fewer thin rows into
+    the first exchange, right for corpora KNOWN to lack sub-L
+    boilerplate; property-pinned equal to 'exact'.
+
+    ``max_fp_docs`` is the scale valve for the inherently quadratic
+    pair semantics (boilerplate shared by m docs IS m(m-1)/2 true
+    pairs): hash groups larger than it emit a recall-preserving STAR
+    (per-group-min to each member) instead of all pairs; star pairs'
+    ``n_shared`` then counts only the groups where the pair was
+    star-linked — a LOWER bound (same spirit as the minhash path's
+    ``n_bands`` undercount). Default None = exact completeness, the
+    conformance contract.
 
     Size-adaptive (round-5 idiom): an input of <= ``local_threshold``
-    documents skips all three exchanges — one remote task runs
+    documents skips every exchange — one remote task runs
     :func:`_substring_pairs_kernel` over the whole corpus (identical
     semantics, property-pinned). Pass 0 to force the distributed
     branch; at-scale runs take it automatically."""
@@ -3579,13 +3627,100 @@ def substring_duplicate_pairs(
                 [solve.remote(*ds.to_arrow_refs())]
             )
 
-    cands = winnow_candidate_pairs(
-        ds, text_col=text_col, id_col=id_col, k=k, w=w,
-        num_buckets=num_buckets, max_fp_docs=max_fp_docs,
+    if method == "winnow_verify":
+        cands = winnow_candidate_pairs(
+            ds, text_col=text_col, id_col=id_col, k=k, w=w,
+            num_buckets=num_buckets, max_fp_docs=max_fp_docs,
+        )
+        return verify_pairs_shared_windows(
+            ds, cands, text_col=text_col, id_col=id_col,
+            L=L, min_shared=min_shared,
+        )
+
+    import polars as pl
+
+    from .cache import cached_task_stage
+    from .shuffle import bucketed_group_reduce
+
+    thin = ds.map_batches(
+        cached_task_stage(WindowHashStage, text_col, id_col, L=L),
+        batch_format="pyarrow",
     )
-    return verify_pairs_shared_windows(
-        ds, cands, text_col=text_col, id_col=id_col,
-        L=L, min_shared=min_shared,
+    cnt_schema = pa.schema(
+        [
+            ("id_a", pa.int64()),
+            ("id_b", pa.int64()),
+            ("cnt", pa.int64()),
+        ]
+    )
+
+    def grouped_pairs_block(block: pa.Table) -> pa.Table:
+        # bucket block holds every (h, id) row of its hash groups;
+        # emit the group's pairs once per h, then combine per-bucket
+        # (group_by count) so the sum exchange moves one row per
+        # (pair, bucket), not one per (pair, h)
+        df = pl.from_arrow(block).unique()
+        if df.height == 0:
+            return cnt_schema.empty_table()
+        if max_fp_docs is not None:
+            sizes = pl.len().over("h")
+            small = df.filter(sizes <= max_fp_docs)
+            big = df.filter(sizes > max_fp_docs)
+        else:
+            small, big = df, None
+        j = small.join(small, on="h")
+        pairs = j.filter(
+            pl.col(id_col) < pl.col(f"{id_col}_right")
+        ).select(
+            pl.col(id_col).cast(pl.Int64).alias("id_a"),
+            pl.col(f"{id_col}_right").cast(pl.Int64).alias("id_b"),
+        )
+        if big is not None and big.height:
+            star = (
+                big.with_columns(
+                    pl.col(id_col).min().over("h").alias("_min")
+                )
+                .filter(pl.col(id_col) != pl.col("_min"))
+                .select(
+                    pl.col("_min").cast(pl.Int64).alias("id_a"),
+                    pl.col(id_col).cast(pl.Int64).alias("id_b"),
+                )
+            )
+            pairs = pl.concat([pairs, star])
+        return (
+            pairs.group_by(["id_a", "id_b"])
+            .agg(pl.len().cast(pl.Int64).alias("cnt"))
+            .to_arrow()
+            .cast(cnt_schema)
+        )
+
+    partial = bucketed_group_reduce(
+        thin, ["h"], grouped_pairs_block,
+        num_buckets=num_buckets, out_schema=cnt_schema,
+    )
+
+    out_schema = pa.schema(
+        [
+            ("id_a", pa.int64()),
+            ("id_b", pa.int64()),
+            ("n_shared", pa.int64()),
+        ]
+    )
+
+    def sum_block(block: pa.Table) -> pa.Table:
+        df = pl.from_arrow(block)
+        return (
+            df.group_by(["id_a", "id_b"])
+            .agg(pl.col("cnt").sum().cast(pl.Int64).alias("n_shared"))
+            .filter(pl.col("n_shared") >= min_shared)
+            .sort(["id_a", "id_b"])
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    return bucketed_group_reduce(
+        partial, ["id_a", "id_b"], sum_block,
+        num_buckets=num_buckets, out_schema=out_schema,
     )
 
 
@@ -3905,3 +4040,305 @@ def substring_dup_spans(
         ).cast(spans_schema)
 
     return joined.map_batches(fill, batch_format="pyarrow")
+
+
+def _clean_text_mask(text: str, marked: np.ndarray, L: int) -> str:
+    """Remove every character covered by a marked window ``[p, p+L)``
+    — vectorized interval union via a +1/-1 delta array + cumsum, then
+    one utf-32 gather (no per-char Python)."""
+    if marked.size == 0:
+        return text
+    cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    n = cp.size
+    delta = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(delta, marked, 1)
+    np.add.at(delta, np.minimum(marked + L, n), -1)
+    covered = np.cumsum(delta[:-1]) > 0
+    return cp[~covered].tobytes().decode("utf-32-le")
+
+
+def remove_duplicated_spans(
+    ds,
+    *,
+    text_col: str,
+    id_col: str,
+    L: int = 25,
+    num_buckets: int = 64,
+    broadcast_threshold: int = 2_000_000,
+    local_threshold: int = 20_000,
+):
+    """The REWRITE face of substring dedup (the transform Lee et al.
+    2022 apply): delete from every document each character covered by
+    an L-codepoint window that also occurs verbatim in a LOWER-id
+    document — a deterministic keep-first-occurrence rule, so one copy
+    of every duplicated span survives corpus-wide and the output is
+    independent of execution order. Same-document repeats are NOT
+    removed (cross-document dedup only). Emits
+    ``(doc_id, text_clean, removed_chars)``.
+
+    Plan shape mirrors :func:`substring_dup_spans`: one bucketed
+    exchange reduces each window hash to its MIN owning doc (kept only
+    when >= 2 distinct docs own it); the (hash, min_doc) pairs
+    broadcast via ``ray.put`` and a second map pass masks + rebuilds
+    each text with numpy (no per-char Python). Above
+    ``broadcast_threshold`` the rewrite stays fully distributed:
+    positional rows inner-join the owner map, keep rows where
+    ``min_doc < doc_id``, reduce marked positions per doc, and a left
+    hash_join attaches untouched docs. One-task local path under
+    ``local_threshold`` docs, property-pinned equal."""
+    import ray
+    import ray.data as rd
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text_clean", pa.string()),
+            ("removed_chars", pa.int64()),
+        ]
+    )
+
+    def _owner_arrays(rows: np.ndarray, hashes: np.ndarray,
+                      ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(sorted shared hashes, min owner per hash) from distinct
+        (row, hash) pairs — hashes owned by ONE doc are dropped."""
+        import polars as pl
+
+        if rows.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        df = (
+            pl.DataFrame({"h": hashes.view(np.int64), "id": ids[rows]})
+            .group_by("h")
+            .agg(
+                pl.col("id").min().alias("min_id"),
+                pl.col("id").n_unique().alias("_nd"),
+            )
+            .filter(pl.col("_nd") >= 2)
+            .sort("h")
+        )
+        return df["h"].to_numpy(), df["min_id"].to_numpy()
+
+    def _rewrite(texts: list[str], ids: np.ndarray,
+                 h_sorted: np.ndarray, min_ids: np.ndarray) -> pa.Table:
+        out_texts: list[str] = []
+        removed = np.zeros(len(texts), np.int64)
+        for i, t in enumerate(texts):
+            h = _window_hashes_positional(t, L).view(np.int64)
+            if h.size and h_sorted.size:
+                idx = np.searchsorted(h_sorted, h)
+                valid = idx < h_sorted.size
+                hit = np.zeros(h.size, dtype=bool)
+                hit[valid] = h_sorted[idx[valid]] == h[valid]
+                # keep-first: only windows whose min owner is a LOWER doc
+                hit[valid] &= min_ids[np.minimum(idx, h_sorted.size - 1)][
+                    valid
+                ] < ids[i]
+                marked = np.flatnonzero(hit)
+            else:
+                marked = np.empty(0, np.int64)
+            clean = _clean_text_mask(t, marked, L)
+            out_texts.append(clean)
+            removed[i] = len(t) - len(clean)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64)),
+                "text_clean": pa.array(out_texts, pa.string()),
+                "removed_chars": pa.array(removed),
+            }
+        ).cast(out_schema)
+
+    if local_threshold:
+        ds = ds.materialize()
+        if ds.count() <= local_threshold:
+            @ray.remote
+            def solve(*tables) -> pa.Table:
+                tabs = [t for t in tables if t.num_rows]
+                if not tabs:
+                    return out_schema.empty_table()
+                t = pa.concat_tables(
+                    [x.select([id_col, text_col]) for x in tabs]
+                )
+                texts = [
+                    s if s is not None else ""
+                    for s in t.column(text_col).to_pylist()
+                ]
+                ids = t.column(id_col).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)
+                rows, hashes = _char_shingle_hashes_many(
+                    texts, L, include_short=False
+                )
+                h_sorted, min_ids = _owner_arrays(rows, hashes, ids)
+                return _rewrite(texts, ids, h_sorted, min_ids)
+
+            return rd.from_arrow_refs([solve.remote(*ds.to_arrow_refs())])
+
+    # distributed owner map: one bucketed exchange of thin rows
+    import polars as pl
+
+    from .cache import cached_task_stage
+    from .shuffle import bucketed_group_reduce
+
+    thin = ds.map_batches(
+        cached_task_stage(WindowHashStage, text_col, id_col, L=L),
+        batch_format="pyarrow",
+    )
+    owner_schema = pa.schema([("h", pa.int64()), ("min_id", pa.int64())])
+
+    def owner_block(block: pa.Table) -> pa.Table:
+        df = pl.from_arrow(block)
+        return (
+            df.group_by("h")
+            .agg(
+                pl.col(id_col).min().cast(pl.Int64).alias("min_id"),
+                pl.col(id_col).n_unique().alias("_nd"),
+            )
+            .filter(pl.col("_nd") >= 2)
+            .select(["h", "min_id"])
+            .to_arrow()
+            .cast(owner_schema)
+        )
+
+    owners = bucketed_group_reduce(
+        thin, ["h"], owner_block,
+        num_buckets=num_buckets, out_schema=owner_schema,
+    ).materialize()
+
+    if owners.count() <= broadcast_threshold:
+        tabs = [
+            t for t in ray.get(owners.to_arrow_refs())
+            if t.num_rows and "h" in t.column_names
+        ]
+        if tabs:
+            cat = pa.concat_tables([t.cast(owner_schema) for t in tabs])
+            hs = cat.column("h").to_numpy(zero_copy_only=False)
+            ms = cat.column("min_id").to_numpy(zero_copy_only=False)
+            order = np.argsort(hs)
+            hs, ms = hs[order], ms[order]
+        else:
+            hs = ms = np.empty(0, np.int64)
+        owners_ref = ray.put((hs, ms))
+
+        def mark(batch: pa.Table) -> pa.Table:
+            texts = [
+                t if t is not None else ""
+                for t in batch.column(text_col).to_pylist()
+            ]
+            ids = batch.column(id_col).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            h_sorted, min_ids = ray.get(owners_ref)
+            return _rewrite(texts, ids, h_sorted, min_ids)
+
+        return ds.map_batches(mark, batch_format="pyarrow")
+
+    # fully-distributed rewrite: positional rows join the owner map
+    from .joins import hash_join
+
+    def positional(batch: pa.Table) -> pa.Table:
+        texts = [
+            t if t is not None else ""
+            for t in batch.column(text_col).to_pylist()
+        ]
+        ids = batch.column(id_col).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        hs: list[np.ndarray] = []
+        ps: list[np.ndarray] = []
+        ns = np.zeros(len(texts), np.int64)
+        for i, t in enumerate(texts):
+            h = _window_hashes_positional(t, L).view(np.int64)
+            hs.append(h)
+            ps.append(np.arange(h.size, dtype=np.int64))
+            ns[i] = h.size
+        return pa.table(
+            {
+                "h": pa.array(
+                    np.concatenate(hs) if hs else np.empty(0, np.int64)
+                ),
+                "pos": pa.array(
+                    np.concatenate(ps) if ps else np.empty(0, np.int64)
+                ),
+                "doc_id": pa.array(np.repeat(ids, ns)),
+            }
+        )
+
+    joined = hash_join(
+        ds.map_batches(positional, batch_format="pyarrow"),
+        owners,
+        on="h",
+        how="inner",
+        right_value_cols=["min_id"],
+        num_buckets=num_buckets,
+    )
+
+    import pyarrow.compute as _pc
+
+    marked = joined.map_batches(
+        lambda b: b.filter(
+            _pc.less(b.column("min_id"), b.column("doc_id"))
+        ).select(["doc_id", "pos"]),
+        batch_format="pyarrow",
+    )
+
+    pos_schema = pa.schema(
+        [("doc_id", pa.int64()), ("pos_list", pa.list_(pa.int64()))]
+    )
+
+    def pos_block(block: pa.Table) -> pa.Table:
+        df = pl.from_arrow(block).sort(["doc_id", "pos"])
+        out = df.group_by("doc_id", maintain_order=True).agg(
+            pl.col("pos").alias("pos_list")
+        )
+        return out.to_arrow().cast(pos_schema)
+
+    pos_per_doc = bucketed_group_reduce(
+        marked, ["doc_id"], pos_block,
+        num_buckets=num_buckets, out_schema=pos_schema,
+    )
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column(id_col).cast(pa.int64()),
+                text_col: batch.column(text_col),
+            }
+        )
+
+    both = hash_join(
+        ds.map_batches(doc_rows, batch_format="pyarrow"),
+        pos_per_doc,
+        on="doc_id",
+        how="left",
+        num_buckets=num_buckets,
+    )
+
+    def rewrite_block(batch: pa.Table) -> pa.Table:
+        texts = [
+            t if t is not None else ""
+            for t in batch.column(text_col).to_pylist()
+        ]
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        plists = batch.column("pos_list").to_pylist()
+        out_texts: list[str] = []
+        removed = np.zeros(len(texts), np.int64)
+        for i, t in enumerate(texts):
+            marked_list = plists[i]
+            marked_np = (
+                np.asarray(marked_list, dtype=np.int64)
+                if marked_list
+                else np.empty(0, np.int64)
+            )
+            clean = _clean_text_mask(t, marked_np, L)
+            out_texts.append(clean)
+            removed[i] = len(t) - len(clean)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "text_clean": pa.array(out_texts, pa.string()),
+                "removed_chars": pa.array(removed),
+            }
+        ).cast(out_schema)
+
+    return both.map_batches(rewrite_block, batch_format="pyarrow")

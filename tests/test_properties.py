@@ -1056,3 +1056,31 @@ class TestWinnowingSubstring:
         got = _coverage_from_positions(pos, L)
         want = len({c for p in pos for c in range(p, p + L)})
         assert got == want
+
+
+class TestCleanTextMask:
+    """Pins for the substring-rewrite kernel
+    (stages/dedup._clean_text_mask): interval-union removal equals the
+    naive per-char mask for any marked-position set."""
+
+    @given(
+        st.text(alphabet="abé中\n", max_size=60),
+        st.lists(st.integers(0, 70), max_size=20),
+        st.integers(1, 10),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_matches_naive_char_mask(self, text, positions, L):
+        import numpy as np
+        from dlp_plugins_ray.stages.dedup import _clean_text_mask
+
+        n = len(text)
+        pos = np.unique(
+            np.asarray([p for p in positions if p < max(n - L + 1, 0)],
+                       dtype=np.int64)
+        )
+        got = _clean_text_mask(text, pos, L)
+        covered = set()
+        for p in pos:
+            covered.update(range(p, min(p + L, n)))
+        want = "".join(c for i, c in enumerate(text) if i not in covered)
+        assert got == want

@@ -554,3 +554,43 @@ def test_incremental_fused_matches_distributed(ray_session, tmp_path):
         store, text_col="text", id_col="doc_id", append=False,
     ).count()
     assert store_rows(store) == before
+
+
+def test_substring_soak_exact_teeth(ray_session, tmp_path):
+    """Small-n end-to-end run of the substring-dedup soak: BOTH faces,
+    all distributed branches forced inside run_substring_soak, every
+    closed-form tooth must hold exactly (full coverage for clones and
+    sources, doc_chars-25 for lonely near clones, zero for pure base
+    docs; pair links == clone families, no false links)."""
+    res = soak.run_substring_soak(
+        1_200, corpus_dir=str(tmp_path / "substr"), force_distributed=False
+    )
+    assert res["spans_rows"] == 1_200
+    assert res["spans_exact_match"] is True
+    assert res["pairs_linked_exact"] is True
+    assert res["pairs_false_links"] == 0
+    assert res["pairs_rows"] > 0
+
+
+def test_substring_corpus_deterministic(ray_session, tmp_path):
+    """Two renders of the same id slice are byte-identical, and clone
+    relations hold at the text level (exact clone == source text; near
+    clone == source + 25-char suffix; near siblings byte-equal)."""
+    ids = np.arange(0, 2_000, dtype=np.int64)
+    a = soak._substring_doc_texts(ids, 2_000, 0.3, 0.5, 10)
+    b = soak._substring_doc_texts(ids, 2_000, 0.3, 0.5, 10)
+    assert a == b
+    p = soak.plan(2_000)
+    texts = a
+    by_src: dict[int, list[int]] = {}
+    for d, s, nr in zip(p["dup_ids"], p["source"], p["is_near"]):
+        if nr:
+            by_src.setdefault(int(s), []).append(int(d))
+        if not nr:
+            assert texts[d] == texts[s]
+        else:
+            assert texts[d].startswith(texts[s])
+            assert len(texts[d]) == len(texts[s]) + 25
+    for s, members in by_src.items():
+        first = texts[members[0]]
+        assert all(texts[m] == first for m in members)

@@ -803,8 +803,15 @@ class TestSubstringDedup:
                 rd.from_arrow(t), **kw, local_threshold=0
             )
         )
+        winnow = self._canon(
+            DD.substring_duplicate_pairs(
+                rd.from_arrow(t), **kw, local_threshold=0,
+                method="winnow_verify",
+            )
+        )
         assert len(local) > 0  # the boilerplate block makes pairs
         pd.testing.assert_frame_equal(local, dist)
+        pd.testing.assert_frame_equal(local, winnow)
 
     def test_pairs_star_cap_preserves_membership(self):
         """max_fp_docs star expansion: every doc of an oversized
@@ -885,3 +892,89 @@ class TestSubstringDedup:
         assert df.loc[0, "dup_chars"] == df.loc[0, "doc_chars"]
         assert df.loc[1, "dup_chars"] == df.loc[1, "doc_chars"]
         assert df.loc[2, "dup_chars"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSubstringRemove:
+    """remove_duplicated_spans: every plan branch equal, and the
+    keep-first-occurrence rule holds (the lowest-id copy of a
+    duplicated span survives untouched)."""
+
+    L = 8
+
+    def _corpus(self):
+        import numpy as np
+
+        rng = np.random.RandomState(5)
+        boiler = "".join(rng.choice(list("BOILR"), size=30))
+        texts: list = []
+        for i in range(30):
+            t = "".join(rng.choice(list("abcdefgh"), size=int(rng.randint(0, 50))))
+            if i % 4 == 0:
+                t = t[: len(t) // 2] + boiler + t[len(t) // 2 :]
+            texts.append(t)
+        texts += [None, "", "abc", texts[1]]
+        ids = list(range(len(texts)))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    def _canon(self, ds):
+        df = ds.to_pandas()
+        return (
+            df[sorted(df.columns)]
+            .sort_values(by=sorted(df.columns))
+            .reset_index(drop=True)
+        )
+
+    def test_all_branches_equal(self):
+        import pandas as pd
+        import ray.data as rd
+        from dlp_plugins_ray.stages import dedup as DD
+
+        t = self._corpus()
+        kw = dict(text_col="text", id_col="doc_id", L=self.L)
+        local = self._canon(
+            DD.remove_duplicated_spans(rd.from_arrow(t), **kw)
+        )
+        bcast = self._canon(
+            DD.remove_duplicated_spans(
+                rd.from_arrow(t), **kw, local_threshold=0
+            )
+        )
+        fulldist = self._canon(
+            DD.remove_duplicated_spans(
+                rd.from_arrow(t), **kw, local_threshold=0,
+                broadcast_threshold=0,
+            )
+        )
+        assert len(local) == t.num_rows
+        assert (local.removed_chars > 0).any()
+        pd.testing.assert_frame_equal(local, bcast)
+        pd.testing.assert_frame_equal(local, fulldist)
+
+    def test_keep_first_occurrence(self):
+        import ray.data as rd
+        from dlp_plugins_ray.stages import dedup as DD
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([3, 7, 9], pa.int64()),
+                "text": pa.array(
+                    [
+                        "first copy of the shared span here",
+                        "first copy of the shared span here",
+                        "unrelated totally different text!",
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+        df = DD.remove_duplicated_spans(
+            rd.from_arrow(t), text_col="text", id_col="doc_id", L=self.L
+        ).to_pandas().set_index("doc_id")
+        # lowest id keeps its text verbatim; the clone is fully removed
+        assert df.loc[3, "text_clean"] == "first copy of the shared span here"
+        assert df.loc[3, "removed_chars"] == 0
+        assert df.loc[7, "text_clean"] == ""
+        assert df.loc[7, "removed_chars"] == 34
+        assert df.loc[9, "removed_chars"] == 0
