@@ -978,3 +978,42 @@ class TestSubstringRemove:
         assert df.loc[7, "text_clean"] == ""
         assert df.loc[7, "removed_chars"] == 34
         assert df.loc[9, "removed_chars"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSubstringZeroDup:
+    """Zero-shared-window corpus through every forced-distributed
+    branch: the left joins see an EMPTY right side and must still emit
+    typed int64 zero rows for every doc (not drop columns or change
+    dtype)."""
+
+    def test_all_ops_zero_dup(self):
+        import numpy as np
+        from ray import data as rd
+        from dlp_plugins_ray.stages import dedup as DD
+
+        rng = np.random.RandomState(3)
+        texts = [f"{rng.randint(0, 2**62):016x}" * 4 for _ in range(30)]
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(30), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+        s = DD.substring_dup_spans(
+            rd.from_arrow(t), text_col="text", id_col="doc_id", L=25,
+            local_threshold=0, broadcast_threshold=0,
+        ).to_pandas()
+        assert len(s) == 30 and s.dup_chars.sum() == 0
+        assert str(s.dup_chars.dtype) == "int64"
+        r = DD.remove_duplicated_spans(
+            rd.from_arrow(t), text_col="text", id_col="doc_id", L=25,
+            local_threshold=0, broadcast_threshold=0,
+        ).to_pandas()
+        assert len(r) == 30 and r.removed_chars.sum() == 0
+        assert sorted(r.text_clean) == sorted(texts)
+        p = DD.substring_duplicate_pairs(
+            rd.from_arrow(t), text_col="text", id_col="doc_id",
+            local_threshold=0,
+        ).to_pandas()
+        assert len(p) == 0
