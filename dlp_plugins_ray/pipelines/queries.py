@@ -2547,6 +2547,76 @@ def q_substring_dup_remove(sf_dir: str):
 QUERIES["substring_dup_remove"] = q_substring_dup_remove
 
 
+def q_line_dedup(sf_dir: str):
+    """Corpus-frequency LINE dedup (the CCNet / RefinedWeb boilerplate
+    filter) over per-user event-log documents: each user's doc is
+    their props values joined by newlines in event order; a line that
+    appears in a MAJORITY of user docs is boilerplate and is removed,
+    survivors keep their order (``stages/dedup.dedup_lines`` — exact
+    string grouping, no hashing). The oracle rebuilds every cleaned
+    doc with string_agg over the anti-joined lines."""
+    import polars as pl
+
+    from ..stages.shuffle import bucketed_group_reduce
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "props"])
+    doc_schema = pa.schema([("user_id", pa.int64()), ("text", pa.string())])
+
+    def build(block: pa.Table) -> pa.Table:
+        df = pl.from_arrow(block).sort(["user_id", "event_id"])
+        return (
+            df.group_by("user_id", maintain_order=True)
+            .agg(
+                pl.col("props").fill_null("").str.join("\n").alias("text")
+            )
+            .to_arrow()
+            .cast(doc_schema)
+        )
+
+    docs = bucketed_group_reduce(
+        ds, ["user_id"], build, out_schema=doc_schema
+    ).materialize()
+    n_users = docs.count()
+    return DD.dedup_lines(
+        docs, text_col="text", id_col="user_id",
+        min_docs=n_users // 2 + 1,
+    )
+
+
+QUERIES["line_dedup"] = q_line_dedup
+
+
+ORACLE_SQL["line_dedup"] = r"""
+    WITH docs AS (
+      SELECT user_id,
+             string_agg(coalesce(props, ''), chr(10) ORDER BY event_id)
+                 AS text
+      FROM events GROUP BY user_id
+    ), lines AS (
+      SELECT d.user_id, CAST(i AS BIGINT) AS i,
+             d.arr[CAST(i AS INT)] AS line
+      FROM (SELECT user_id, string_split(text, chr(10)) AS arr
+            FROM docs) d,
+           LATERAL (SELECT unnest(generate_series(1, len(d.arr))) AS i)
+    ), shared AS (
+      SELECT line FROM lines GROUP BY line
+      HAVING 2 * count(DISTINCT user_id) > (SELECT count(*) FROM docs)
+    ), kept AS (
+      SELECT l.user_id, l.i, l.line
+      FROM lines l ANTI JOIN shared s USING (line)
+    ), agg AS (
+      SELECT user_id, string_agg(line, chr(10) ORDER BY i) AS text_clean,
+             count(*) AS n_kept
+      FROM kept GROUP BY user_id
+    )
+    SELECT d.user_id,
+           coalesce(a.text_clean, '') AS text_clean,
+           CAST(len(string_split(d.text, chr(10))) - coalesce(a.n_kept, 0)
+                AS BIGINT) AS removed_lines
+    FROM docs d LEFT JOIN agg a USING (user_id)
+"""
+
+
 ORACLE_SQL["substring_dup_remove"] = r"""
     WITH docs AS (
       SELECT doc_id, coalesce(text, '') AS text FROM documents
@@ -5512,6 +5582,9 @@ _DRIVER_PREFIX = [
     "substring_dup_pairs",
     "substring_dup_spans",
     "substring_dup_remove",
+    # CCNet/RefinedWeb-style boilerplate line dedup over per-user
+    # event-log docs (majority rule; string_agg-rebuilt oracle)
+    "line_dedup",
     # (b) the six round-4 driver-red (dtype-only) queries — fixed via
     # CAST(sum(...) AS BIGINT) in their oracle SQL; kept in the checked
     # window to prove the fix

@@ -4342,3 +4342,291 @@ def remove_duplicated_spans(
         ).cast(out_schema)
 
     return both.map_batches(rewrite_block, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# corpus-frequency line dedup (CCNet / RefinedWeb-style boilerplate
+# removal: drop every line that occurs verbatim in >= min_docs distinct
+# documents, keep the rest in original order)
+# ---------------------------------------------------------------------------
+
+
+def _dedup_lines_kernel(docs_df, shared_df, text_col: str, id_col: str):
+    """Shared rebuild kernel (polars, fully vectorized): split each
+    doc into lines, anti-join away the shared lines, re-join the
+    survivors in original order, restore all-removed docs as ''.
+    ``shared_df`` is a one-column ('line') frame of the lines to
+    drop."""
+    import polars as pl
+
+    base = docs_df.with_columns(
+        pl.col(text_col).fill_null("").alias("_t")
+    ).select(
+        pl.col(id_col).cast(pl.Int64), pl.col("_t")
+    )
+    ex = (
+        base.with_columns(pl.col("_t").str.split("\n").alias("_lines"))
+        .with_columns(pl.col("_lines").list.len().cast(pl.Int64).alias("_n"))
+        .select([id_col, "_n", "_lines"])
+        .explode("_lines")
+        .rename({"_lines": "line"})
+    )
+    kept = ex.join(shared_df, on="line", how="anti")
+    agg = kept.group_by(id_col, maintain_order=True).agg(
+        pl.col("line").str.join("\n").alias("text_clean"),
+        pl.len().cast(pl.Int64).alias("_kept"),
+    )
+    out = (
+        base.join(
+            ex.group_by(id_col).agg(pl.col("_n").first()),
+            on=id_col, how="left",
+        )
+        .join(agg, on=id_col, how="left")
+        .with_columns(
+            pl.col("text_clean").fill_null(""),
+            (pl.col("_n") - pl.col("_kept").fill_null(0))
+            .cast(pl.Int64)
+            .alias("removed_lines"),
+        )
+        .select([id_col, "text_clean", "removed_lines"])
+    )
+    return out
+
+
+def dedup_lines(
+    ds,
+    *,
+    text_col: str,
+    id_col: str,
+    min_docs: int = 2,
+    num_buckets: int = 64,
+    broadcast_threshold: int = 2_000_000,
+    local_threshold: int = 20_000,
+):
+    """Corpus-frequency line dedup (the CCNet / RefinedWeb boilerplate
+    filter): delete from every document each LINE (newline-delimited)
+    that occurs verbatim in at least ``min_docs`` DISTINCT documents;
+    surviving lines keep their original order. Exact string grouping —
+    no hashing, no collision budget. Emits
+    ``(id_col, text_clean, removed_lines)`` for every input document.
+
+    Plan ladder (same as the substring family): one bucketed exchange
+    of DISTINCT (line, id) thin rows finds the shared lines; under
+    ``broadcast_threshold`` they broadcast once via ``ray.put`` and a
+    second map pass anti-joins + rebuilds block-locally; above it the
+    rebuild stays fully distributed (positional line rows anti-join
+    the shared lines in one exchange, per-doc reduce re-joins in
+    order, left join restores all-removed docs). One-task local path
+    under ``local_threshold`` docs; all branches pinned equal in
+    tests/test_training_ops.py."""
+    import polars as pl
+    import ray
+    import ray.data as rd
+
+    from .cache import cached_task_stage
+    from .shuffle import bucketed_group_reduce
+
+    out_schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            ("text_clean", pa.string()),
+            ("removed_lines", pa.int64()),
+        ]
+    )
+    shared_schema = pa.schema([("line", pa.string())])
+
+    def _shared_from_thin(df: "pl.DataFrame") -> "pl.DataFrame":
+        return (
+            df.group_by("line")
+            .agg(pl.col(id_col).n_unique().alias("_nd"))
+            .filter(pl.col("_nd") >= min_docs)
+            .select("line")
+        )
+
+    if local_threshold:
+        ds = ds.materialize()
+        if ds.count() <= local_threshold:
+            @ray.remote
+            def solve(*tables) -> pa.Table:
+                tabs = [t for t in tables if t.num_rows]
+                if not tabs:
+                    return out_schema.empty_table()
+                t = pa.concat_tables(
+                    [x.select([id_col, text_col]) for x in tabs]
+                )
+                df = pl.from_arrow(t)
+                thin = (
+                    df.with_columns(
+                        pl.col(text_col).fill_null("")
+                        .str.split("\n").alias("line")
+                    )
+                    .select([id_col, "line"])
+                    .explode("line")
+                    .unique()
+                )
+                shared = _shared_from_thin(thin)
+                return (
+                    _dedup_lines_kernel(df, shared, text_col, id_col)
+                    .sort(id_col)
+                    .to_arrow()
+                    .cast(out_schema)
+                )
+
+            return rd.from_arrow_refs([solve.remote(*ds.to_arrow_refs())])
+
+    class LineStage:
+        """text -> DISTINCT (line, id) thin rows."""
+
+        def __init__(self, text_col: str, id_col: str):
+            self.text_col = text_col
+            self.id_col = id_col
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            df = pl.from_arrow(batch.select([self.id_col, self.text_col]))
+            thin = (
+                df.with_columns(
+                    pl.col(self.text_col).fill_null("")
+                    .str.split("\n").alias("line")
+                )
+                .select([pl.col(self.id_col).cast(pl.Int64), "line"])
+                .explode("line")
+                .unique()
+            )
+            return thin.to_arrow().cast(
+                pa.schema([(self.id_col, pa.int64()), ("line", pa.string())])
+            )
+
+    thin = ds.map_batches(
+        cached_task_stage(LineStage, text_col, id_col),
+        batch_format="pyarrow",
+    )
+
+    def shared_block(block: pa.Table) -> pa.Table:
+        return (
+            _shared_from_thin(pl.from_arrow(block))
+            .to_arrow()
+            .cast(shared_schema)
+        )
+
+    shared = bucketed_group_reduce(
+        thin, ["line"], shared_block,
+        num_buckets=num_buckets, out_schema=shared_schema,
+    ).materialize()
+
+    if shared.count() <= broadcast_threshold:
+        tabs = [
+            t for t in ray.get(shared.to_arrow_refs())
+            if t.num_rows and "line" in t.column_names
+        ]
+        shared_tab = (
+            pa.concat_tables([t.cast(shared_schema) for t in tabs])
+            if tabs else shared_schema.empty_table()
+        )
+        shared_ref = ray.put(shared_tab)
+
+        def rebuild(batch: pa.Table) -> pa.Table:
+            df = pl.from_arrow(batch.select([id_col, text_col]))
+            sh = pl.from_arrow(ray.get(shared_ref))
+            return (
+                _dedup_lines_kernel(df, sh, text_col, id_col)
+                .to_arrow()
+                .cast(out_schema)
+            )
+
+        return ds.map_batches(rebuild, batch_format="pyarrow")
+
+    # fully-distributed rebuild: positional line rows anti-join the
+    # shared lines, per-doc reduce re-joins survivors in order, left
+    # join restores all-removed docs
+    from .joins import hash_join
+
+    def positional(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select([id_col, text_col]))
+        ex = (
+            df.with_columns(
+                pl.col(text_col).fill_null("")
+                .str.split("\n").alias("line")
+            )
+            .select([pl.col(id_col).cast(pl.Int64), "line"])
+            .explode("line")
+            .with_columns(
+                pl.int_range(pl.len()).over(id_col).alias("idx")
+            )
+        )
+        return ex.to_arrow().cast(
+            pa.schema(
+                [
+                    (id_col, pa.int64()),
+                    ("line", pa.string()),
+                    ("idx", pa.int64()),
+                ]
+            )
+        )
+
+    kept = hash_join(
+        ds.map_batches(positional, batch_format="pyarrow"),
+        shared,
+        on="line",
+        how="anti",
+        num_buckets=num_buckets,
+    )
+
+    agg_schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            ("text_clean", pa.string()),
+            ("_kept", pa.int64()),
+        ]
+    )
+
+    def agg_block(block: pa.Table) -> pa.Table:
+        df = pl.from_arrow(block).sort([id_col, "idx"])
+        return (
+            df.group_by(id_col, maintain_order=True)
+            .agg(
+                pl.col("line").str.join("\n").alias("text_clean"),
+                pl.len().cast(pl.Int64).alias("_kept"),
+            )
+            .to_arrow()
+            .cast(agg_schema)
+        )
+
+    per_doc = bucketed_group_reduce(
+        kept, [id_col], agg_block,
+        num_buckets=num_buckets, out_schema=agg_schema,
+    )
+
+    def doc_counts(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select([id_col, text_col]))
+        out = df.select(
+            pl.col(id_col).cast(pl.Int64),
+            pl.col(text_col).fill_null("")
+            .str.split("\n").list.len().cast(pl.Int64).alias("_n"),
+        )
+        return out.to_arrow().cast(
+            pa.schema([(id_col, pa.int64()), ("_n", pa.int64())])
+        )
+
+    both = hash_join(
+        ds.map_batches(doc_counts, batch_format="pyarrow"),
+        per_doc,
+        on=id_col,
+        how="left",
+        num_buckets=num_buckets,
+    )
+
+    def fill(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        return (
+            df.with_columns(
+                pl.col("text_clean").fill_null(""),
+                (pl.col("_n") - pl.col("_kept").fill_null(0))
+                .cast(pl.Int64)
+                .alias("removed_lines"),
+            )
+            .select([id_col, "text_clean", "removed_lines"])
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    return both.map_batches(fill, batch_format="pyarrow")

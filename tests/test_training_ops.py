@@ -1017,3 +1017,72 @@ class TestSubstringZeroDup:
             local_threshold=0,
         ).to_pandas()
         assert len(p) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLineDedup:
+    """dedup_lines: all plan branches equal; order preservation;
+    all-removed docs come back as ''."""
+
+    def _corpus(self):
+        boiler = "COOKIE BANNER"
+        texts = [
+            f"unique a{i}\n{boiler}\nunique b{i}" for i in range(12)
+        ] + ["only unique here", boiler, "", None]
+        ids = list(range(len(texts)))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    def _canon(self, ds):
+        df = ds.to_pandas()
+        return (
+            df[sorted(df.columns)]
+            .sort_values(by=sorted(df.columns))
+            .reset_index(drop=True)
+        )
+
+    def test_all_branches_equal(self):
+        import pandas as pd
+        import ray.data as rd
+        from dlp_plugins_ray.stages import dedup as DD
+
+        t = self._corpus()
+        kw = dict(text_col="text", id_col="doc_id", min_docs=2)
+        local = self._canon(DD.dedup_lines(rd.from_arrow(t), **kw))
+        bcast = self._canon(
+            DD.dedup_lines(rd.from_arrow(t), **kw, local_threshold=0)
+        )
+        fulldist = self._canon(
+            DD.dedup_lines(
+                rd.from_arrow(t), **kw, local_threshold=0,
+                broadcast_threshold=0,
+            )
+        )
+        assert len(local) == t.num_rows
+        pd.testing.assert_frame_equal(local, bcast)
+        pd.testing.assert_frame_equal(local, fulldist)
+
+    def test_semantics(self):
+        import ray.data as rd
+        from dlp_plugins_ray.stages import dedup as DD
+
+        df = (
+            DD.dedup_lines(
+                rd.from_arrow(self._corpus()), text_col="text",
+                id_col="doc_id", min_docs=2,
+            )
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        # the boilerplate line is gone, unique lines keep their order
+        assert df.loc[0, "text_clean"] == "unique a0\nunique b0"
+        assert df.loc[0, "removed_lines"] == 1
+        assert df.loc[12, "text_clean"] == "only unique here"
+        assert df.loc[12, "removed_lines"] == 0
+        # the boilerplate-only doc collapses to '' (its single line is
+        # shared); the empty and null docs: '' occurs in BOTH, so the
+        # empty line is shared and removed too
+        assert df.loc[13, "text_clean"] == ""
+        assert df.loc[13, "removed_lines"] == 1
+        assert df.loc[14, "text_clean"] == "" and df.loc[14, "removed_lines"] == 1
+        assert df.loc[15, "text_clean"] == "" and df.loc[15, "removed_lines"] == 1
