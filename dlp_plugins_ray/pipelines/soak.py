@@ -776,7 +776,8 @@ def run_substring_soak(n_docs: int, *, dup_frac: float = 0.3,
     assert L == 25, "teeth are closed-form for the 25-char suffix"
     d = corpus_dir or os.path.join(
         tempfile.gettempdir(),
-        f"dlp_ray_substr_v4_{n_docs}_{int(dup_frac*100)}",
+        "dlp_ray_substr_v4_"
+        f"{n_docs}_{int(dup_frac*100)}_{int(hot_frac*100)}_{n_hot}",
     )
     write_substring_corpus(d, n_docs, dup_frac=dup_frac,
                            hot_frac=hot_frac, n_hot=n_hot)
@@ -810,6 +811,15 @@ def run_substring_soak(n_docs: int, *, dup_frac: float = 0.3,
     got_ids, got_dup, got_chars = (
         got_ids[order], got_dup[order], got_chars[order]
     )
+    rows_ok = bool(
+        len(got_ids) == n_docs and (got_ids == np.arange(n_docs)).all()
+    )
+    if not rows_ok:
+        # a dropped/duplicated row is exactly the regression the tooth
+        # exists to catch — report it as a failed tooth, never crash
+        # the closed-form indexing below with a shape mismatch
+        got_chars = np.zeros(n_docs, np.int64)
+        got_dup = np.full(n_docs, -1, np.int64)
     # closed-form expectations over the id space: every clone and
     # every source is fully covered, EXCEPT a near clone whose source
     # has exactly ONE near clone — its source-keyed 25-char suffix
@@ -825,13 +835,9 @@ def run_substring_soak(n_docs: int, *, dup_frac: float = 0.3,
     near_mult = np.bincount(near_src, minlength=n_base)
     lonely = near_ids[near_mult[near_src] == 1]
     expect[lonely] = got_chars[lonely] - L
-    spans_ok = bool(
-        len(got_ids) == n_docs
-        and (got_ids == np.arange(n_docs)).all()
-        and (got_dup == expect).all()
-    )
+    spans_ok = bool(rows_ok and (got_dup == expect).all())
 
-    # ---- pairs (winnow candidates + exchange verify, star-capped) ----
+    # ---- pairs (exact L-gram hash groups, star-capped) ----
     t1 = time.time()
     pair_tabs = [
         t for t in ray.get(

@@ -3263,6 +3263,67 @@ def _window_hashes_positional(text: str, L: int) -> np.ndarray:
     return h
 
 
+def _window_hashes_positional_many(
+    texts: list[str], L: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batched :func:`_window_hashes_positional`: one concatenated
+    utf-32 + polynomial pass for a whole batch (boundary-crossing
+    windows compacted away — the `_char_shingle_hashes_many` pattern
+    WITHOUT the per-text dedup). Returns aligned ``(row_idx, pos,
+    hash)`` arrays: one entry per window, in (text, position) order.
+    Property-pinned to the per-doc kernel in tests/test_properties.py.
+    """
+    n = len(texts)
+    lens = np.fromiter((len(t) for t in texts), np.int64, count=n)
+    long_idx = np.flatnonzero(lens >= L)
+    if long_idx.size == 0:
+        return (
+            np.empty(0, np.int64),
+            np.empty(0, np.int64),
+            np.empty(0, np.uint64),
+        )
+    cat = "".join(texts[i] for i in long_idx)
+    cp = np.frombuffer(cat.encode("utf-32-le"), dtype=np.uint32).astype(
+        np.uint64
+    )
+    Ls = lens[long_idx]
+    counts = Ls - L + 1
+    starts = np.concatenate([[0], np.cumsum(Ls)[:-1]])
+    h = _poly_windows(cp, L)
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
+    total = int(counts.sum())
+    excl = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    within = np.arange(total, dtype=np.int64) - np.repeat(excl, counts)
+    gpos = np.repeat(starts, counts) + within
+    return np.repeat(long_idx, counts), within, h[gpos]
+
+
+def _positional_rows_batch(
+    batch: pa.Table, text_col: str, id_col: str, L: int
+) -> pa.Table:
+    """Shared map-stage kernel of the distributed spans/rewrite
+    fallbacks: batch -> thin ``(h, pos, doc_id)`` rows for EVERY
+    L-window, computed in one batched numpy pass (the hot stage of the
+    100-TB branch — ~109M rows in the 200k soak)."""
+    texts = [
+        t if t is not None else ""
+        for t in batch.column(text_col).to_pylist()
+    ]
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    rows, pos, h = _window_hashes_positional_many(texts, L)
+    return pa.table(
+        {
+            "h": pa.array(h.view(np.int64), pa.int64()),
+            "pos": pa.array(pos),
+            "doc_id": pa.array(ids[rows]),
+        }
+    )
+
+
 def winnow_fingerprints(text: str, k: int, w: int) -> np.ndarray:
     """Distinct winnowed fingerprint VALUES of ``text``: k-codepoint
     rolling hashes, each window of ``w`` consecutive hashes selecting
@@ -3344,8 +3405,14 @@ def winnow_candidate_pairs(
     Pair semantics are inherently quadratic in a fingerprint's doc
     count (boilerplate shared by m docs IS m(m-1)/2 true pairs);
     ``max_fp_docs`` is the scale valve: groups larger than it emit a
-    recall-preserving STAR (min-id to each member — every member is
-    still linked into the duplicate component) instead of all pairs.
+    STAR (min-id to each member) instead of all pairs. NOTE the star
+    preserves linkage only at the FINGERPRINT level — a shared
+    fingerprint certifies a shared k-gram, not a shared L-gram, so a
+    downstream exact verifier can drop a star edge while two
+    suppressed members truly share an L-gram. That is why
+    ``substring_duplicate_pairs`` refuses
+    ``method='winnow_verify'`` + ``max_fp_docs`` (the 'exact' method's
+    hash groups don't have this hole: its group key IS the L-gram).
     Default None = exact pair completeness, the conformance contract.
     """
     import polars as pl
@@ -3596,8 +3663,24 @@ def substring_duplicate_pairs(
     import ray
     import ray.data as rd
 
+    if method == "winnow_verify" and max_fp_docs is not None:
+        # the star cap is only recall-preserving when a shared GROUP
+        # key implies a shared L-gram (the 'exact' method's L-gram
+        # hash groups). A winnowed fingerprint group only certifies a
+        # shared k-gram: its star center can fail the L-gram verify
+        # while two suppressed members truly share one — a silent
+        # recall hole, so the combination is refused.
+        raise ValueError(
+            "max_fp_docs requires method='exact' (fingerprint-group "
+            "stars do not guarantee a shared L-gram)"
+        )
+
     L = w + k - 1
-    if local_threshold:
+    # the one-task kernel computes complete pairs with exact counts;
+    # under a star cap that would differ from the distributed branch
+    # (subset pairs, lower-bound counts), so the cap forces the
+    # distributed plan — size-adaptive branches must stay pinned equal
+    if local_threshold and max_fp_docs is None:
         ds = ds.materialize()
         if ds.count() <= local_threshold:
             @ray.remote
@@ -3815,15 +3898,27 @@ def _spans_from_shared(
     )
     dup = np.zeros(len(texts), np.int64)
     chars = np.fromiter((len(t) for t in texts), np.int64, count=len(texts))
-    for i, t in enumerate(texts):
-        h = _window_hashes_positional(t, L).view(np.int64)
-        if h.size == 0 or shared_sorted.size == 0:
-            continue
-        idx = np.searchsorted(shared_sorted, h)
+    if shared_sorted.size:
+        # one batched hash pass + one searchsorted for the whole
+        # batch; per-doc interval union folds into a single bincount
+        # (first hit of a doc contributes L, later hits min(gap, L))
+        rows, pos, h = _window_hashes_positional_many(texts, L)
+        hv = h.view(np.int64)
+        idx = np.searchsorted(shared_sorted, hv)
         valid = idx < shared_sorted.size
-        hit = np.zeros(h.size, dtype=bool)
-        hit[valid] = shared_sorted[idx[valid]] == h[valid]
-        dup[i] = _coverage_from_positions(np.flatnonzero(hit), L)
+        hit = np.zeros(hv.size, dtype=bool)
+        hit[valid] = shared_sorted[idx[valid]] == hv[valid]
+        hr, hp = rows[hit], pos[hit]
+        if hr.size:
+            contrib = np.empty(hr.size, np.int64)
+            contrib[0] = L
+            same = hr[1:] == hr[:-1]
+            contrib[1:] = np.where(
+                same, np.minimum(hp[1:] - hp[:-1], L), L
+            )
+            dup = np.bincount(
+                hr, weights=contrib, minlength=len(texts)
+            ).astype(np.int64)
     return pa.table(
         {
             "doc_id": pa.array(ids.astype(np.int64)),
@@ -3945,36 +4040,11 @@ def substring_dup_spans(
     from .joins import hash_join
     from .shuffle import bucketed_group_reduce
 
-    def positional(batch: pa.Table) -> pa.Table:
-        texts = [
-            t if t is not None else ""
-            for t in batch.column(text_col).to_pylist()
-        ]
-        ids = batch.column(id_col).to_numpy(
-            zero_copy_only=False
-        ).astype(np.int64)
-        hs: list[np.ndarray] = []
-        ps: list[np.ndarray] = []
-        ns = np.zeros(len(texts), np.int64)
-        for i, t in enumerate(texts):
-            h = _window_hashes_positional(t, L).view(np.int64)
-            hs.append(h)
-            ps.append(np.arange(h.size, dtype=np.int64))
-            ns[i] = h.size
-        return pa.table(
-            {
-                "h": pa.array(
-                    np.concatenate(hs) if hs else np.empty(0, np.int64)
-                ),
-                "pos": pa.array(
-                    np.concatenate(ps) if ps else np.empty(0, np.int64)
-                ),
-                "doc_id": pa.array(np.repeat(ids, ns)),
-            }
-        )
-
     marked = hash_join(
-        ds.map_batches(positional, batch_format="pyarrow"),
+        ds.map_batches(
+            lambda b: _positional_rows_batch(b, text_col, id_col, L),
+            batch_format="pyarrow",
+        ),
         shared,
         on="h",
         how="semi",
@@ -4119,25 +4189,29 @@ def remove_duplicated_spans(
 
     def _rewrite(texts: list[str], ids: np.ndarray,
                  h_sorted: np.ndarray, min_ids: np.ndarray) -> pa.Table:
-        out_texts: list[str] = []
+        # batched marking (one hash pass + one searchsorted for the
+        # whole batch); the per-doc Python loop below touches ONLY
+        # docs that actually have marked windows — clean docs pass
+        # through untouched
+        out_texts: list[str] = [t for t in texts]
         removed = np.zeros(len(texts), np.int64)
-        for i, t in enumerate(texts):
-            h = _window_hashes_positional(t, L).view(np.int64)
-            if h.size and h_sorted.size:
-                idx = np.searchsorted(h_sorted, h)
-                valid = idx < h_sorted.size
-                hit = np.zeros(h.size, dtype=bool)
-                hit[valid] = h_sorted[idx[valid]] == h[valid]
-                # keep-first: only windows whose min owner is a LOWER doc
-                hit[valid] &= min_ids[np.minimum(idx, h_sorted.size - 1)][
-                    valid
-                ] < ids[i]
-                marked = np.flatnonzero(hit)
-            else:
-                marked = np.empty(0, np.int64)
-            clean = _clean_text_mask(t, marked, L)
-            out_texts.append(clean)
-            removed[i] = len(t) - len(clean)
+        if h_sorted.size:
+            rows, pos, h = _window_hashes_positional_many(texts, L)
+            hv = h.view(np.int64)
+            idx = np.searchsorted(h_sorted, hv)
+            valid = idx < h_sorted.size
+            hit = np.zeros(hv.size, dtype=bool)
+            # keep-first: only windows whose min owner is a LOWER doc
+            hit[valid] = (h_sorted[idx[valid]] == hv[valid]) & (
+                min_ids[idx[valid]] < ids[rows[valid]]
+            )
+            hr, hp = rows[hit], pos[hit]
+            bounds = np.searchsorted(hr, np.arange(len(texts) + 1))
+            for i in np.unique(hr):
+                marked = hp[bounds[i]:bounds[i + 1]]
+                clean = _clean_text_mask(texts[i], marked, L)
+                out_texts[i] = clean
+                removed[i] = len(texts[i]) - len(clean)
         return pa.table(
             {
                 "doc_id": pa.array(ids.astype(np.int64)),
@@ -4234,36 +4308,11 @@ def remove_duplicated_spans(
     # fully-distributed rewrite: positional rows join the owner map
     from .joins import hash_join
 
-    def positional(batch: pa.Table) -> pa.Table:
-        texts = [
-            t if t is not None else ""
-            for t in batch.column(text_col).to_pylist()
-        ]
-        ids = batch.column(id_col).to_numpy(
-            zero_copy_only=False
-        ).astype(np.int64)
-        hs: list[np.ndarray] = []
-        ps: list[np.ndarray] = []
-        ns = np.zeros(len(texts), np.int64)
-        for i, t in enumerate(texts):
-            h = _window_hashes_positional(t, L).view(np.int64)
-            hs.append(h)
-            ps.append(np.arange(h.size, dtype=np.int64))
-            ns[i] = h.size
-        return pa.table(
-            {
-                "h": pa.array(
-                    np.concatenate(hs) if hs else np.empty(0, np.int64)
-                ),
-                "pos": pa.array(
-                    np.concatenate(ps) if ps else np.empty(0, np.int64)
-                ),
-                "doc_id": pa.array(np.repeat(ids, ns)),
-            }
-        )
-
     joined = hash_join(
-        ds.map_batches(positional, batch_format="pyarrow"),
+        ds.map_batches(
+            lambda b: _positional_rows_batch(b, text_col, id_col, L),
+            batch_format="pyarrow",
+        ),
         owners,
         on="h",
         how="inner",
@@ -4370,8 +4419,13 @@ def _dedup_lines_kernel(docs_df, shared_df, text_col: str, id_col: str):
         .select([id_col, "_n", "_lines"])
         .explode("_lines")
         .rename({"_lines": "line"})
+        # explicit per-doc position: polars joins do NOT guarantee
+        # left row order (maintain_order defaults to none), so the
+        # post-anti-join rebuild must re-sort — same discipline as the
+        # fully-distributed branch's idx column
+        .with_columns(pl.int_range(pl.len()).over(id_col).alias("_idx"))
     )
-    kept = ex.join(shared_df, on="line", how="anti")
+    kept = ex.join(shared_df, on="line", how="anti").sort([id_col, "_idx"])
     agg = kept.group_by(id_col, maintain_order=True).agg(
         pl.col("line").str.join("\n").alias("text_clean"),
         pl.len().cast(pl.Int64).alias("_kept"),

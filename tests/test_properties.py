@@ -1084,3 +1084,31 @@ class TestCleanTextMask:
             covered.update(range(p, min(p + L, n)))
         want = "".join(c for i, c in enumerate(text) if i not in covered)
         assert got == want
+
+
+class TestPositionalHashBatch:
+    """_window_hashes_positional_many == per-doc
+    _window_hashes_positional across texts incl. empty/short/unicode
+    (the batched kernel behind the distributed spans/rewrite
+    fallbacks' hot map stage)."""
+
+    @given(st.lists(st.text(alphabet="abé中\n", max_size=30), max_size=8),
+           st.integers(2, 9))
+    @settings(max_examples=40, deadline=None)
+    def test_matches_per_doc(self, texts, L):
+        import numpy as np
+        from dlp_plugins_ray.stages.dedup import (
+            _window_hashes_positional,
+            _window_hashes_positional_many,
+        )
+
+        rows, pos, h = _window_hashes_positional_many(texts, L)
+        want_rows, want_pos, want_h = [], [], []
+        for i, t in enumerate(texts):
+            hw = _window_hashes_positional(t, L)
+            want_rows += [i] * hw.size
+            want_pos += list(range(hw.size))
+            want_h += [int(x) for x in hw]
+        assert rows.tolist() == want_rows
+        assert pos.tolist() == want_pos
+        assert [int(x) for x in h] == want_h

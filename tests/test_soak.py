@@ -557,11 +557,14 @@ def test_incremental_fused_matches_distributed(ray_session, tmp_path):
 
 
 def test_substring_soak_exact_teeth(ray_session, tmp_path):
-    """Small-n end-to-end run of the substring-dedup soak: BOTH faces,
-    all distributed branches forced inside run_substring_soak, every
-    closed-form tooth must hold exactly (full coverage for clones and
-    sources, doc_chars-25 for lonely near clones, zero for pure base
-    docs; pair links == clone families, no false links)."""
+    """Small-n end-to-end run of the substring-dedup soak: BOTH faces
+    through the size-adaptive LOCAL paths (force_distributed=False —
+    the distributed branches are property-pinned equal in
+    test_training_ops.py and exercised at scale by
+    bench.py --substring-soak), every closed-form tooth exact (full
+    coverage for clones and sources, doc_chars-25 for lonely near
+    clones, zero for pure base docs; pair links == clone families,
+    no false links)."""
     res = soak.run_substring_soak(
         1_200, corpus_dir=str(tmp_path / "substr"), force_distributed=False
     )

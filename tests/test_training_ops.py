@@ -1086,3 +1086,18 @@ class TestLineDedup:
         assert df.loc[13, "removed_lines"] == 1
         assert df.loc[14, "text_clean"] == "" and df.loc[14, "removed_lines"] == 1
         assert df.loc[15, "text_clean"] == "" and df.loc[15, "removed_lines"] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSubstringPairsGuards:
+    def test_winnow_verify_refuses_star_cap(self):
+        import ray.data as rd
+        from dlp_plugins_ray.stages import dedup as DD
+
+        t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                      "text": pa.array(["x" * 30, "y" * 30])})
+        with pytest.raises(ValueError, match="max_fp_docs"):
+            DD.substring_duplicate_pairs(
+                rd.from_arrow(t), text_col="text", id_col="doc_id",
+                method="winnow_verify", max_fp_docs=8,
+            )
