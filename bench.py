@@ -566,7 +566,8 @@ def substring_soak() -> None:
     n = int(os.environ.get("RAY_GRAFT_SUBSTR_DOCS", "200000"))
     res = run_substring_soak(n)
     res = {"metric": "substring_dedup_soak_seconds",
-           "value": res["spans_seconds"] + res["pairs_seconds"],
+           "value": res["spans_seconds"] + res["remove_seconds"]
+           + res["pairs_seconds"],
            "unit": "sec", "num_cpus": NUM_CPUS,
            "cpu_probe_gflops": _cpu_probe_gflops(), **res}
     print(json.dumps(res), flush=True)

@@ -837,6 +837,47 @@ def run_substring_soak(n_docs: int, *, dup_frac: float = 0.3,
     expect[lonely] = got_chars[lonely] - L
     spans_ok = bool(rows_ok and (got_dup == expect).all())
 
+    # ---- rewrite (keep-first span removal) ----
+    t2 = time.time()
+    rem_tabs = [
+        t for t in ray.get(
+            DD.remove_duplicated_spans(
+                ds, text_col="text", id_col="doc_id", L=L,
+                local_threshold=0 if force_distributed else 20_000,
+                broadcast_threshold=0 if force_distributed else 2_000_000,
+            ).to_arrow_refs()
+        ) if t.num_rows
+    ]
+    remove_sec = time.time() - t2
+    rem = pa.concat_tables(rem_tabs)
+    rem_ids = rem.column("doc_id").to_numpy(zero_copy_only=False)
+    rem_rm = rem.column("removed_chars").to_numpy(zero_copy_only=False)
+    order2 = np.argsort(rem_ids)
+    rem_ids, rem_rm = rem_ids[order2], rem_rm[order2]
+    rem_rows_ok = bool(
+        len(rem_ids) == n_docs and (rem_ids == np.arange(n_docs)).all()
+    )
+    if not rem_rows_ok:
+        rem_rm = np.full(n_docs, -1, np.int64)
+    # closed-form keep-first expectations: sources keep everything
+    # (they are the min owner of all their windows), clones lose
+    # everything — EXCEPT the lowest near sibling per source, which is
+    # itself the min owner of the family's suffix windows and keeps
+    # exactly the 25-char suffix
+    exp_removed = np.zeros(n_docs, dtype=np.int64)
+    exp_removed[p["dup_ids"]] = got_chars[p["dup_ids"]]
+    if near_ids.size:
+        import polars as _pl
+
+        low = (
+            _pl.DataFrame({"src": near_src, "id": near_ids})
+            .group_by("src")
+            .agg(_pl.col("id").min())["id"]
+            .to_numpy()
+        )
+        exp_removed[low] = got_chars[low] - L
+    remove_ok = bool(rem_rows_ok and (rem_rm == exp_removed).all())
+
     # ---- pairs (exact L-gram hash groups, star-capped) ----
     t1 = time.time()
     pair_tabs = [
@@ -876,6 +917,9 @@ def run_substring_soak(n_docs: int, *, dup_frac: float = 0.3,
         "spans_docs_per_sec": round(n_docs / spans_sec, 1),
         "spans_rows": int(len(got_ids)),
         "spans_exact_match": spans_ok,
+        "remove_seconds": round(remove_sec, 3),
+        "remove_docs_per_sec": round(n_docs / remove_sec, 1),
+        "remove_exact_match": remove_ok,
         "pairs_seconds": round(pairs_sec, 3),
         "pairs_rows": int(len(pa_ids)),
         "pairs_linked_exact": linked_ok,

@@ -570,6 +570,7 @@ def test_substring_soak_exact_teeth(ray_session, tmp_path):
     )
     assert res["spans_rows"] == 1_200
     assert res["spans_exact_match"] is True
+    assert res["remove_exact_match"] is True
     assert res["pairs_linked_exact"] is True
     assert res["pairs_false_links"] == 0
     assert res["pairs_rows"] > 0
